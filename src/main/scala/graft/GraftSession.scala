@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session config for the engine.
+  *
+  * Scale posture: shuffle partitions sized to cores for local runs (the
+  * 100 TB deployment overrides to ~2-3× total executor cores and relies
+  * on AQE coalescing); AQE handles skew-join splitting and runtime
+  * broadcast demotion; the bloom-filter runtime join filter is the
+  * Spark-native analog of the reference's runtime filters
+  * (`/root/reference/dbms/src/DataStreams/RuntimeFilter.h:25-91`).
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS); read as long + convert.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.mergeSchema", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
+}

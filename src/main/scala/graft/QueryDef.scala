@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation + (optionally) the
+  * equivalent DuckDB SQL the driver uses as a golden oracle.
+  *
+  * Numeric-determinism convention: double aggregations are computed as
+  * exact decimal sums (`cast(x as decimal)` before `sum`) and cast back
+  * to double, so Spark's partition-order-dependent floating summation
+  * and DuckDB's sequential summation cannot diverge. Floating-point
+  * scalar outputs are rounded to a fixed scale on BOTH sides.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object QueryDef {
+  /** DuckDB CREATE VIEW preamble is done by the driver; oracle SQL refers
+    * to bare table names (lineitem, orders, ...).
+    */
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}
