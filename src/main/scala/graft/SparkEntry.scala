@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All modules contributing verifiable queries. */
   def defs: Seq[QueryDef] =
-    operators.Relational.all
+    operators.Relational.all ++ functions.ScalarQueries.all ++
+      operators.Windows.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

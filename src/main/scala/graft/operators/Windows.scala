@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Window function surface ≙ the reference's window executor
+  * (`/root/reference/dbms/src/Flash/Planner/Plans/PhysicalWindow.cpp`,
+  * functions `WindowFunctions/IWindowFunction.cpp:69-380`: rank,
+  * dense_rank, row_number, lead, lag, first_value, last_value; frame
+  * model `Interpreters/WindowDescription.h:46-106` with ROWS and RANGE
+  * bounds, aggregates-over-window via the §2.4 map).
+  *
+  * Scale note: the reference pre-sorts partitions via its Sort executor
+  * under fine-grained shuffle; Spark's Window exec does exactly the
+  * same (hash-partition by `partitionBy`, sort within partitions). The
+  * one skew hazard at 100 TB is a giant single partition key — all
+  * partition keys here are high-cardinality (orderkey, custkey,
+  * suppkey).
+  *
+  * Window aggregates over doubles go through decimal casts: DuckDB's
+  * segment-tree sliding aggregation and Spark's running accumulation
+  * add in different orders.
+  */
+object Windows {
+
+  /** rank / dense_rank / row_number. */
+  val q40Rank: QueryDef = QueryDef(
+    "q40_window_rank",
+    """SELECT l_orderkey, l_linenumber,
+      |  rank() OVER w AS rk,
+      |  dense_rank() OVER w AS drk,
+      |  row_number() OVER w AS rn
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)""".stripMargin,
+    ) { (s, d) =>
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      rank().over(w).as("rk"),
+      dense_rank().over(w).as("drk"),
+      row_number().over(w).as("rn"))
+  }.copy(headline = true)
+
+  /** lead / lag with defaults. */
+  val q41LeadLag: QueryDef = QueryDef(
+    "q41_window_leadlag",
+    """SELECT o_custkey, o_orderkey,
+      |  lead(o_totalprice, 1, -1.0) OVER w AS nxt,
+      |  lag(o_totalprice, 1, -1.0) OVER w AS prv,
+      |  lead(o_orderkey, 2, -1) OVER w AS nxt2
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      lead(col("o_totalprice"), 1, -1.0).over(w).as("nxt"),
+      lag(col("o_totalprice"), 1, -1.0).over(w).as("prv"),
+      lead(col("o_orderkey"), 2, -1).over(w).as("nxt2"))
+  }
+
+  /** first_value / last_value over an explicit full-partition frame. */
+  val q42FirstLast: QueryDef = QueryDef(
+    "q42_window_firstlast",
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_key,
+      |  last_value(o_orderkey) OVER w AS last_key,
+      |  nth_value(o_orderkey, 2) OVER w AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(w).as("first_key"),
+      last(col("o_orderkey")).over(w).as("last_key"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+  }
+
+  /** Aggregates over a ROWS frame (running + sliding). */
+  val q43RowsFrame: QueryDef = QueryDef(
+    "q43_window_rows_frame",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
+      |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
+      |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_qty,
+      |  COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+      |  MIN(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3,
+      |  MAX(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3
+      |FROM lineitem""".stripMargin,
+    ) { (s, d) =>
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wRun = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w3 = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      .rowsBetween(-2, Window.currentRow)
+    Tables.lineitem(s, d).select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      sum(col("l_quantity").cast(DecimalType(30, 2))).over(wRun)
+        .cast("double").as("running_qty"),
+      sum(col("l_quantity").cast(DecimalType(30, 2))).over(w3)
+        .cast("double").as("window3_qty"),
+      count(lit(1)).over(wRun).as("running_n"),
+      min(col("l_quantity")).over(w3).as("min3"),
+      max(col("l_quantity")).over(w3).as("max3"))
+  }
+
+  /** RANGE frame over a time order key, expressed in epoch seconds —
+    * reproduces the reference's time-ranged frames
+    * (`tests/fullstack-test/mpp/window_range_frame.test`); Spark's
+    * rangeBetween is long-typed, hence the epoch key (SURVEY §7.4.6). */
+  val q44RangeFrame: QueryDef = QueryDef(
+    "q44_window_range_frame",
+    """SELECT o_custkey, o_orderkey, ep,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY ep
+      |          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY ep
+      |          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_30d
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        CAST(epoch(o_orderdate) AS BIGINT) AS ep FROM orders) t""".stripMargin,
+    ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ep"))
+      .rangeBetween(-2592000L, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("ep", unix_timestamp(col("o_orderdate")))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("ep"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2))).over(w)
+          .cast("double").as("rev_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+  }
+
+  /** Distribution window functions (ntile / percent_rank / cume_dist) —
+    * beyond the reference's list but part of a complete window surface. */
+  val q45Distribution: QueryDef = QueryDef(
+    "q45_window_distribution",
+    """SELECT o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 9) AS pr,
+      |  round(cume_dist() OVER w, 9) AS cd
+      |FROM orders
+      |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    ) { (s, d) =>
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 9).as("pr"),
+      round(cume_dist().over(w), 9).as("cd"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q40Rank, q41LeadLag, q42FirstLast, q43RowsFrame, q44RangeFrame,
+    q45Distribution)
+}
