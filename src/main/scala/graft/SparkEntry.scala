@@ -13,7 +13,8 @@ object SparkEntry {
   /** All modules contributing verifiable queries. */
   def defs: Seq[QueryDef] =
     operators.Relational.all ++ functions.ScalarQueries.all ++
-      operators.Windows.all
+      operators.Windows.all ++ operators.Similarity.all ++
+      operators.TextPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

