@@ -14,7 +14,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     operators.Relational.all ++ functions.ScalarQueries.all ++
       operators.Windows.all ++ operators.Similarity.all ++
-      operators.TextPipeline.all
+      operators.TextPipeline.all ++ streaming.Ingest.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -199,11 +199,11 @@ object VectorFunctions {
     * function registry; `registerFunctions.cpp`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("vec_l1_distance", es => VecL1Distance(es(0), es(1)), "builtin")
-    r.createOrReplaceTempFunction("vec_l2_distance", es => VecL2Distance(es(0), es(1)), "builtin")
+    r.createOrReplaceTempFunction("vec_l1_distance", es => VecL1Distance(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("vec_l2_distance", es => VecL2Distance(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("vec_negative_inner_product",
-      es => VecNegativeInnerProduct(es(0), es(1)), "builtin")
-    r.createOrReplaceTempFunction("vec_cosine_distance", es => VecCosineDistance(es(0), es(1)), "builtin")
-    r.createOrReplaceTempFunction("vec_l2_norm", es => VecL2Norm(es.head), "builtin")
+      es => VecNegativeInnerProduct(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("vec_cosine_distance", es => VecCosineDistance(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("vec_l2_norm", es => VecL2Norm(es.head), "built-in")
   }
 }

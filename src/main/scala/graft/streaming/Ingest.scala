@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Continuous ingest + MVCC snapshot reads — the Spark mapping of the
+  * reference's only write path: Raft learner logs applied to the Delta
+  * layer, queried through snapshot-consistent MVCC reads
+  * (`/root/reference/dbms/src/Storages/KVStore/`, version filter
+  * `Storages/DeltaMerge/DMVersionFilterBlockInputStream.h:32-41,66-67`:
+  * rows carry hidden version + delmark; reads keep the newest
+  * version <= read_ts and drop delete-marked rows).
+  *
+  * Mapping (SURVEY §2.6): TiFlash has no user-facing stream operators —
+  * the streaming-shaped capability is continuous ingest + consistent
+  * snapshot, realized as Structured Streaming `readStream` →
+  * `foreachBatch` append of (pk, version, delmark) rows, with the
+  * snapshot view as a window query and a compaction job ≙ delta-merge
+  * (`DeltaMergeStore_InternalBg.cpp`).
+  */
+object Ingest {
+
+  /** events → versioned changelog: pk = user_id, version = event_id
+    * (monotonic), delmark = 'error' events (demo convention). */
+  def versioned(df: DataFrame): DataFrame =
+    df.select(
+      col("user_id"), col("event_id").as("version"),
+      (col("event_type") === "error").as("delmark"),
+      col("event_type"), col("value"), col("ts"))
+
+  /** MVCC snapshot at `readTs`: newest surviving version per pk.
+    * ≙ DMVersionFilter MVCC mode (COMPACT). The window partitions on
+    * the pk — high-cardinality, so this scales as a hash shuffle. */
+  def snapshot(versionedDf: DataFrame, readTs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version").desc)
+    versionedDf
+      .filter(col("version") <= readTs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("delmark"))
+      .drop("rn")
+  }
+
+  /** Compaction ≙ background delta-merge: fold the changelog into a
+    * stable table holding only live rows at the max version. */
+  def compact(versionedDf: DataFrame): DataFrame = {
+    val maxV = versionedDf.agg(max(col("version"))).first().getLong(0)
+    snapshot(versionedDf, maxV)
+  }
+
+  /** Structured Streaming replay: events parquet → foreachBatch append
+    * into a versioned parquet table ≙ Raft apply into the Delta layer.
+    * Synchronous for tests (AvailableNow + awaitTermination). */
+  def streamIngest(spark: SparkSession, inputDir: String, outPath: String): Unit = {
+    val batchSchema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(inputDir)
+      // same ns→µs conversion as Tables.load
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = versioned(stream).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outPath-ckpt")
+      .start()
+    q.awaitTermination()
+  }
+
+  // ------------------------------------------------------------ queries
+  /** MVCC snapshot as a verifiable query (read_ts fixed). */
+  val q70MvccSnapshot: QueryDef = QueryDef(
+    "q70_mvcc_snapshot",
+    """WITH v AS (
+      |  SELECT user_id, event_id AS version, (event_type = 'error') AS delmark,
+      |         event_type, value
+      |  FROM events WHERE event_id <= 8000),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY version DESC) AS rn
+      |      FROM v)
+      |SELECT user_id, version, event_type, value
+      |FROM r WHERE rn = 1 AND NOT delmark""".stripMargin) { (s, d) =>
+    snapshot(versioned(Tables.events(s, d)), 8000L)
+      .select(col("user_id"), col("version"), col("event_type"), col("value"))
+  }
+
+  /** Fast-scan mode ≙ raw read skipping MVCC resolution
+    * (`Storages/DeltaMerge/ReadMode.h:20-32`): all versions, with a
+    * tombstone count per pk. */
+  val q71FastScan: QueryDef = QueryDef(
+    "q71_fast_scan",
+    """SELECT user_id, COUNT(*) AS n_versions,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_tombstones,
+      |  MAX(event_id) AS max_version
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        count(when(col("event_type") === "error", 1)).as("n_tombstones"),
+        max(col("event_id")).as("max_version"))
+  }
+
+  /** Event-time tumbling-window aggregation — the batch equivalent of
+    * the streaming windowed agg (same `window()` operator Structured
+    * Streaming uses with a watermark). */
+  val q72EventWindowAgg: QueryDef = QueryDef(
+    "q72_event_window_agg",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+          .cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+  }
+
+  /** Sessionization over the changelog: gap > 30 min starts a new
+    * session per user (window lag + running sum — the batch analog of
+    * stateful mapGroupsWithState sessionization). */
+  val q73Sessionize: QueryDef = QueryDef(
+    "q73_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+      |      lag(CAST(floor(epoch(ts)) AS BIGINT), 1, CAST(floor(epoch(ts)) AS BIGINT))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (SELECT user_id, event_id,
+      |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |      FROM g)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+      |FROM s GROUP BY user_id, sess_id""".stripMargin) { (s, d) =>
+    val ep = unix_timestamp(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(s, d)
+      .withColumn("new_sess",
+        when(ep - lag(ep, 1).over(w) > 1800, 1).otherwise(0))
+    g.withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q70MvccSnapshot, q71FastScan, q72EventWindowAgg, q73Sessionize)
+}
