@@ -6,6 +6,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: JVM/codegen/parquet-footer costs land here, not on the
+    // first timed query.
+    try SparkEntry.queries("q1_agg")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     // Headline queries; noop write forces full materialization (a bare
     // count() would let Catalyst prune the computed columns away).
     val results = SparkEntry.benchNames.map { name =>

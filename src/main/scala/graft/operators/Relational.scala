@@ -359,7 +359,7 @@ object Relational {
         countDistinct(col("l_partkey")).as("nd_part"),
         countDistinct(col("l_suppkey")).as("nd_supp"),
         count(lit(1)).as("n"))
-  }
+  }.copy(headline = true)
 
   /** Approx distinct ≙ `uniqRawRes` sketch
     * (`AggregateFunctionUniq.cpp:191`) — Spark's HLL++ has the same

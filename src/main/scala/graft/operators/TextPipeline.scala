@@ -55,10 +55,18 @@ object TextPipeline {
     val nBands = numHashes / bandSize
     val sh = docs(s, d)
       .select(col("doc_id"), shingles(tokens, 3).as("sh"))
+    // One pass over the shingle array: per shingle compute all H hashes,
+    // fold with elementwise min. (Referencing `sh` once matters:
+    // CollapseProject would otherwise inline the shingle expression into
+    // every per-seed column and recompute tokenization H times.)
     val sig = sh.select(
       col("doc_id"),
-      array((0 until numHashes).map(h =>
-        array_min(transform(col("sh"), x => xxhash64(x, lit(h))))): _*).as("sig"))
+      aggregate(
+        col("sh"),
+        array(Seq.fill(numHashes)(lit(Long.MaxValue)): _*),
+        (acc, x) => zip_with(acc,
+          array((0 until numHashes).map(h => xxhash64(x, lit(h))): _*),
+          (a, b) => least(a, b))).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       explode(array((0 until nBands).map(b =>
@@ -72,7 +80,7 @@ object TextPipeline {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
       .orderBy(col("id1"), col("id2"))
-  }
+  }.copy(headline = true)
 
   /** SimHash fingerprint: 64-bit signature where bit b = sign of the
     * sum over tokens of ±1 votes from xxhash64(token) bit b. Near-dups
@@ -82,14 +90,20 @@ object TextPipeline {
     val bits = 16 // 16-bit demo signature; 64 in production
     val th = docs(s, d).select(col("doc_id"),
       transform(tokens, t => xxhash64(t)).as("th"))
+    // Single fold over the token-hash array accumulating all bit votes
+    // at once (same CollapseProject consideration as minhash above).
+    val votes = aggregate(
+      col("th"),
+      array(Seq.fill(bits)(lit(0)): _*),
+      (acc, h) => zip_with(acc,
+        array((0 until bits).map(b =>
+          when(pmod(shiftright(h, b), lit(2)) === 0, -1).otherwise(1)): _*),
+        (a, v) => a + v))
     val sig = (0 until bits).map { b =>
-      val votes = aggregate(
-        transform(col("th"), h =>
-          when(pmod(shiftright(h, b), lit(2)) === 0, -1).otherwise(1)),
-        lit(0), (acc, v) => acc + v)
-      when(votes > 0, 1L << b).otherwise(0L)
+      when(element_at(col("votes"), b + 1) > 0, 1L << b).otherwise(0L)
     }.reduce(_ + _)
-    th.select(col("doc_id"), sig.as("simhash"))
+    th.withColumn("votes", votes)
+      .select(col("doc_id"), sig.as("simhash"))
       .orderBy(col("doc_id"))
   }
 

@@ -116,7 +116,7 @@ object Windows {
       count(lit(1)).over(wRun).as("running_n"),
       min(col("l_quantity")).over(w3).as("min3"),
       max(col("l_quantity")).over(w3).as("max3"))
-  }
+  }.copy(headline = true)
 
   /** RANGE frame over a time order key, expressed in epoch seconds —
     * reproduces the reference's time-ranged frames
@@ -153,9 +153,11 @@ object Windows {
       |  round(percent_rank() OVER w, 9) AS pr,
       |  round(cume_dist() OVER w, 9) AS cd
       |FROM orders
-      |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     ) { (s, d) =>
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    // partitioned so no single-partition global sort at scale
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, d).select(
       col("o_orderkey"),
       ntile(4).over(w).as("quartile"),

@@ -148,7 +148,7 @@ object Ingest {
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
-  }
+  }.copy(headline = true)
 
   val all: Seq[QueryDef] = Seq(
     q70MvccSnapshot, q71FastScan, q72EventWindowAgg, q73Sessionize)
