@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** All modules contributing verifiable queries. */
   def defs: Seq[QueryDef] =
-    operators.Relational.all ++ functions.ScalarQueries.all ++
+    operators.Relational.all ++ operators.Coverage.all ++
+      functions.ScalarQueries.all ++
       operators.Windows.all ++ operators.Similarity.all ++
       operators.TextPipeline.all ++ streaming.Ingest.all ++
       operators.Multimodal.all

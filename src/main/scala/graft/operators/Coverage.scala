@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.QueryDef
+import graft.sources.Tables
+import Exact._
+
+/** Inventory-completion queries for the remaining SURVEY §2 rows:
+  * keyless StreamAgg, full Sort, MinCount/MaxCount (min_by/max_by),
+  * the registered-but-unexposed statistical aggregates, MySQL decimal
+  * arithmetic, NullEQ, and the IN-as-projected-flag form of the
+  * left-outer-semi join family.
+  */
+object Coverage {
+
+  /** Keyless aggregation ≙ StreamAgg (the reference only allows
+    * StreamAgg with no group keys, `PhysicalPlan.cpp:121-122`). */
+  val q25AggKeyless: QueryDef = QueryDef(
+    "q25_agg_keyless",
+    s"""SELECT COUNT(*) AS n, ${dsumSql("l_quantity")} AS total_qty,
+       |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+       |  COUNT(DISTINCT l_returnflag) AS nd_flag
+       |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      dsum(col("l_quantity")).as("total_qty"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"),
+      countDistinct(col("l_returnflag")).as("nd_flag"))
+  }
+
+  /** Full sort (no limit) ≙ the reference Sort executor in non-topN
+    * mode (`Plans/PhysicalWindowSort.cpp`, external merge sort). The
+    * driver compare is order-insensitive, so surface the order as an
+    * explicit rank column. */
+  val q26SortFull: QueryDef = QueryDef(
+    "q26_sort_full",
+    """SELECT s_suppkey, s_acctbal,
+      |  row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS sort_pos
+      |FROM supplier""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(s, d)
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_acctbal"),
+        row_number().over(w).as("sort_pos"))
+  }
+
+  /** MinCount/MaxCount ≙ min/max fused with the matching row
+    * (`AggregateFunctionMinMaxAny.cpp:160-161`) — Spark min_by/max_by,
+    * DuckDB arg_min/arg_max. o_totalprice is continuous so ties are
+    * absent in this data; a production caller needing total ordering
+    * adds a unique tiebreak to the ordering struct. */
+  val q27MinMaxBy: QueryDef = QueryDef(
+    "q27_minmax_by",
+    """SELECT o_orderstatus,
+      |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+      |  arg_max(o_orderkey, o_totalprice) AS dearest_order,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).groupBy(col("o_orderstatus")).agg(
+      min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+      max_by(col("o_orderkey"), col("o_totalprice")).as("dearest_order"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+  }
+
+  /** Statistical aggregates ≙ the registered-but-unexposed reference
+    * functions (`AggregateFunctionStatistics.cpp`, quantile family):
+    * variance/stddev (rounded — parallel merge order differs from
+    * DuckDB's sequential pass) and exact interpolated percentile. */
+  val q28StatAggs: QueryDef = QueryDef(
+    "q28_stat_aggs",
+    """SELECT l_returnflag,
+      |  round(var_samp(l_quantity), 6) AS vs,
+      |  round(var_pop(l_quantity), 6) AS vp,
+      |  round(stddev_samp(l_quantity), 6) AS sd,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS cor,
+      |  round(covar_samp(l_quantity, l_discount), 9) AS cov
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      round(var_samp(col("l_quantity")), 6).as("vs"),
+      round(var_pop(col("l_quantity")), 6).as("vp"),
+      round(stddev_samp(col("l_quantity")), 6).as("sd"),
+      round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+      round(percentile(col("l_quantity"), lit(0.9)), 6).as("p90"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cor"),
+      round(covar_samp(col("l_quantity"), col("l_discount")), 9).as("cov"))
+  }
+
+  /** Decimal arithmetic ≙ the reference's Decimal32..256 sum/div
+    * surface (`DataTypeDecimal.h`, div scale rules differ per engine —
+    * SURVEY §7.4.1): exact add/sub/mul in decimal, division compared
+    * as double. */
+  val q29DecimalArith: QueryDef = QueryDef(
+    "q29_decimal_arith",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)) AS dadd,
+      |  CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)) AS dsub,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(24,4)) AS dmul,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) /
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS ddiv,
+      |  CAST(l_orderkey AS BIGINT) // 7 AS idiv
+      |FROM lineitem WHERE l_orderkey % 43 = 0""".stripMargin) { (s, d) =>
+    val price = col("l_extendedprice").cast(DecimalType(18, 2))
+    val qty = col("l_quantity").cast(DecimalType(18, 2))
+    Tables.lineitem(s, d).filter(col("l_orderkey") % 43 === 0).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (price + col("l_tax").cast(DecimalType(18, 2))).as("dadd"),
+      (price - col("l_discount").cast(DecimalType(18, 2))).as("dsub"),
+      (price * col("l_tax").cast(DecimalType(18, 2))).cast(DecimalType(24, 4)).as("dmul"),
+      (price.cast("double") / qty.cast("double")).as("ddiv"),
+      expr("l_orderkey div 7").as("idiv"))
+  }
+
+  /** IN-predicate as a projected flag ≙ the reference's null-aware
+    * LeftOuterSemi join wrapped in isTrueWithNull (UNKNOWN→false), as
+    * TiDB emits it (`ASTTablesInSelectQuery.h:94-119`); Catalyst plans
+    * ExistenceJoin. The COALESCE is semantic, not cosmetic: Spark's
+    * ExistenceJoin already folds NULL→false where ANSI keeps UNKNOWN —
+    * the explicit wrap makes both engines compute the wrapped form.
+    * Includes NullEQ (`<=>` ≙ IS NOT DISTINCT FROM). */
+  val q46InExistence: QueryDef = QueryDef(
+    "q46_in_existence",
+    """SELECT c_custkey,
+      |  COALESCE((CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END)
+      |    IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000), false) AS in_flag,
+      |  ((CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END)
+      |    IS NOT DISTINCT FROM c_custkey) AS nulleq_self
+      |FROM customer""".stripMargin) { (s, d) =>
+    Relational.views(s, d)
+    s.sql(
+      """SELECT c_custkey,
+        |  COALESCE((CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END)
+        |    IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000), false) AS in_flag,
+        |  ((CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END)
+        |    <=> c_custkey) AS nulleq_self
+        |FROM customer""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q25AggKeyless, q26SortFull, q27MinMaxBy, q28StatAggs, q29DecimalArith,
+    q46InExistence)
+}
