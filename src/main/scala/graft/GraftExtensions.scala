@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** SparkSessionExtensions entry point — registers the engine's custom
+  * Catalyst expressions as SQL functions at session build time
+  * (≙ the reference's closed function registry,
+  * `/root/reference/dbms/src/Functions/registerFunctions.cpp`).
+  *
+  * Usage:
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   .getOrCreate()
+  * }}}
+  * (or `VectorFunctions.register(spark)` on an existing session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[VecCosineDistance].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("vec_l1_distance"), info("vec_l1_distance"),
+      (es: Seq[Expression]) => VecL1Distance(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("vec_l2_distance"), info("vec_l2_distance"),
+      (es: Seq[Expression]) => VecL2Distance(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("vec_negative_inner_product"),
+      info("vec_negative_inner_product"),
+      (es: Seq[Expression]) => VecNegativeInnerProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("vec_cosine_distance"), info("vec_cosine_distance"),
+      (es: Seq[Expression]) => VecCosineDistance(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("vec_l2_norm"), info("vec_l2_norm"),
+      (es: Seq[Expression]) => VecL2Norm(es.head)))
+  }
+}

@@ -13,7 +13,7 @@ object SparkEntry {
   /** All modules contributing verifiable queries. */
   def defs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Coverage.all ++
-      functions.ScalarQueries.all ++
+      functions.ScalarQueries.all ++ functions.ScalarQueries2.all ++
       operators.Windows.all ++ operators.Similarity.all ++
       operators.TextPipeline.all ++ streaming.Ingest.all ++
       operators.Multimodal.all
