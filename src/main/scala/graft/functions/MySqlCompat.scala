@@ -33,6 +33,16 @@ object MySqlCompat {
       (n / 256L).cast("long") % 256,
       n.cast("long") % 256)
 
+  /** MySQL division: NULL on zero divisor (≙ `tidbDivide`,
+    * `DAGUtils.cpp:238-274`) instead of Inf/NaN or an error. */
+  def tidb_divide(num: Column, den: Column): Column =
+    when(den === 0, lit(null)).otherwise(num / den)
+
+  /** Case-insensitive collation key (≙ the normalize-key approach for
+    * the reference's *_general_ci / *_unicode_ci collations, SURVEY
+    * §7.4.2 — exact ICU weight tables out of scope). */
+  def ci_key(c: Column): Column = lower(c)
+
   /** IS_IPV4: syntactic dotted-quad check with 0-255 range. */
   def is_ipv4(ip: Column): Column =
     ip.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +

@@ -141,7 +141,58 @@ object Coverage {
         |FROM customer""".stripMargin)
   }
 
+  /** Salted two-stage aggregation — the manual skew guard (SURVEY §4
+    * "salting for skew"): stage 1 aggregates on (key, salt), stage 2
+    * merges partials per key. Result must equal the direct aggregation,
+    * which is exactly what the oracle states. */
+  val q49SaltedAgg: QueryDef = QueryDef(
+    "q49_salted_agg",
+    s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS total_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val salted = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity").cast(DecimalType(30, 2))).as("pq"),
+        count(lit(1)).as("pn"))
+    salted.groupBy(col("l_returnflag"))
+      .agg(sum(col("pq")).cast("double").as("total_qty"), sum(col("pn")).as("n"))
+  }
+
+  /** Collation-insensitive grouping via normalized keys ≙ the
+    * reference's *_ci collations on group keys (`Collator.h:33-62`;
+    * normalize-key approach per SURVEY §7.4.2). */
+  val q55CiCollation: QueryDef = QueryDef(
+    "q55_ci_collation",
+    """SELECT lower(p_type) AS type_ci, COUNT(*) AS n,
+      |  MIN(p_partkey) AS first_part,
+      |  (lower(p_brand) = lower(upper(p_brand))) AS ci_eq_demo
+      |FROM part GROUP BY lower(p_type), (lower(p_brand) = lower(upper(p_brand)))""".stripMargin) {
+    (s, d) =>
+      import graft.functions.MySqlCompat.ci_key
+      Tables.part(s, d)
+        .groupBy(ci_key(col("p_type")).as("type_ci"),
+          (ci_key(col("p_brand")) === ci_key(upper(col("p_brand")))).as("ci_eq_demo"))
+        .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("first_part"))
+        .select(col("type_ci"), col("n"), col("first_part"), col("ci_eq_demo"))
+  }
+
+  /** MySQL division semantics: NULL on zero divisor (tidbDivide). */
+  val q56TidbDivide: QueryDef = QueryDef(
+    "q56_tidb_divide",
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN (l_quantity - 25.0) = 0 THEN NULL
+      |       ELSE l_extendedprice / (l_quantity - 25.0) END AS div_null_safe,
+      |  (CASE WHEN (l_quantity - 25.0) = 0 THEN NULL
+      |        ELSE l_extendedprice / (l_quantity - 25.0) END) IS NULL AS was_zero
+      |FROM lineitem WHERE l_orderkey % 53 = 0""".stripMargin) { (s, d) =>
+    import graft.functions.MySqlCompat.tidb_divide
+    val dv = tidb_divide(col("l_extendedprice"), col("l_quantity") - 25.0)
+    Tables.lineitem(s, d).filter(col("l_orderkey") % 53 === 0).select(
+      col("l_orderkey"), col("l_linenumber"),
+      dv.as("div_null_safe"), dv.isNull.as("was_zero"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q25AggKeyless, q26SortFull, q27MinMaxBy, q28StatAggs, q29DecimalArith,
-    q46InExistence)
+    q46InExistence, q49SaltedAgg, q55CiCollation, q56TidbDivide)
 }
