@@ -14,6 +14,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Coverage.all ++
       functions.ScalarQueries.all ++ functions.ScalarQueries2.all ++
+      functions.OrderedConcat.all ++
       operators.Windows.all ++ operators.Similarity.all ++
       operators.TextPipeline.all ++ streaming.Ingest.all ++
       operators.Multimodal.all
