@@ -89,20 +89,23 @@ object Windows {
     "q43_window_rows_frame",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
-      |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
-      |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_qty,
-      |  COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
-      |  MIN(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  MIN(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3,
-      |  MAX(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  MAX(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3
       |FROM lineitem""".stripMargin,
     ) { (s, d) =>
-    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    // l_quantity tiebreak: (orderkey, linenumber) is NOT unique in the
+    // synthetic data (118k dupes at sf0.1); with quantity in the order,
+    // residual ties are value-identical for every windowed output.
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val wRun = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val w3 = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
