@@ -13,6 +13,7 @@ object SparkEntry {
   /** All modules contributing verifiable queries. */
   def defs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Coverage.all ++
+      operators.TpchShapes.all ++
       functions.ScalarQueries.all ++ functions.ScalarQueries2.all ++
       functions.OrderedConcat.all ++
       operators.Windows.all ++ operators.Similarity.all ++
