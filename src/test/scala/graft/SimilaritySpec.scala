@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Self-consistency checks for the rows-only (non-oracled) similarity
+  * operators: the LSH path must agree with the brute-force baseline on
+  * the distances it reports and find a nonzero share of the true
+  * neighbors. */
+class SimilaritySpec extends SparkTestBase {
+
+  test("LSH ANN distances agree with brute force; recall@10 nonzero") {
+    val brute = SparkEntry.queries("q51_knn_bruteforce")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val lsh = SparkEntry.queries("q53_ann_lsh")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(lsh.nonEmpty)
+    // any (qid, vec_id) pair both paths report must carry the same distance
+    val overlap = lsh.filter { case (k, _) => brute.contains(k) }
+    assert(overlap.nonEmpty, "LSH found none of the true top-10 neighbors")
+    overlap.foreach { case (k, d) =>
+      assert(d === brute(k), s"distance mismatch for $k")
+    }
+    val recall = overlap.size.toDouble / brute.size
+    assert(recall > 0.05, f"recall@10 implausibly low: $recall%.3f")
+  }
+
+  test("minhash pairs and simhash signatures hold their structural invariants") {
+    val pairs = SparkEntry.queries("q61_dedup_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b }, "pairs must be ordered id1 < id2")
+    assert(pairs.distinct.length === pairs.length, "pairs must be distinct")
+
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    val sigs = SparkEntry.queries("q62_dedup_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sigs.length.toLong === nDocs, "exactly one signature per document")
+    assert(sigs.forall { case (_, s) => s >= 0 && s < (1L << 16) },
+      "signatures bounded to 16 bits")
+  }
+}
