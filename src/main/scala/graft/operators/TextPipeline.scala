@@ -280,7 +280,46 @@ object TextPipeline {
         size(col("w")).cast("long").as("n_tokens"))
   }
 
+  /** Normalized exact dedup: case-fold + whitespace-collapse before
+    * hashing — catches trivially-reformatted duplicates that byte-exact
+    * dedup misses (standard pretraining pipeline step). */
+  val q68DedupNormalized: QueryDef = QueryDef(
+    "q68_dedup_normalized",
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Edit-distance near-dup on blocked candidate pairs (levenshtein is
+    * identical in both engines); blocked by n_chars bucket so only
+    * similar-length docs pair up — at scale the block key bounds the
+    * O(len^2) DP to plausible candidates. */
+  val q69EditDistance: QueryDef = QueryDef(
+    "q69_edit_distance",
+    """WITH t AS (SELECT doc_id, text, n_chars // 100 AS blk FROM documents
+      |           WHERE n_chars < 200)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  levenshtein(a.text, b.text) AS dist,
+      |  CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+      |    greatest(length(a.text), length(b.text)) AS rel_dist
+      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id""".stripMargin) {
+    (s, d) =>
+      val t = docs(s, d).filter(col("n_chars") < 200)
+        .select(col("doc_id"), col("text"), (col("n_chars") / 100).cast("long").as("blk"))
+      val a = t.select(col("blk"), col("doc_id").as("id1"), col("text").as("t1"))
+      val b = t.select(col("blk"), col("doc_id").as("id2"), col("text").as("t2"))
+      a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("t1"), col("t2")).as("dist"),
+          (levenshtein(col("t1"), col("t2")).cast("double") /
+            greatest(length(col("t1")), length(col("t2")))).as("rel_dist"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
-    q64LangId, q65Quality, q66TokenCount, q67Fingerprint)
+    q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
+    q68DedupNormalized, q69EditDistance)
 }

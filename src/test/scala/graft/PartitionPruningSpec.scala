@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.sources.Tables
+
+/** Partitioned-table scans ≙ the reference's PartitionTableScan with
+  * static pruning (`PhysicalPlan.cpp:200-203`, surviving-partition-id
+  * list) and dynamic partition pruning ≙ its runtime filters into the
+  * probe-side scan (`DataStreams/RuntimeFilter.h:25-91`). */
+class PartitionPruningSpec extends SparkTestBase {
+
+  private lazy val partedPath: String = {
+    val p = Files.createTempDirectory("graft-parted").toString + "/lineitem"
+    Tables.lineitem(spark, sf).write
+      .partitionBy("l_returnflag").mode("overwrite").parquet(p)
+    p
+  }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val executed = df.queryExecution.executedPlan
+    val p: SparkPlan = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    p.toString
+  }
+
+  test("static partition pruning: filter on partition column prunes the scan") {
+    val df = spark.read.parquet(partedPath)
+      .filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("n"))
+    val plan = finalPlan(df)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("l_returnflag"), plan)
+    // pruned scan must match the unpartitioned filtered count
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R").count()
+    val got = spark.read.parquet(partedPath)
+      .filter(col("l_returnflag") === "R").count()
+    assert(got === expected)
+  }
+
+  test("dynamic partition pruning: dim filter reaches the fact scan at runtime") {
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    import spark.implicits._
+    val flags = Seq(("R", "returned")).toDF("flag", "label")
+    val fact = spark.read.parquet(partedPath)
+    val joined = fact.join(flags, fact("l_returnflag") === flags("flag"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val n = joined.collect().map(_.getLong(1)).sum
+    assert(n > 0)
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning") ||
+      plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"expected dynamic pruning in plan:\n$plan")
+  }
+}
