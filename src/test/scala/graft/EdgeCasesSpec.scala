@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.{SparkArithmeticException, SparkThrowable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Executable documentation of the SURVEY §7.4 known-hard edges under
+  * Spark 4's ANSI-on default: Decimal(38) caps, zero dates, unsigned
+  * BIGINT. Strict mode raises; the `try_*` family provides the
+  * MySQL-lax behavior the reference implements (its casts emit
+  * truncation warnings instead of errors,
+  * `/root/reference/dbms/src/Functions/FunctionsTiDBConversion.h`).
+  */
+class EdgeCasesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val big36 = "9" * 36 + ".99"
+
+  test("decimal sum overflow: ANSI raises, try_sum degrades to null") {
+    val df = Seq.fill(200)(big36).toDF("s")
+      .select(col("s").cast(DecimalType(38, 2)).as("d"))
+    val e = intercept[Exception](df.agg(sum(col("d"))).first())
+    assert(e.getMessage.contains("ARITHMETIC_OVERFLOW"))
+    assert(df.agg(try_sum(col("d"))).first().isNullAt(0))
+  }
+
+  test("values beyond Decimal(38): ANSI raises, try_cast yields null") {
+    val df = Seq("1" + "0" * 38).toDF("s")
+    val e = intercept[Exception](
+      df.select(col("s").cast(DecimalType(38, 0))).first())
+    assert(e.getMessage.contains("more than 38 digits") ||
+      e.getMessage.contains("NUMERIC_OUT_OF_SUPPORTED_RANGE"))
+    assert(df.select(expr("try_cast(s AS DECIMAL(38,0))")).first().isNullAt(0))
+  }
+
+  test("MySQL zero date: ANSI raises, try_to_timestamp yields null") {
+    val df = Seq("0000-00-00", "1995-01-15").toDF("s")
+    val e = intercept[Exception](
+      df.select(to_timestamp(col("s"), "yyyy-MM-dd")).collect())
+    assert(e.getMessage.contains("CANNOT_PARSE_TIMESTAMP"))
+    val r = df.select(try_to_timestamp(col("s"), lit("yyyy-MM-dd"))).collect()
+    assert(r(0).isNullAt(0) && !r(1).isNullAt(0))
+  }
+
+  test("unsigned BIGINT max representable via Decimal(20,0); long cast raises") {
+    val uMax = "18446744073709551615" // 2^64 - 1
+    val df = Seq(uMax).toDF("s")
+    assert(df.select(col("s").cast(DecimalType(20, 0))).first()
+      .getDecimal(0).toString === uMax)
+    val e = intercept[Exception](df.select(col("s").cast("long")).first())
+    assert(e.getMessage.contains("CAST_INVALID_INPUT") ||
+      e.getMessage.contains("overflow") || e.getMessage.contains("INVALID"))
+    assert(df.select(expr("try_cast(s AS BIGINT)")).first().isNullAt(0))
+  }
+}

@@ -32,4 +32,32 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(snapStream === snapBatch && snapStream.nonEmpty)
   }
+
+  test("watermarked streaming window agg matches the batch window agg") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Files.createTempDirectory("graft-stream-agg").resolve("in")
+    Files.createDirectories(in)
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("events.parquet"))
+    val schema = spark.read.parquet(in.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("win_agg")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
 }
