@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Contract tests for the surfaces whose exact values are
+  * implementation-defined: the JSON codec roundtrip (≙ the reference's
+  * binary JSON, `FunctionsJson.cpp`) and the approximate aggregates'
+  * error bounds (≙ `uniqRawRes` / quantile sketches, which promise a
+  * contract, not bit-equality). */
+class ContractsSpec extends SparkTestBase {
+
+  test("JSON roundtrip: to_json/from_json preserve structured rows") {
+    val o = Tables.orders(spark, sf).limit(500)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    val roundtrip = o
+      .withColumn("j", to_json(struct(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))))
+      .withColumn("back", from_json(col("j"), schema))
+      .filter(col("back.o_orderkey") =!= col("o_orderkey") ||
+        col("back.o_orderstatus") =!= col("o_orderstatus") ||
+        col("back.o_totalprice") =!= col("o_totalprice"))
+    assert(roundtrip.count() === 0)
+  }
+
+  test("json_tuple and array functions on constructed documents") {
+    val r = spark.sql(
+      """SELECT get_json_object(j, '$.a') AS a,
+        |       json_array_length(get_json_object(j, '$.xs')) AS n,
+        |       json_object_keys(j) AS ks
+        |FROM (SELECT '{"a": "v", "xs": [1,2,3]}' AS j)""".stripMargin).first()
+    assert(r.getString(0) === "v")
+    assert(r.getInt(1) === 3)
+    assert(r.getSeq[String](2).toSet === Set("a", "xs"))
+  }
+
+  test("approx_count_distinct within documented rsd of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).first()
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact beyond tolerance")
+  }
+
+  test("percentile_approx brackets the exact percentile") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"))
+      .first()
+    val exact = r.getDouble(0)
+    val approx = r.getDouble(1)
+    assert(math.abs(approx - exact) / exact < 0.01,
+      s"approx p50 $approx vs exact $exact")
+  }
+}
