@@ -15,7 +15,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.Coverage.all ++
       operators.TpchShapes.all ++
       functions.ScalarQueries.all ++ functions.ScalarQueries2.all ++
-      functions.OrderedConcat.all ++
+      functions.ScalarQueries3.all ++ functions.OrderedConcat.all ++
       operators.Windows.all ++ operators.Similarity.all ++
       operators.TextPipeline.all ++ streaming.Ingest.all ++
       operators.Multimodal.all
