@@ -173,6 +173,72 @@ object Similarity {
         .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }
 
+  private def duckL2Dist(a: String, b: String): String =
+    s"""sqrt(list_reduce(list_transform(list_zip($a, $b),
+       |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |  (u,v) -> u+v))""".stripMargin
+
+  /** IVF-style ANN: a coarse quantizer (here: the first K vectors as
+    * deterministic "centroids") partitions the corpus into inverted
+    * lists; a query probes only its nProbe nearest lists. At 100 TB the
+    * assignment is one broadcast-join pass, the index is a cid-
+    * partitioned table, and query cost is |probed lists| not |corpus|.
+    * Deterministic math end to end, so unlike LSH this variant is
+    * fully oracled. */
+  val q58AnnIvf: QueryDef = QueryDef(
+    "q58_ann_ivf",
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2Dist("e.embedding", "c.cv")}, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |a2 AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |probe AS (
+       |  SELECT q.qid, q.qv, c.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${duckL2Dist("q.qv", "c.cv")}, c.cid) AS rn
+       |  FROM q CROSS JOIN cent c),
+       |p2 AS (SELECT qid, qv, cid FROM probe WHERE rn <= 4),
+       |cand AS (SELECT p2.qid, a2.vec_id, p2.qv, a2.embedding
+       |         FROM p2 JOIN a2 USING (cid) WHERE a2.vec_id <> p2.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id,
+       |    ${duckCosineDist("qv", "embedding")} AS dist,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY ${duckCosineDist("qv", "embedding")}, vec_id) AS rnk
+       |  FROM cand)
+       |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
+       |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cdist", vec_l2_distance(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cid"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", vec_l2_distance(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 4)
+      .select(col("qid"), col("qv"), col("cid"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    probed.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist", vec_cosine_distance(col("qv"), col("embedding")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q50VecNorms, q51KnnBrute, q52VecMetrics, q53AnnLsh, q54EmbedNearDup)
+    q50VecNorms, q51KnnBrute, q52VecMetrics, q53AnnLsh, q54EmbedNearDup,
+    q58AnnIvf)
 }
