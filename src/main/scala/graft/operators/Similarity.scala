@@ -134,8 +134,9 @@ object Similarity {
     def withBuckets(df: DataFrame, vecCol: String): DataFrame = {
       val bands = array((0 until nBands).map(bd =>
         struct(lit(bd).as("band"), bandBucket(col(vecCol), bd, bits).as("bucket"))): _*)
-      df.withColumn("bb", explode(bands))
-        .select(df.columns.map(col) :+ col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
+      val cols = df.columns.toIndexedSeq.map(col) :+
+        col("bb.band").as("band") :+ col("bb.bucket").as("bucket")
+      df.withColumn("bb", explode(bands)).select(cols: _*)
     }
     val base = withBuckets(e, "embedding")
     val qs = withBuckets(
