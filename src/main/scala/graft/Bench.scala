@@ -13,17 +13,24 @@ object Bench {
     catch { case _: Throwable => }
     // Headline queries; noop write forces full materialization (a bare
     // count() would let Catalyst prune the computed columns away).
-    val results = SparkEntry.benchNames.map { name =>
+    val timed = SparkEntry.benchNames.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    // Failed queries report null (not their near-zero failure-path
+    // elapsed) and are listed in "failed"; rc is nonzero on any failure.
+    val qs = timed.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v.toString else "null")
+    }.mkString("{", ",", "}")
+    val failed = timed.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = timed.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    if (timed.exists(!_._3)) sys.exit(1)
   }
 }

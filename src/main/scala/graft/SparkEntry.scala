@@ -15,9 +15,11 @@ object SparkEntry {
     operators.Relational.all ++ operators.Coverage.all ++
       operators.TpchShapes.all ++
       functions.ScalarQueries.all ++ functions.ScalarQueries2.all ++
-      functions.ScalarQueries3.all ++ functions.OrderedConcat.all ++
+      functions.ScalarQueries3.all ++ functions.ScalarQueries4.all ++
+      functions.OrderedConcat.all ++
       operators.Windows.all ++ operators.Similarity.all ++
-      operators.TextPipeline.all ++ streaming.Ingest.all ++
+      operators.TextPipeline.all ++ operators.InvertedText.all ++
+      streaming.Ingest.all ++
       operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

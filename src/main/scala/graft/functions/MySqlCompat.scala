@@ -43,6 +43,50 @@ object MySqlCompat {
     * §7.4.2 — exact ICU weight tables out of scope). */
   def ci_key(c: Column): Column = lower(c)
 
+  /** MySQL `%`-token datetime format → JVM/Spark datetime pattern
+    * (≙ the reference's dateFormat/strToDate token parser,
+    * `/root/reference/dbms/src/Functions/FunctionsDateTime.h` via
+    * `DAGUtils.cpp:499,606`). Literal runs are single-quoted so pattern
+    * letters in the input text can't leak into the JVM pattern; unknown
+    * `%x` tokens fall back to the literal char, as MySQL does. */
+  def mysqlPatternToJvm(fmt: String): String = {
+    val tok = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M",
+      'd' -> "dd", 'e' -> "d", 'j' -> "DDD",
+      'b' -> "MMM", 'M' -> "MMMM", 'a' -> "EEE", 'W' -> "EEEE",
+      'H' -> "HH", 'k' -> "H", 'h' -> "hh", 'I' -> "hh", 'l' -> "h",
+      'i' -> "mm", 's' -> "ss", 'S' -> "ss", 'f' -> "SSSSSS",
+      'p' -> "a", 'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a")
+    val out = new StringBuilder
+    val litBuf = new StringBuilder
+    def flushLit(): Unit = if (litBuf.nonEmpty) {
+      out.append('\'').append(litBuf.toString.replace("'", "''")).append('\'')
+      litBuf.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        val t = fmt.charAt(i + 1)
+        tok.get(t) match {
+          case Some(p) => flushLit(); out.append(p)
+          case None => litBuf.append(t) // includes '%%' -> '%'
+        }
+        i += 2
+      } else { litBuf.append(ch); i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
+
+  /** DATE_FORMAT with MySQL tokens. */
+  def date_format_mysql(c: Column, fmt: String): Column =
+    date_format(c, mysqlPatternToJvm(fmt))
+
+  /** STR_TO_DATE with MySQL tokens (date result). */
+  def str_to_date_mysql(c: Column, fmt: String): Column =
+    to_date(c, mysqlPatternToJvm(fmt))
+
   /** IS_IPV4: syntactic dotted-quad check with 0-255 range. */
   def is_ipv4(ip: Column): Column =
     ip.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +

@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+import MySqlCompat.{date_format_mysql, str_to_date_mysql}
+
+/** Round-2 scalar-function tail: the JSON construction/inspection
+  * surface, MySQL `%`-token date formatting, crc32, typed day-time
+  * interval arithmetic, and real (non-lower()) case-insensitive
+  * collations.
+  *
+  * Reference surfaces covered:
+  *  - JSON: json_extract/unquote/object/array/contains_path/keys/length
+  *    (`/root/reference/dbms/src/Flash/Coprocessor/DAGUtils.cpp:471-498`,
+  *    `dbms/src/Functions/FunctionsJson.cpp`)
+  *  - dateFormat/strToDate `%`-tokens (`DAGUtils.cpp:499,606`,
+  *    `dbms/src/Functions/FunctionsDateTime.h`)
+  *  - crc32 (`DAGUtils.cpp:309`)
+  *  - Duration type (`dbms/src/DataTypes/DataTypeMyDuration.h`)
+  *  - utf8mb4_* case-insensitive collations on compares, group keys and
+  *    joins (`dbms/src/TiDB/Collation/Collator.h:33-62`)
+  */
+object ScalarQueries4 {
+
+  /** JSON tail: construction via to_json, keys, array length, path
+    * extraction + unquote, contains-path-style checks, from_json parse,
+    * and validity. The oracle builds byte-identical JSON text by
+    * concatenation and checks with DuckDB's json_* functions. */
+  val q34bJsonTail: QueryDef = QueryDef(
+    "q34b_json_tail",
+    """WITH t AS (
+      |  SELECT c_custkey,
+      |    '{"id":' || c_custkey || ',"name":"' || c_name || '","nested":{"flag":' ||
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END ||
+      |    ',"n":' || c_nationkey || '},"tags":[' || c_nationkey || ',' ||
+      |    c_nationkey + 1 || ',' || c_nationkey + 2 || ']}' AS js
+      |  FROM customer WHERE c_custkey % 11 = 0)
+      |SELECT c_custkey, js,
+      |  json_keys(js) AS keys,
+      |  CAST(json_array_length(js, '$.tags') AS INTEGER) AS tags_len,
+      |  json_extract_string(js, '$.name') AS name_ex,
+      |  CAST(json_extract(js, '$.nested.n') AS INTEGER) AS nested_n,
+      |  json_extract(js, '$.nested.flag') IS NOT NULL AS has_flag,
+      |  json_extract(js, '$.missing') IS NULL AS missing_absent,
+      |  CAST(json_extract(js, '$.nested.flag') AS BOOLEAN) AS flag_parsed,
+      |  NOT json_valid('{not json') AS invalid_null
+      |FROM t""".stripMargin) { (s, d) =>
+    val js = to_json(struct(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      struct((col("c_custkey") % 2 === 0).as("flag"),
+        col("c_nationkey").as("n")).as("nested"),
+      array(col("c_nationkey"), col("c_nationkey") + 1,
+        col("c_nationkey") + 2).as("tags")))
+    val schema = "id BIGINT, name STRING, nested STRUCT<flag: BOOLEAN, n: BIGINT>, tags ARRAY<BIGINT>"
+    Tables.customer(s, d).filter(col("c_custkey") % 11 === 0)
+      .withColumn("js", js)
+      .select(
+        col("c_custkey"), col("js"),
+        json_object_keys(col("js")).as("keys"),
+        json_array_length(get_json_object(col("js"), "$.tags")).cast("int").as("tags_len"),
+        get_json_object(col("js"), "$.name").as("name_ex"),
+        get_json_object(col("js"), "$.nested.n").cast("int").as("nested_n"),
+        get_json_object(col("js"), "$.nested.flag").isNotNull.as("has_flag"),
+        get_json_object(col("js"), "$.missing").isNull.as("missing_absent"),
+        from_json(col("js"), org.apache.spark.sql.types.StructType.fromDDL(schema))
+          .getField("nested").getField("flag").as("flag_parsed"),
+        get_json_object(lit("{not json"), "$.a").isNull.as("invalid_null"))
+  }
+
+  /** MySQL `%`-token date formatting + parse round-trip; DuckDB's
+    * strftime/strptime C-style tokens are the oracle's spelling of the
+    * same formats (note the token sets differ: MySQL %i=minute/%M=month
+    * name vs C %M=minute — the translator exists precisely because
+    * these families are not interchangeable). */
+  val q32bMysqlDatefmt: QueryDef = QueryDef(
+    "q32b_mysql_datefmt",
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS iso,
+      |  strftime(o_orderdate, '%d/%m/%y') AS euro,
+      |  strftime(o_orderdate, '%B %-d, %Y') AS longform,
+      |  strftime(o_orderdate, '%A (%a) day %j') AS dayinfo,
+      |  strftime(CAST(o_orderdate AS TIMESTAMP) + to_seconds(o_custkey % 86400),
+      |    '%H:%M:%S') AS clock,
+      |  strftime(CAST(o_orderdate AS TIMESTAMP) + to_seconds(o_custkey % 86400),
+      |    '%I:%M %p') AS clock12,
+      |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS roundtrip,
+      |  strftime(o_orderdate, '%Y%%%m') AS pct
+      |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin) { (s, d) =>
+    val ts = col("o_orderdate").cast("timestamp") +
+      make_dt_interval(lit(0), lit(0), lit(0), (col("o_custkey") % 86400).cast("decimal(18,6)"))
+    Tables.orders(s, d).filter(col("o_orderkey") % 31 === 0)
+      .select(
+        col("o_orderkey"),
+        date_format_mysql(col("o_orderdate"), "%Y-%m-%d").as("iso"),
+        date_format_mysql(col("o_orderdate"), "%d/%m/%y").as("euro"),
+        date_format_mysql(col("o_orderdate"), "%M %e, %Y").as("longform"),
+        date_format_mysql(col("o_orderdate"), "%W (%a) day %j").as("dayinfo"),
+        date_format_mysql(ts, "%H:%i:%s").as("clock"),
+        date_format_mysql(ts, "%h:%i %p").as("clock12"),
+        str_to_date_mysql(date_format_mysql(col("o_orderdate"), "%Y-%m-%d"), "%Y-%m-%d")
+          .as("roundtrip"),
+        date_format_mysql(col("o_orderdate"), "%Y%%%m").as("pct"))
+  }
+
+  /** crc32 ≙ `DAGUtils.cpp:309`. DuckDB has no crc32, so the oracle is
+    * a precomputed expected-value table: CRC-32 is a fixed public
+    * checksum (IEEE 802.3 polynomial), constants computed independently
+    * with zlib over the 25 nation names. */
+  val q39bCrc32: QueryDef = QueryDef(
+    "q39b_crc32",
+    """SELECT n_nationkey, n_name, CAST(crcv AS BIGINT) AS crc
+      |FROM nation JOIN (VALUES
+      |  ('NATION_0', 3678181428), ('NATION_1', 2889590946), ('NATION_2', 892533016),
+      |  ('NATION_3', 1110821262), ('NATION_4', 3696319533), ('NATION_5', 2874567867),
+      |  ('NATION_6', 845102337), ('NATION_7', 1163398551), ('NATION_8', 3588689926),
+      |  ('NATION_9', 2732597392), ('NATION_10', 3434030669), ('NATION_11', 3148355291),
+      |  ('NATION_12', 580994913), ('NATION_13', 1436973047), ('NATION_14', 3418546772),
+      |  ('NATION_15', 3167081154), ('NATION_16', 634159992), ('NATION_17', 1389081582),
+      |  ('NATION_18', 3262426751), ('NATION_19', 3044253417), ('NATION_20', 3884086670),
+      |  ('NATION_21', 2424653080), ('NATION_22', 160175266), ('NATION_23', 2123047988),
+      |  ('NATION_24', 3773804951)) AS c(nm, crcv) ON n_name = c.nm""".stripMargin) {
+    (s, d) =>
+      Tables.nation(s, d).select(
+        col("n_nationkey"), col("n_name"),
+        crc32(col("n_name").cast("binary")).as("crc"))
+  }
+
+  /** Typed day-time interval arithmetic ≙ the reference's Duration
+    * type (`DataTypeMyDuration.h`): construct an interval per row, add
+    * it to a timestamp, compare intervals, extract total microseconds.
+    * Projected outputs are primitives so both engines hash-match. */
+  val q48bDuration: QueryDef = QueryDef(
+    "q48b_duration",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  CAST(ts AS TIMESTAMP) + to_hours(event_id % 5) + to_minutes(event_id % 60) AS ts_shift,
+      |  (event_id % 5) * 3600000000 + (event_id % 60) * 60000000 AS iv_us,
+      |  (event_id % 5) * 3600 + (event_id % 60) * 60 > 3600 AS gt_1h
+      |FROM events WHERE event_id % 101 = 0""".stripMargin) { (s, d) =>
+    val iv = make_dt_interval(lit(0), col("event_id") % 5, col("event_id") % 60, lit(0))
+    Tables.events(s, d).filter(col("event_id") % 101 === 0)
+      .select(
+        col("event_id"), col("ts"),
+        (col("ts") + iv).as("ts_shift"),
+        (unix_micros(col("ts") + iv) - unix_micros(col("ts"))).as("iv_us"),
+        (iv > make_dt_interval(lit(0), lit(1), lit(0), lit(0))).as("gt_1h"))
+  }
+
+  /** Case-insensitive collation on a JOIN condition and GROUP BY key
+    * using Spark 4's native collated strings (UTF8_LCASE) — beyond the
+    * lower()-normalize approach: UTF8_LCASE applies full Unicode case
+    * folding at compare time (≙ utf8mb4_general_ci; exact MySQL weight
+    * tables like utf8mb4_0900_ai_ci additionally fold accents — the
+    * documented divergence). Deterministic output: the projected key is
+    * the joined lowercase dim value, never the arbitrary-case group
+    * representative. */
+  val q59CollatedCi: QueryDef = QueryDef(
+    "q59_collated_ci",
+    """WITH t AS (SELECT p_partkey,
+      |    CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE lower(p_type) END AS ptype
+      |  FROM part),
+      |dim AS (SELECT DISTINCT lower(p_type) AS tname FROM part)
+      |SELECT d.tname AS type_ci, COUNT(*) AS n, MIN(t.p_partkey) AS first_part
+      |FROM t JOIN dim d ON lower(t.ptype) = d.tname
+      |GROUP BY d.tname""".stripMargin) { (s, d) =>
+    val part = Tables.part(s, d)
+    val t = part.select(col("p_partkey"),
+      when(col("p_partkey") % 2 === 0, upper(col("p_type")))
+        .otherwise(lower(col("p_type"))).as("ptype"))
+    val dim = part.select(lower(col("p_type")).as("tname")).distinct()
+    t.join(dim,
+        collate(col("ptype"), "UTF8_LCASE") === collate(col("tname"), "UTF8_LCASE"))
+      .groupBy(col("tname"))
+      .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("first_part"))
+      .select(col("tname").as("type_ci"), col("n"), col("first_part"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q34bJsonTail, q32bMysqlDatefmt, q39bCrc32, q48bDuration, q59CollatedCi)
+}

@@ -38,7 +38,13 @@ abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInput
   /** Expression producing the final double from the accumulators. */
   protected def finishGen(acc: Seq[String]): String
 
-  protected def computeScala(a: ArrayData, b: ArrayData): Double
+  /** Statement assigning the result (overridable for null-producing
+    * finishes, e.g. cosine's zero-norm case). */
+  protected def resultGen(ev: ExprCode, acc: Seq[String]): String =
+    s"${ev.value} = ${finishGen(acc)};"
+
+  /** May return null (boxed) for undefined results. */
+  protected def computeScala(a: ArrayData, b: ArrayData): Any
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -65,7 +71,7 @@ abstract class VectorBinaryExpression extends BinaryExpression with ExpectsInput
          |    double $y = (double) $b.getFloat($i);
          |    ${loopBodyGen(x, y, acc)}
          |  }
-         |  ${ev.value} = ${finishGen(acc)};
+         |  ${resultGen(ev, acc)}
          |}
        """.stripMargin
     })
@@ -126,7 +132,10 @@ case class VecNegativeInnerProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** 1 - dot/(|a||b|) — vecCosineDistance. */
+/** 1 - dot/(|a||b|) — vecCosineDistance. Zero-norm input (0/0) yields
+  * NULL, not NaN — the reference explicitly converts NaN to NULL
+  * (`dbms/src/Functions/FunctionsVector.h:377-380`); NaN would poison
+  * top-k ordering and comparison filters. */
 case class VecCosineDistance(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "vec_cosine_distance"
@@ -139,13 +148,18 @@ case class VecCosineDistance(left: Expression, right: Expression)
     val Seq(dot, na, nb) = acc
     s"1.0 - $dot / (Math.sqrt($na) * Math.sqrt($nb))"
   }
-  protected def computeScala(a: ArrayData, b: ArrayData): Double = {
+  override protected def resultGen(ev: ExprCode, acc: Seq[String]): String =
+    s"""double ${acc.head}_r = ${finishGen(acc)};
+       |if (Double.isNaN(${acc.head}_r)) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ${acc.head}_r; }""".stripMargin
+  protected def computeScala(a: ArrayData, b: ArrayData): Any = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = a.numElements()
     while (i < n) {
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    val r = 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    if (r.isNaN) null else r
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)

@@ -33,18 +33,17 @@ object Coverage {
   /** Full sort (no limit) ≙ the reference Sort executor in non-topN
     * mode (`Plans/PhysicalWindowSort.cpp`, external merge sort). The
     * driver compare is order-insensitive, so surface the order as an
-    * explicit rank column. */
+    * explicit rank column — computed scale-safely via range partition +
+    * local rank + offset (`ScalableSort`), never a single-partition
+    * global window. */
   val q26SortFull: QueryDef = QueryDef(
     "q26_sort_full",
     """SELECT s_suppkey, s_acctbal,
       |  row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS sort_pos
       |FROM supplier""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
-    Tables.supplier(s, d)
-      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_acctbal"),
-        row_number().over(w).as("sort_pos"))
+    ScalableSort.globalRowNumber(
+      Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal")),
+      "sort_pos", 32, col("s_acctbal").desc, col("s_suppkey"))
   }
 
   /** MinCount/MaxCount ≙ min/max fused with the matching row
@@ -101,8 +100,10 @@ object Coverage {
       |  CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)) AS dadd,
       |  CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)) AS dsub,
       |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(24,4)) AS dmul,
-      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) /
-      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS ddiv,
+      |  CAST((2 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000
+      |        + CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    // (2 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS DOUBLE) / 1000000.0 AS ddiv,
       |  CAST(l_orderkey AS BIGINT) // 7 AS idiv
       |FROM lineitem WHERE l_orderkey % 43 = 0""".stripMargin) { (s, d) =>
     val price = col("l_extendedprice").cast(DecimalType(18, 2))
@@ -112,7 +113,13 @@ object Coverage {
       (price + col("l_tax").cast(DecimalType(18, 2))).as("dadd"),
       (price - col("l_discount").cast(DecimalType(18, 2))).as("dsub"),
       (price * col("l_tax").cast(DecimalType(18, 2))).cast(DecimalType(24, 4)).as("dmul"),
-      (price.cast("double") / qty.cast("double")).as("ddiv"),
+      // True decimal division, HALF_UP to scale 6 (Decimal.changePrecision).
+      // Double division + round(6) is NOT portable here: quotients of
+      // cent-exact values by small integers land exactly on .xxxxxx5
+      // midpoints, where Spark and DuckDB round doubles differently. The
+      // oracle reproduces HALF_UP with exact integer-cents arithmetic:
+      // (2*p_cents*1e6 + q_cents) // (2*q_cents).
+      (price / qty).cast(DecimalType(30, 6)).cast("double").as("ddiv"),
       expr("l_orderkey div 7").as("idiv"))
   }
 

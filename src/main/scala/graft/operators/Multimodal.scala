@@ -84,9 +84,13 @@ object Multimodal {
       |  64 + ascii(substr(text, 2, 1)) % 192 AS height,
       |  1 + (ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1))) % 3 AS channels,
       |  round(CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / 255.0, 6) AS f0
-      |FROM documents""".stripMargin) { (s, d) =>
+      |FROM documents WHERE octet_length(encode(text)) = length(text)""".stripMargin) { (s, d) =>
     implicit val sp: SparkSession = s
-    decodeDataset(withPayload(Tables.documents(s, d))).toDF()
+    // ascii-safe rows only, enforced identically in the oracle: the
+    // char-arithmetic oracle equals the byte-arithmetic decode only when
+    // UTF-8 byte length == char length
+    decodeDataset(withPayload(Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text"))))).toDF()
       .select(
         col("doc_id"), col("byte_len"), col("width"), col("height"),
         col("channels"),

@@ -179,16 +179,18 @@ object Similarity {
        |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
        |  (u,v) -> u+v))""".stripMargin
 
-  /** IVF-style ANN: a coarse quantizer (here: the first K vectors as
-    * deterministic "centroids") partitions the corpus into inverted
-    * lists; a query probes only its nProbe nearest lists. At 100 TB the
-    * assignment is one broadcast-join pass, the index is a cid-
-    * partitioned table, and query cost is |probed lists| not |corpus|.
-    * Deterministic math end to end, so unlike LSH this variant is
-    * fully oracled. */
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into
+    * inverted lists; a query probes only its nProbe nearest lists. The
+    * centroids are a deterministic every-Nth systematic sample, so the
+    * list count grows with the corpus (the production shape — there
+    * k-means over a sample; "first K rows" would stop partitioning the
+    * space as data grows). At 100 TB the assignment is one
+    * broadcast-join pass, the index is a cid-partitioned table, and
+    * query cost is |probed lists| not |corpus|. Deterministic math end
+    * to end, so unlike LSH this variant is fully oracled. */
   val q58AnnIvf: QueryDef = QueryDef(
     "q58_ann_ivf",
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0),
        |assign AS (
        |  SELECT e.vec_id, e.embedding, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -213,7 +215,7 @@ object Similarity {
        |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
        |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    val cent = e.filter(col("vec_id") < 16)
+    val cent = e.filter(col("vec_id") % 31 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdist"), col("cid"))

@@ -75,11 +75,6 @@ object TextPipeline {
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(k => col(s"m$k")): _*).as("sig"))
-    // Materialize the (doc, band, bucket) signature index once: it is
-    // consumed by three branches (bucket-size counts + both join sides)
-    // and would otherwise be recomputed per branch. This is the
-    // "signature table" a production dedup pipeline writes out anyway;
-    // its size is rows x nBands — tiny relative to the corpus.
     val banded = sig.select(
       col("doc_id"),
       explode(array((0 until nBands).map(b =>
@@ -87,23 +82,25 @@ object TextPipeline {
           xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)).as("bucket"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      .persist()
-    // Cap bucket sizes before pairing: a bucket with hundreds of members
-    // is a degenerate collision (common-shingle skew), not a near-dup
-    // cluster, and would pair-bomb the join quadratically. Dropping
-    // oversized buckets is the standard scale guard — it bounds join
-    // output at cap^2 x buckets regardless of input skew.
+    // One groupBy on (band, bucket) replaces round 1's count-prefilter
+    // aggregate + filter-join + self-join (three extra shuffles and a
+    // persisted-and-leaked signature cache): collect each bucket's
+    // membership, drop degenerate buckets (> maxBucket members =
+    // common-shingle collision skew, not a near-dup cluster — the cap
+    // bounds pair output at cap² per bucket regardless of input skew),
+    // and emit the id1<id2 pairs straight from the sorted member array.
+    // The pair-expansion HOF runs interpreted, but only over ≤ cap-size
+    // arrays, one per bucket — not over the corpus.
     val maxBucket = 32
-    val small = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val pruned = banded.join(small, Seq("band", "bucket"))
-    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("id1"))
-    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("id2"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), lit(maxBucket)), y =>
+          struct(x.as("id1"), y.as("id2"))))))
+        .as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
   }.copy(headline = true)
 
   /** SimHash fingerprint: 64-bit signature where bit b = sign of the

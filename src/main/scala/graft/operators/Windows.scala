@@ -156,10 +156,11 @@ object Windows {
       |  round(percent_rank() OVER w, 9) AS pr,
       |  round(cume_dist() OVER w, 9) AS cd
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     ) { (s, d) =>
-    // partitioned so no single-partition global sort at scale
-    val w = Window.partitionBy(col("o_orderstatus"))
+    // high-cardinality partition key: a 3-value key (o_orderstatus)
+    // would put billions of rows into three tasks at 100 TB
+    val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, d).select(
       col("o_orderkey"),

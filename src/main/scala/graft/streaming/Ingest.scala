@@ -47,7 +47,9 @@ object Ingest {
   /** Compaction ≙ background delta-merge: fold the changelog into a
     * stable table holding only live rows at the max version. */
   def compact(versionedDf: DataFrame): DataFrame = {
-    val maxV = versionedDf.agg(max(col("version"))).first().getLong(0)
+    val row = versionedDf.agg(max(col("version"))).first()
+    // empty changelog → max(version) is NULL; the snapshot is empty at any ts
+    val maxV = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
     snapshot(versionedDf, maxV)
   }
 
@@ -128,9 +130,9 @@ object Ingest {
     "q73_sessionize",
     """WITH g AS (
       |  SELECT user_id, event_id, ts,
-      |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) -
-      |      lag(CAST(floor(epoch(ts)) AS BIGINT), 1, CAST(floor(epoch(ts)) AS BIGINT))
-      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+      |      lag(epoch_us(CAST(ts AS TIMESTAMP)), 1, epoch_us(CAST(ts AS TIMESTAMP)))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
       |      THEN 1 ELSE 0 END AS new_sess
       |  FROM events),
       |s AS (SELECT user_id, event_id,
@@ -139,11 +141,14 @@ object Ingest {
       |      FROM g)
       |SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
       |FROM s GROUP BY user_id, sess_id""".stripMargin) { (s, d) =>
-    val ep = unix_timestamp(col("ts"))
+    // Integer microseconds end-to-end: DuckDB's epoch() returns a double
+    // whose ~0.5 µs resolution at 1.7e9 s can flip a boundary gap test;
+    // unix_micros here vs epoch_us in the oracle are both exact BIGINTs.
+    val ep = unix_micros(col("ts"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val g = Tables.events(s, d)
       .withColumn("new_sess",
-        when(ep - lag(ep, 1).over(w) > 1800, 1).otherwise(0))
+        when(ep - lag(ep, 1).over(w) > 1800L * 1000000L, 1).otherwise(0))
     g.withColumn("sess_id",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sess_id"))

@@ -36,4 +36,9 @@ class MvccSpec extends SparkTestBase {
       .select($"user_id", $"version").as[(Long, Long)].collect().toSet
     assert(compacted === Set((1L, 5L), (3L, 7L)))
   }
+
+  test("compaction of an empty changelog is empty (no NPE on null max)") {
+    val empty = changelog.filter($"version" < 0)
+    assert(Ingest.compact(empty).count() === 0L)
+  }
 }

@@ -57,4 +57,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"expected broadcast for query set:\n$p")
   }
+
+  test("no window query runs an unpartitioned window over raw (unaggregated) data") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // every Window with an empty partitionSpec must sit above an
+    // Aggregate — i.e. over data bounded by a grouping (e.g. the
+    // per-range-partition offsets in ScalableSort, #partitions rows),
+    // never over a raw table, which would serialize the whole input
+    // into one task at scale
+    for (name <- Seq("q26_sort_full", "q45_window_distribution",
+        "q40_window_rank", "q43_window_rows_frame")) {
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$name: unpartitioned Window over non-aggregated input:\n$lp")
+      }
+    }
+  }
+
+  test("q26 global rank is range-partitioned and matches a naive global sort") {
+    import org.apache.spark.sql.catalyst.expressions.SortOrder
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    val df = SparkEntry.queries("q26_sort_full")(spark, sf)
+    val rangeReparts = df.queryExecution.optimizedPlan.collect {
+      case r: RepartitionByExpression
+          if r.partitionExpressions.exists(_.isInstanceOf[SortOrder]) => r
+    }
+    assert(rangeReparts.nonEmpty, "expected range repartition in scalable sort")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val got = df.select(col("s_suppkey").cast("long"), col("sort_pos").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val naive = sources.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"),
+        row_number().over(W.orderBy(col("s_acctbal").desc, col("s_suppkey"))).cast("long").as("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == naive, "scalable global rank diverges from naive global window")
+  }
 }

@@ -16,6 +16,28 @@ class VectorExpressionsSpec extends SparkTestBase {
     (3L, Array(3f, 4f, 0f), Array(0f, 0f, 0f))
   ).toDF("id", "a", "b")
 
+  test("cosine distance of a zero-norm vector is NULL, not NaN") {
+    // ≙ reference FunctionsVecCosineDistance NaN→NULL conversion
+    // (/root/reference/dbms/src/Functions/FunctionsVector.h:377-380);
+    // NaN would poison top-k ordering and comparison filters
+    import spark.implicits._
+    val df = Seq(
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(0f, 0f, 0f)),
+      (Array(0f, 0f, 0f), Array(0f, 0f, 0f))).toDF("a", "b")
+    val r = df.select(vec_cosine_distance($"a", $"b")).collect()
+    assert(r.forall(_.isNullAt(0)), "zero-norm cosine must be NULL")
+    // interpreted path too (no codegen)
+    import graft.functions.VecCosineDistance
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val conv = CatalystTypeConverters.createToCatalystConverter(ArrayType(FloatType))
+    val zero = Literal.create(conv(Array(0f, 0f)), ArrayType(FloatType))
+    val one = Literal.create(conv(Array(1f, 2f)), ArrayType(FloatType))
+    assert(VecCosineDistance(zero, one).eval() == null)
+  }
+
   test("l1/l2/inner/cosine hand values") {
     val r = df.select($"id",
       vec_l1_distance($"a", $"b").as("l1"),
