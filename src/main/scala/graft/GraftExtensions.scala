@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => VecCosineDistance(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("vec_l2_norm"), info("vec_l2_norm"),
       (es: Seq[Expression]) => VecL2Norm(es.head)))
+    e.injectFunction((FunctionIdentifier("json_depth"), info("json_depth"),
+      (es: Seq[Expression]) => JsonDepth(es.head)))
   }
 }

@@ -87,10 +87,46 @@ object MySqlCompat {
   def str_to_date_mysql(c: Column, fmt: String): Column =
     to_date(c, mysqlPatternToJvm(fmt))
 
+  /** GET_FORMAT literal table (common subset) ≙ getFormat
+    * (`DAGUtils.cpp:500`); returns MySQL-token patterns consumable by
+    * [[date_format_mysql]]/[[str_to_date_mysql]]. */
+  def getFormat(typ: String, loc: String): String =
+    (typ.toUpperCase, loc.toUpperCase) match {
+      case ("DATE", "ISO") => "%Y-%m-%d"
+      case ("DATE", "USA") => "%m.%d.%Y"
+      case ("DATE", "EUR") => "%d.%m.%Y"
+      case ("DATETIME", "ISO") => "%Y-%m-%d %H:%i:%s"
+      case ("TIME", "ISO") => "%H:%i:%s"
+      case _ => "%Y-%m-%d"
+    }
+
   /** IS_IPV4: syntactic dotted-quad check with 0-255 range. */
   def is_ipv4(ip: Column): Column =
     ip.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
       "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$")
+
+  /** IS_IPV6, full-form (8 colon-separated hex groups) or `::`-
+    * compressed — a documented syntactic subset of tiDBIsIPv6
+    * (`dbms/src/Functions/FunctionsIsIPAddr.cpp`): no embedded-IPv4
+    * mixed notation. */
+  def is_ipv6(ip: Column): Column = {
+    val full = ip.rlike("^([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}$")
+    val compressed = ip.rlike("^(([0-9A-Fa-f]{1,4})?:){1,7}(:?[0-9A-Fa-f]{1,4})?$") &&
+      ip.contains("::") && !ip.contains(":::")
+    full || compressed
+  }
+
+  /** INET6_ATON normalized-hex form for FULL-FORM addresses: 32 hex
+    * chars (the byte representation rendered as hex — the binary
+    * itself, as MySQL returns, is not parquet-diffable). */
+  def inet6_aton_hex(ip: Column): Column =
+    concat_ws("", transform(split(ip, ":"), g => lpad(lower(g), 4, "0")))
+
+  /** INET6_NTOA-style normalized display for full-form addresses:
+    * leading zeros trimmed per group (no `::` run compression). */
+  def inet6_ntoa_norm(ip: Column): Column =
+    concat_ws(":", transform(split(ip, ":"), g =>
+      coalesce(nullif(regexp_replace(lower(g), "^0+", ""), lit("")), lit("0"))))
 
   val q38Inet: QueryDef = QueryDef(
     "q38_inet_fns",

@@ -44,7 +44,10 @@ object ScalarQueries4 {
       |  json_extract(js, '$.nested.flag') IS NOT NULL AS has_flag,
       |  json_extract(js, '$.missing') IS NULL AS missing_absent,
       |  CAST(json_extract(js, '$.nested.flag') AS BOOLEAN) AS flag_parsed,
-      |  NOT json_valid('{not json') AS invalid_null
+      |  NOT json_valid('{not json') AS invalid_null,
+      |  3 AS depth,
+      |  CASE WHEN c_custkey % 2 = 1 THEN 4 ELSE 2 END AS depth_var,
+      |  CAST(NULL AS INTEGER) AS depth_invalid
       |FROM t""".stripMargin) { (s, d) =>
     val js = to_json(struct(
       col("c_custkey").as("id"),
@@ -66,7 +69,13 @@ object ScalarQueries4 {
         get_json_object(col("js"), "$.missing").isNull.as("missing_absent"),
         from_json(col("js"), org.apache.spark.sql.types.StructType.fromDDL(schema))
           .getField("nested").getField("flag").as("flag_parsed"),
-        get_json_object(lit("{not json"), "$.a").isNull.as("invalid_null"))
+        get_json_object(lit("{not json"), "$.a").isNull.as("invalid_null"),
+        // custom JsonDepth expression (Spark has no json_depth built-in)
+        JsonFunctions.json_depth(col("js")).as("depth"),
+        JsonFunctions.json_depth(concat(lit("{\"w\":"),
+          when(col("c_custkey") % 2 === 1, "[[1]]").otherwise("1"),
+          lit("}"))).as("depth_var"),
+        JsonFunctions.json_depth(lit("{oops")).as("depth_invalid"))
   }
 
   /** MySQL `%`-token date formatting + parse round-trip; DuckDB's
@@ -176,6 +185,92 @@ object ScalarQueries4 {
       .select(col("tname").as("type_ci"), col("n"), col("first_part"))
   }
 
+  /** regexp tail ≙ regexp_instr / regexp_substr / regexp_like / ilike
+    * (`DAGUtils.cpp` regexp family, `dbms/src/Functions/Regexps.h`).
+    * DuckDB spells regexp_instr as prefix-length arithmetic and
+    * regexp_substr as NULLIF'd regexp_extract. */
+  val q35bRegexpTail: QueryDef = QueryDef(
+    "q35b_regexp_tail",
+    """SELECT doc_id,
+      |  regexp_matches(text, 'join|hash') AS has_pair,
+      |  NULLIF(regexp_extract(text, '[a-z]{6,}'), '') AS long_word,
+      |  CAST(CASE WHEN regexp_matches(text, 'scan')
+      |    THEN length(regexp_replace(text, 'scan.*$', '', 's')) + 1
+      |    ELSE 0 END AS INTEGER) AS pos_scan,
+      |  (regexp_matches(text, 'join|hash')) <> (regexp_matches(text, 'scan')) AS xor_demo,
+      |  (text ILIKE '%JoIn%') AS ilike_hit
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_like(col("text"), lit("join|hash")).as("has_pair"),
+      regexp_substr(col("text"), lit("[a-z]{6,}")).as("long_word"),
+      regexp_instr(col("text"), lit("scan")).as("pos_scan"),
+      (regexp_like(col("text"), lit("join|hash")) =!=
+        regexp_like(col("text"), lit("scan"))).as("xor_demo"),
+      ilike(col("text"), lit("%JoIn%")).as("ilike_hit"))
+  }
+
+  /** Unix-time round trips + GET_FORMAT ≙ fromUnixTime /
+    * tidbUnixTimeStampInt / getFormat (`DAGUtils.cpp:500,516`). Session
+    * timezone is UTC, and the oracle goes through make_timestamp(µs)
+    * (not to_timestamp, which would be TIMESTAMPTZ). */
+  val q32cUnixtime: QueryDef = QueryDef(
+    "q32c_unixtime",
+    """WITH t AS (SELECT o_orderkey, o_orderdate,
+      |    CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep
+      |  FROM orders WHERE o_orderkey % 37 = 0)
+      |SELECT o_orderkey, ep,
+      |  strftime(make_timestamp(ep * 1000000), '%Y-%m-%d %H:%M:%S') AS fu,
+      |  strftime(make_timestamp(ep * 1000000), '%Y/%m/%d') AS fu_fmt,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS iso_via_getformat
+      |FROM t""".stripMargin) { (s, d) =>
+    val ts = col("o_orderdate").cast("timestamp")
+    Tables.orders(s, d).filter(col("o_orderkey") % 37 === 0)
+      .withColumn("ep", unix_timestamp(ts))
+      .select(
+        col("o_orderkey"), col("ep"),
+        from_unixtime(col("ep")).as("fu"),
+        from_unixtime(col("ep"), "yyyy/MM/dd").as("fu_fmt"),
+        date_format_mysql(col("o_orderdate"),
+          MySqlCompat.getFormat("DATE", "ISO")).as("iso_via_getformat"))
+  }
+
+  /** IPv6 family ≙ tiDBIsIPv6 / tiDBIPv6StringToNum / tiDBIPv6NumToString
+    * (`DAGUtils.cpp:452-461`) on synthesized full-form addresses;
+    * documented subset: full-form parse, hex-rendered byte form. */
+  val q38bIpv6: QueryDef = QueryDef(
+    "q38b_ipv6",
+    """WITH t AS (SELECT c_custkey,
+      |    '2001:0db8:' || format('{:04x}', c_custkey % 65536) || ':0000:0000:0000:' ||
+      |    format('{:04x}', (c_nationkey * 17) % 65536) || ':' ||
+      |    format('{:04x}', (c_custkey * 31) % 65536) AS addr
+      |  FROM customer WHERE c_custkey % 13 = 0)
+      |SELECT c_custkey, addr,
+      |  true AS is6,
+      |  ('10.1.2.3' SIMILAR TO '([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}') AS is6_v4input,
+      |  array_to_string(list_transform(string_split(addr, ':'),
+      |    g -> lpad(lower(g), 4, '0')), '') AS aton_hex,
+      |  array_to_string(list_transform(string_split(addr, ':'),
+      |    g -> coalesce(nullif(regexp_replace(lower(g), '^0+', ''), ''), '0')), ':') AS ntoa_norm
+      |FROM t""".stripMargin) { (s, d) =>
+    import MySqlCompat._
+    val addr = concat_ws(":",
+      lit("2001"), lit("0db8"),
+      lpad(lower(hex(col("c_custkey") % 65536)), 4, "0"),
+      lit("0000"), lit("0000"), lit("0000"),
+      lpad(lower(hex((col("c_nationkey") * 17) % 65536)), 4, "0"),
+      lpad(lower(hex((col("c_custkey") * 31) % 65536)), 4, "0"))
+    Tables.customer(s, d).filter(col("c_custkey") % 13 === 0)
+      .withColumn("addr", addr)
+      .select(
+        col("c_custkey"), col("addr"),
+        is_ipv6(col("addr")).as("is6"),
+        is_ipv6(lit("10.1.2.3")).as("is6_v4input"),
+        inet6_aton_hex(col("addr")).as("aton_hex"),
+        inet6_ntoa_norm(col("addr")).as("ntoa_norm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q34bJsonTail, q32bMysqlDatefmt, q39bCrc32, q48bDuration, q59CollatedCi)
+    q34bJsonTail, q32bMysqlDatefmt, q39bCrc32, q48bDuration, q59CollatedCi,
+    q35bRegexpTail, q32cUnixtime, q38bIpv6)
 }

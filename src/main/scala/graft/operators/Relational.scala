@@ -146,7 +146,11 @@ object Relational {
     val c = cust(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = ord(s, d).filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
     val l = li(s, d).filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
-    l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+    // hint only the dimension (customer); whether the filtered
+    // customer⋈orders side still fits a broadcast is AQE's runtime call
+    // (at 100× it may not — a hard-coded hint would force an OOM-prone
+    // build side, a demoted one falls back to shuffle join)
+    l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsum(revenueCol, 6).as("revenue"))
