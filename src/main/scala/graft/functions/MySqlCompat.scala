@@ -87,6 +87,10 @@ object MySqlCompat {
   def str_to_date_mysql(c: Column, fmt: String): Column =
     to_date(c, mysqlPatternToJvm(fmt))
 
+  /** STR_TO_DATE with time tokens (datetime result ≙ strToDateDatetime). */
+  def str_to_datetime_mysql(c: Column, fmt: String): Column =
+    to_timestamp(c, mysqlPatternToJvm(fmt))
+
   /** GET_FORMAT literal table (common subset) ≙ getFormat
     * (`DAGUtils.cpp:500`); returns MySQL-token patterns consumable by
     * [[date_format_mysql]]/[[str_to_date_mysql]]. */

@@ -45,6 +45,7 @@ object ScalarQueries4 {
       |  json_extract(js, '$.missing') IS NULL AS missing_absent,
       |  CAST(json_extract(js, '$.nested.flag') AS BOOLEAN) AS flag_parsed,
       |  NOT json_valid('{not json') AS invalid_null,
+      |  json_keys(js, '$.nested') AS keys_nested,
       |  3 AS depth,
       |  CASE WHEN c_custkey % 2 = 1 THEN 4 ELSE 2 END AS depth_var,
       |  CAST(NULL AS INTEGER) AS depth_invalid
@@ -70,6 +71,8 @@ object ScalarQueries4 {
         from_json(col("js"), org.apache.spark.sql.types.StructType.fromDDL(schema))
           .getField("nested").getField("flag").as("flag_parsed"),
         get_json_object(lit("{not json"), "$.a").isNull.as("invalid_null"),
+        // json_keys with a path argument (jsonKeys2Args)
+        json_object_keys(get_json_object(col("js"), "$.nested")).as("keys_nested"),
         // custom JsonDepth expression (Spark has no json_depth built-in)
         JsonFunctions.json_depth(col("js")).as("depth"),
         JsonFunctions.json_depth(concat(lit("{\"w\":"),
@@ -95,6 +98,8 @@ object ScalarQueries4 {
       |  strftime(CAST(o_orderdate AS TIMESTAMP) + to_seconds(o_custkey % 86400),
       |    '%I:%M %p') AS clock12,
       |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS roundtrip,
+      |  strptime(strftime(CAST(o_orderdate AS TIMESTAMP) + to_seconds(o_custkey % 86400),
+      |    '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS roundtrip_dt,
       |  strftime(o_orderdate, '%Y%%%m') AS pct
       |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin) { (s, d) =>
     val ts = col("o_orderdate").cast("timestamp") +
@@ -110,6 +115,9 @@ object ScalarQueries4 {
         date_format_mysql(ts, "%h:%i %p").as("clock12"),
         str_to_date_mysql(date_format_mysql(col("o_orderdate"), "%Y-%m-%d"), "%Y-%m-%d")
           .as("roundtrip"),
+        MySqlCompat.str_to_datetime_mysql(
+          date_format_mysql(ts, "%Y-%m-%d %H:%i:%s"), "%Y-%m-%d %H:%i:%s")
+          .as("roundtrip_dt"),
         date_format_mysql(col("o_orderdate"), "%Y%%%m").as("pct"))
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
@@ -97,5 +97,70 @@ object Multimodal {
         round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
   }
 
-  val all: Seq[QueryDef] = Seq(q80MultimodalMeta, q81MultimodalDecode)
+  /** Resize: fit the decoded dimensions into a maxDim bounding box with
+    * integer math (aspect-preserving). The arithmetic is the real
+    * resize-plan computation; the pixel transform itself would live in
+    * the same mapPartitions stage as the codec. */
+  def resizeDims(w: Column, h: Column, maxDim: Int): (Column, Column) = {
+    val m = greatest(w, h)
+    val rw = when(m <= maxDim, w).otherwise(greatest(lit(1), (w * maxDim) / m).cast("int"))
+    val rh = when(m <= maxDim, h).otherwise(greatest(lit(1), (h * maxDim) / m).cast("int"))
+    (rw, rh)
+  }
+
+  /** Decode → resize-plan pipeline; oracle reproduces the stub header
+    * arithmetic + integer box fit. */
+  val q82MultimodalResize: QueryDef = QueryDef(
+    "q82_multimodal_resize",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    64 + ascii(substr(text, 1, 1)) % 192 AS w,
+      |    64 + ascii(substr(text, 2, 1)) % 192 AS h
+      |  FROM documents WHERE octet_length(encode(text)) = length(text))
+      |SELECT doc_id, w, h,
+      |  CASE WHEN greatest(w, h) <= 128 THEN w
+      |       ELSE greatest(1, (w * 128) // greatest(w, h)) END AS rw,
+      |  CASE WHEN greatest(w, h) <= 128 THEN h
+      |       ELSE greatest(1, (h * 128) // greatest(w, h)) END AS rh
+      |FROM t""".stripMargin) { (s, d) =>
+    implicit val sp: SparkSession = s
+    val meta = decodeDataset(withPayload(Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text"))))).toDF()
+    val (rw, rh) = resizeDims(col("width"), col("height"), 128)
+    meta.select(col("doc_id"), col("width").as("w"), col("height").as("h"),
+      rw.as("rw"), rh.as("rh"))
+  }
+
+  /** Frame sampling: treat the payload as a frame sequence (stub:
+    * frame = fixed-size byte chunk, the analog of video GOP sampling),
+    * emit every strideth frame as its own row with a content hash —
+    * one input row fans out to ~frames/stride rows, the distributed
+    * shape a video pipeline needs (explode stays in codegen; no
+    * driver-side loop). ascii-safe filter keeps byte offsets == char
+    * offsets so the text-arithmetic oracle matches the binary slices. */
+  val q83MultimodalFrames: QueryDef = QueryDef(
+    "q83_multimodal_framesample",
+    """WITH t AS (SELECT doc_id, text FROM documents
+      |           WHERE octet_length(encode(text)) = length(text)),
+      |f AS (SELECT doc_id, text,
+      |        unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS frame_idx
+      |      FROM t)
+      |SELECT doc_id, frame_idx,
+      |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_hash
+      |FROM f""".stripMargin) { (s, d) =>
+    val frameSize = 64; val stride = 4
+    withPayload(Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text"))))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L),
+          ceil(length(col("payload")) / frameSize.toDouble).cast("long") - 1,
+          lit(stride.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(payload, cast(frame_idx * $frameSize + 1 as int), $frameSize)"))
+          .as("frame_hash"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q80MultimodalMeta, q81MultimodalDecode, q82MultimodalResize,
+    q83MultimodalFrames)
 }

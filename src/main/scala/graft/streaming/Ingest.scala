@@ -155,6 +155,38 @@ object Ingest {
       .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
   }.copy(headline = true)
 
+  /** Native session windows (`session_window`, the engine's stateful
+    * sessionization operator — works identically in batch and
+    * Structured Streaming with a watermark; `StreamingSpec` runs the
+    * streaming side). Gap semantics: events merge iff the gap is
+    * STRICTLY less than 30 min (session_window's [start, last+gap)
+    * interval), which the oracle spells as `>= 1800s starts new`. */
+  def sessionAgg(df: DataFrame, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n_events"), col("first_event"))
+
+  val q74SessionWindow: QueryDef = QueryDef(
+    "q74_session_window",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+      |      lag(epoch_us(CAST(ts AS TIMESTAMP)), 1, epoch_us(CAST(ts AS TIMESTAMP)))
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (SELECT user_id, event_id, ts,
+      |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |      FROM g)
+      |SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS sess_start,
+      |  COUNT(*) AS n_events, MIN(event_id) AS first_event
+      |FROM s GROUP BY user_id, sess_id""".stripMargin) { (s, d) =>
+    sessionAgg(Tables.events(s, d))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q70MvccSnapshot, q71FastScan, q72EventWindowAgg, q73Sessionize)
+    q70MvccSnapshot, q71FastScan, q72EventWindowAgg, q73Sessionize,
+    q74SessionWindow)
 }

@@ -60,4 +60,17 @@ class ContractsSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.01,
       s"approx p50 $approx vs exact $exact")
   }
+
+  test("rand(seed) contract: [0,1) range, seed-deterministic, roughly uniform") {
+    // ≙ the reference's rand (DAGUtils.cpp) — value contract only, no
+    // cross-engine oracle possible for a PRNG
+    val base = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    def sample() = base.withColumn("r", rand(42)).select(sum(col("r")), count(lit(1)),
+      min(col("r")), max(col("r"))).first()
+    val a = sample(); val b = sample()
+    assert(a.getDouble(0) === b.getDouble(0), "same seed must reproduce")
+    val (total, n, mn, mx) = (a.getDouble(0), a.getLong(1), a.getDouble(2), a.getDouble(3))
+    assert(mn >= 0.0 && mx < 1.0)
+    assert(math.abs(total / n - 0.5) < 0.05, s"mean ${total / n} far from 0.5")
+  }
 }

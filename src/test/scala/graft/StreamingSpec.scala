@@ -33,6 +33,52 @@ class StreamingSpec extends SparkTestBase {
     assert(snapStream === snapBatch && snapStream.nonEmpty)
   }
 
+  test("streaming session_window sessionization matches the batch sessionization") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Files.createTempDirectory("graft-stream-sess").resolve("in")
+    Files.createDirectories(in)
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("events.parquet"))
+    val schema = spark.read.parquet(in.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+    val q = Ingest.sessionAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("sess_win")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = key(spark.table("sess_win"))
+    val batch = key(Ingest.sessionAgg(Tables.events(spark, sf)))
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
+  test("streaming dedup (dropDuplicatesWithinWatermark) collapses a replayed input") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Files.createTempDirectory("graft-stream-dedup").resolve("in")
+    Files.createDirectories(in)
+    // feed the same data twice — the at-least-once replay a real
+    // ingest pipeline must absorb
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("events_a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("events_b.parquet"))
+    val schema = spark.read.parquet(in.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.select("event_id").writeStream
+      .outputMode("append").format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamedCount = spark.table("dedup_stream").count()
+    val batchDistinct = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(streamedCount === batchDistinct,
+      s"streaming dedup $streamedCount vs batch distinct $batchDistinct")
+  }
+
   test("watermarked streaming window agg matches the batch window agg") {
     import org.apache.spark.sql.streaming.Trigger
     val in = Files.createTempDirectory("graft-stream-agg").resolve("in")
