@@ -315,8 +315,62 @@ object TextPipeline {
             greatest(length(col("t1")), length(col("t2")))).as("rel_dist"))
   }
 
+  /** Feature-hashing text embedding — the deterministic text→vector
+    * bridge of the pipeline (hash each token into one of 8 buckets,
+    * sum a hash-derived weight per bucket, L2-normalize): the classic
+    * hashing-trick embedding, computable identically in ANSI SQL so it
+    * is fully oracled (unlike a learned model). Shape at scale: explode
+    * → one (doc_id, bucket) groupBy → pivot — a single shuffle on the
+    * doc key, everything in codegen; the output array feeds the
+    * Similarity operators. Token weight uses the same cross-engine-
+    * stable primitives as q67 (length + first/last char codes). */
+  val q77HashEmbedding: QueryDef = QueryDef(
+    "q77_hash_embedding",
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |             FROM documents),
+      |h AS (SELECT doc_id,
+      |        CAST(length(t) * 131 + ascii(t) * 31 + ascii(array_extract(t, -1)) AS BIGINT) AS hv
+      |      FROM tok),
+      |d AS (SELECT doc_id,
+      |        SUM(CASE WHEN hv % 8 = 0 THEN (hv // 8) % 100 ELSE 0 END) AS v0,
+      |        SUM(CASE WHEN hv % 8 = 1 THEN (hv // 8) % 100 ELSE 0 END) AS v1,
+      |        SUM(CASE WHEN hv % 8 = 2 THEN (hv // 8) % 100 ELSE 0 END) AS v2,
+      |        SUM(CASE WHEN hv % 8 = 3 THEN (hv // 8) % 100 ELSE 0 END) AS v3,
+      |        SUM(CASE WHEN hv % 8 = 4 THEN (hv // 8) % 100 ELSE 0 END) AS v4,
+      |        SUM(CASE WHEN hv % 8 = 5 THEN (hv // 8) % 100 ELSE 0 END) AS v5,
+      |        SUM(CASE WHEN hv % 8 = 6 THEN (hv // 8) % 100 ELSE 0 END) AS v6,
+      |        SUM(CASE WHEN hv % 8 = 7 THEN (hv // 8) % 100 ELSE 0 END) AS v7
+      |      FROM h GROUP BY doc_id),
+      |n AS (SELECT *, sqrt(CAST(v0*v0 + v1*v1 + v2*v2 + v3*v3 +
+      |                          v4*v4 + v5*v5 + v6*v6 + v7*v7 AS DOUBLE)) AS nrm
+      |      FROM d)
+      |SELECT doc_id,
+      |  [round(v0/nrm, 6), round(v1/nrm, 6), round(v2/nrm, 6), round(v3/nrm, 6),
+      |   round(v4/nrm, 6), round(v5/nrm, 6), round(v6/nrm, 6), round(v7/nrm, 6)] AS embedding
+      |FROM n WHERE nrm > 0""".stripMargin) { (s, d) =>
+    val dims = 8
+    val h = docs(s, d)
+      .select(col("doc_id"), explode(tokens).as("t"))
+      .select(col("doc_id"),
+        (length(col("t")) * 131 + ascii(col("t")) * 31 +
+          ascii(substring(col("t"), -1, 1))).cast("long").as("hv"))
+    val pivoted = h
+      .groupBy(col("doc_id"), pmod(col("hv"), lit(dims)).as("k"))
+      .agg(sum(expr("hv div 8") % 100).as("v"))
+      .groupBy(col("doc_id"))
+      .pivot("k", 0 until dims)
+      .sum("v")
+    val vs = (0 until dims).map(k => coalesce(col(k.toString), lit(0L)))
+    val nrm = sqrt(vs.map(v => (v * v).cast("double")).reduce(_ + _))
+    pivoted
+      .withColumn("nrm", nrm)
+      .filter(col("nrm") > 0)
+      .select(col("doc_id"),
+        array(vs.map(v => round(v.cast("double") / col("nrm"), 6)): _*).as("embedding"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
-    q68DedupNormalized, q69EditDistance)
+    q68DedupNormalized, q69EditDistance, q77HashEmbedding)
 }

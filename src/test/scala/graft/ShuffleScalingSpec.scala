@@ -18,7 +18,7 @@ class ShuffleScalingSpec extends SparkTestBase {
     def runAt(n: Int): (Long, java.math.BigDecimal) = {
       spark.conf.set("spark.sql.shuffle.partitions", n)
       val df = operators.Windows.q43RowsFrame.fn(spark, sfDir)
-      val chk = sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))
+      val chk = sum(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("decimal(38,0)"))
       val t0 = System.nanoTime()
       val v = df.agg(chk).first().getDecimal(0)
       ((System.nanoTime() - t0) / 1000000L, v)
