@@ -106,5 +106,95 @@ object TpchShapes {
          |GROUP BY c_custkey, o_orderkey, o_totalprice""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(q90TpchQ5, q91TpchQ10, q92TpchQ18)
+  /** Q7 shape: volume shipping between a nation pair, either direction,
+    * grouped by (supplier nation, customer nation, year). Self-joined
+    * nation dim broadcasts twice under different aliases. */
+  val q93TpchQ7: QueryDef = QueryDef(
+    "q93_tpch_q7",
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${dsumSql("volume", 6)} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    year(l_shipdate) AS l_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume
+       |  FROM supplier
+       |  JOIN lineitem ON s_suppkey = l_suppkey
+       |  JOIN orders   ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE (n1.n_name = 'NATION_4' AND n2.n_name = 'NATION_13')
+       |     OR (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_4')) shipping
+       |GROUP BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    val sup = Tables.supplier(s, d)
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n1 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    sup.join(l, col("s_suppkey") === col("l_suppkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_4" && col("cust_nation") === "NATION_13") ||
+        (col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_4"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+  }
+
+  /** Q12 shape (adapted: schema has no l_shipmode — l_linestatus plays
+    * the mode): priority class counts per line status via conditional
+    * aggregation, the CASE-inside-SUM pattern. */
+  val q94TpchQ12: QueryDef = QueryDef(
+    "q94_tpch_q12",
+    """SELECT l_linestatus,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+  }
+
+  /** Q14 shape: promo revenue share — a ratio of two conditional sums
+    * in one aggregation pass (no second scan). */
+  val q95TpchQ14: QueryDef = QueryDef(
+    "q95_tpch_q14",
+    """SELECT round(100.00 *
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))
+      |    ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) /
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE),
+      |  6) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-06-01 00:00:00'""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-03-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+    val p = Tables.part(s, d)
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(30, 6))))
+          .cast("double") /
+        sum(rev).cast("double"), 6).as("promo_revenue"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q90TpchQ5, q91TpchQ10, q92TpchQ18, q93TpchQ7, q94TpchQ12, q95TpchQ14)
 }
