@@ -37,4 +37,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(sigs.forall { case (_, s) => s >= 0 && s < (1L << 16) },
       "signatures bounded to 16 bits")
   }
+
+  test("minhash candidate pairs are true near-duplicates (high exact Jaccard)") {
+    import spark.implicits._
+    val pairs = SparkEntry.queries("q61_dedup_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // ground truth on the same unit the operator hashes: 3-gram shingles
+    // (unigram sets are too coarse — the synthetic corpus shares most
+    // of its vocabulary, so random unigram Jaccard is already ~0.6)
+    val toks = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[String](1).sliding(3).map(_.mkString(" ")).toSet)).toMap
+    def jaccard(a: Long, b: Long): Double = {
+      val (x, y) = (toks(a), toks(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    val pairJ = pairs.map { case (a, b) => jaccard(a, b) }
+    val avgPair = pairJ.sum / pairJ.length
+    // baseline: deterministic pseudo-random non-candidate pairs
+    val ids = toks.keys.toArray.sorted
+    val rnd = (1 to 200)
+      .map(i => (ids(i * 7 % ids.length), ids((i * 13 + 1) % ids.length)))
+      .collect { case (a, b) if a != b => jaccard(a, b) }
+      .filter(!_.isNaN)
+    val avgRnd = rnd.sum / rnd.length
+    assert(avgPair > 0.2, f"minhash pairs not near-dups: avg Jaccard $avgPair%.3f")
+    assert(avgPair > 3 * avgRnd,
+      f"minhash pairs ($avgPair%.3f) indistinguishable from random pairs ($avgRnd%.3f)")
+  }
 }
