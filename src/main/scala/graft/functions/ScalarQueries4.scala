@@ -278,7 +278,40 @@ object ScalarQueries4 {
         inet6_ntoa_norm(col("addr")).as("ntoa_norm"))
   }
 
+  /** MySQL Enum/Set type surface ≙ MysqlEnum / MysqlSet
+    * (`DAGUtils.cpp` ExprType map, `dbms/src/DataTypes/DataTypeEnum.h`):
+    * enum = 1-based index into a fixed value list; set = comma-joined
+    * member string with FIND_IN_SET membership. */
+  val q47bEnumSet: QueryDef = QueryDef(
+    "q47b_enum_set",
+    """WITH t AS (SELECT o_orderkey, o_orderstatus,
+      |    concat_ws(',',
+      |      CASE WHEN o_totalprice > 100000 THEN 'big' END,
+      |      CASE WHEN o_orderstatus = 'F' THEN 'final' END,
+      |      CASE WHEN o_orderkey % 2 = 0 THEN 'even' END) AS flags
+      |  FROM orders WHERE o_orderkey % 41 = 0)
+      |SELECT o_orderkey,
+      |  CAST(coalesce(list_position(['F','O','P'], o_orderstatus), 0) AS BIGINT) AS status_enum,
+      |  flags,
+      |  CAST(coalesce(list_position(string_split(flags, ','), 'final'), 0) AS INTEGER) AS find_final,
+      |  CAST(coalesce(list_position(string_split(flags, ','), 'even'), 0) AS INTEGER) AS find_even
+      |FROM t""".stripMargin) { (s, d) =>
+    val flags = concat_ws(",",
+      when(col("o_totalprice") > 100000, "big"),
+      when(col("o_orderstatus") === "F", "final"),
+      when(col("o_orderkey") % 2 === 0, "even"))
+    Tables.orders(s, d).filter(col("o_orderkey") % 41 === 0)
+      .withColumn("flags", flags)
+      .select(
+        col("o_orderkey"),
+        array_position(array(lit("F"), lit("O"), lit("P")), col("o_orderstatus"))
+          .as("status_enum"),
+        col("flags"),
+        find_in_set(lit("final"), col("flags")).as("find_final"),
+        find_in_set(lit("even"), col("flags")).as("find_even"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q34bJsonTail, q32bMysqlDatefmt, q39bCrc32, q48bDuration, q59CollatedCi,
-    q35bRegexpTail, q32cUnixtime, q38bIpv6)
+    q35bRegexpTail, q32cUnixtime, q38bIpv6, q47bEnumSet)
 }

@@ -199,7 +199,43 @@ object Coverage {
       dv.as("div_null_safe"), dv.isNull.as("was_zero"))
   }
 
+  /** Bitwise aggregates ≙ Agg_BitAnd/BitOr/BitXor
+    * (`DAGUtils.cpp` ExprType map, `AggregateFunctionsBitwise`). */
+  val q96BitAggs: QueryDef = QueryDef(
+    "q96_bit_aggs",
+    """SELECT l_returnflag,
+      |  bit_and(CAST(l_orderkey % 4096 AS BIGINT)) AS band,
+      |  bit_or(CAST(l_orderkey % 4096 AS BIGINT)) AS bor,
+      |  bit_xor(CAST(l_orderkey % 4096 AS BIGINT)) AS bxor
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val v = (col("l_orderkey") % 4096).cast("long")
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(bit_and(v).as("band"), bit_or(v).as("bor"), bit_xor(v).as("bxor"))
+  }
+
+  /** JSON aggregates ≙ JsonArrayAgg / JsonObjectAgg (`DAGUtils.cpp`
+    * ExprType map). Both engines build from explicitly sorted entries —
+    * the aggregates themselves are input-order-sensitive, so a sorted
+    * collect is the only deterministic cross-engine form. */
+  val q97JsonAggs: QueryDef = QueryDef(
+    "q97_json_aggs",
+    """SELECT o_custkey,
+      |  CAST(to_json(list_sort(list(o_orderkey))) AS VARCHAR) AS jarr,
+      |  CAST(to_json(map_from_entries(list_transform(list_sort(list(o_orderkey)),
+      |    k -> {'k': CAST(k AS VARCHAR), 'v': k}))) AS VARCHAR) AS jobj
+      |FROM orders WHERE o_custkey % 151 = 0 GROUP BY o_custkey""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d).filter(col("o_custkey") % 151 === 0)
+        .groupBy(col("o_custkey"))
+        .agg(
+          to_json(sort_array(collect_list(col("o_orderkey")))).as("jarr"),
+          to_json(map_from_entries(transform(
+            sort_array(collect_list(col("o_orderkey"))),
+            k => struct(k.cast("string").as("k"), k.as("v"))))).as("jobj"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q25AggKeyless, q26SortFull, q27MinMaxBy, q28StatAggs, q29DecimalArith,
-    q46InExistence, q49SaltedAgg, q55CiCollation, q56TidbDivide)
+    q46InExistence, q49SaltedAgg, q55CiCollation, q56TidbDivide,
+    q96BitAggs, q97JsonAggs)
 }

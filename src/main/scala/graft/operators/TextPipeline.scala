@@ -354,13 +354,14 @@ object TextPipeline {
       .select(col("doc_id"),
         (length(col("t")) * 131 + ascii(col("t")) * 31 +
           ascii(substring(col("t"), -1, 1))).cast("long").as("hv"))
-    val pivoted = h
-      .groupBy(col("doc_id"), pmod(col("hv"), lit(dims)).as("k"))
-      .agg(sum(expr("hv div 8") % 100).as("v"))
-      .groupBy(col("doc_id"))
-      .pivot("k", 0 until dims)
-      .sum("v")
-    val vs = (0 until dims).map(k => coalesce(col(k.toString), lit(0L)))
+    // one conditional sum per bucket in a single groupBy — ONE shuffle
+    // on doc_id (a (doc,bucket) groupBy + pivot would shuffle twice)
+    val pivoted = h.groupBy(col("doc_id"))
+      .agg(
+        sum(when(pmod(col("hv"), lit(dims)) === 0, expr("hv div 8") % 100).otherwise(0L)).as("v0"),
+        (1 until dims).map(k =>
+          sum(when(pmod(col("hv"), lit(dims)) === k, expr("hv div 8") % 100).otherwise(0L)).as(s"v$k")): _*)
+    val vs = (0 until dims).map(k => col(s"v$k"))
     val nrm = sqrt(vs.map(v => (v * v).cast("double")).reduce(_ + _))
     pivoted
       .withColumn("nrm", nrm)
