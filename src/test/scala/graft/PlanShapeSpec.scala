@@ -75,6 +75,23 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline operators are shuffle-minimal (embedding: 1, minhash: ≤3)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off so the static plan exposes raw exchange counts
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def shuffles(name: String): Int =
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+          .collect { case s: ShuffleExchangeExec => s }.size
+      // embedding: single groupBy on doc_id
+      assert(shuffles("q77_hash_embedding") <= 1)
+      // minhash: shingle window (doc) shared with the signature groupBy,
+      // then (band,bucket) groupBy, then pair distinct
+      assert(shuffles("q61_dedup_minhash") <= 3)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q26 global rank is range-partitioned and matches a naive global sort") {
     import org.apache.spark.sql.catalyst.expressions.SortOrder
     import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
