@@ -370,8 +370,26 @@ object TextPipeline {
         array(vs.map(v => round(v.cast("double") / col("nrm"), 6)): _*).as("embedding"))
   }
 
+  /** Heavy hitters: the corpus's most frequent tokens with document
+    * frequency — the vocabulary/stopword-discovery pass of a
+    * pretraining pipeline. Scale shape: one high-cardinality token
+    * groupBy, then top-k via TakeOrderedAndProject (never a full sort);
+    * the (count, token) total order makes the cut deterministic. */
+  val q78HeavyHitters: QueryDef = QueryDef(
+    "q78_heavy_hitters",
+    """SELECT t AS token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |      FROM documents)
+      |GROUP BY t ORDER BY tf DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+    docs(s, d).select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
-    q68DedupNormalized, q69EditDistance, q77HashEmbedding)
+    q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters)
 }

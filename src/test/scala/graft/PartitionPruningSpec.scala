@@ -58,4 +58,22 @@ class PartitionPruningSpec extends SparkTestBase {
       plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
       s"expected dynamic pruning in plan:\n$plan")
   }
+
+  test("multi-path and glob reads (remote/disaggregated read posture)") {
+    // ≙ the reference's remote read of S3-backed segments
+    // (Storages/DeltaMerge/Remote/): the query layer reads whatever
+    // paths the storage layout provides — multiple directories, globs,
+    // or object-store URIs, all through the same reader
+    val base = java.nio.file.Files.createTempDirectory("graft-remote")
+    val dirA = base.resolve("seg-a"); val dirB = base.resolve("seg-b")
+    val n = Tables.nation(spark, sf)
+    n.filter(col("n_nationkey") < 12).write.parquet(dirA.toString)
+    n.filter(col("n_nationkey") >= 12).write.parquet(dirB.toString)
+    val multi = spark.read.parquet(dirA.toString, dirB.toString)
+    assert(multi.count() === n.count())
+    val glob = spark.read.parquet(base.toString + "/seg-*")
+    assert(glob.count() === n.count())
+    assert(glob.agg(org.apache.spark.sql.functions.sum(col("n_nationkey"))).first().getLong(0) ===
+      n.agg(org.apache.spark.sql.functions.sum(col("n_nationkey"))).first().getLong(0))
+  }
 }
