@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
 object ScalableSort {
 
   /** Append a global `row_number() OVER (ORDER BY sortCols)` column
-    * named `out` without a single-partition window. */
+    * named `out` without a single-partition window.
+    *
+    * The offsets branch shares the range-exchange subtree with the
+    * main branch; the static plan shows it twice but AQE's stage reuse
+    * deduplicates identical exchanges at runtime (and the range
+    * boundaries are deterministic for a given input regardless, so the
+    * pid mapping is consistent across branches). */
   def globalRowNumber(df: DataFrame, out: String, numParts: Int, sortCols: Column*): DataFrame = {
     val parted = df.repartitionByRange(numParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())

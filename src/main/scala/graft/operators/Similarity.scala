@@ -217,12 +217,16 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val cent = e.filter(col("vec_id") % 31 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist"), col("cid"))
+    // Nearest-centroid assignment as a min_by AGGREGATION, not a window:
+    // the N×C expansion collapses map-side (partial min_by) so only N
+    // rows shuffle — a window would shuffle all N×C expanded rows.
+    // (cdist, cid) lexicographic min ≙ the oracle's ORDER BY dist, cid.
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("cdist", vec_l2_distance(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("cid"), struct(col("cdist"), col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("cid"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -233,7 +237,9 @@ object Similarity {
       .filter(col("rn") <= 4)
       .select(col("qid"), col("qv"), col("cid"))
     val wRank = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
-    probed.join(assigned, Seq("cid"))
+    // probe set is tiny (|Q| × nProbe) — broadcast it so the corpus-side
+    // inverted lists never shuffle (static planner picked SMJ here)
+    broadcast(probed).join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dist", vec_cosine_distance(col("qv"), col("embedding")))
       .withColumn("rnk", row_number().over(wRank))
