@@ -199,6 +199,28 @@ object Coverage {
       dv.as("div_null_safe"), dv.isNull.as("was_zero"))
   }
 
+  /** topK aggregate ≙ the registered-but-unexposed AggregateFunctionTopK
+    * (`AggregateFunctionTopK.cpp`): per-group most-frequent values.
+    * Shape: count aggregation (map-side combine) then a window over the
+    * aggregated (group, value) pairs — bounded by distinct-pair
+    * cardinality, never the raw row count. */
+  val q28bTopK: QueryDef = QueryDef(
+    "q28b_topk",
+    """WITH c AS (SELECT l_returnflag, l_suppkey, COUNT(*) AS n
+      |           FROM lineitem GROUP BY l_returnflag, l_suppkey),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |        ORDER BY n DESC, l_suppkey) AS rk FROM c)
+      |SELECT l_returnflag, l_suppkey, n, rk FROM r WHERE rk <= 3""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_suppkey"))
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+  }
+
   /** Bitwise aggregates ≙ Agg_BitAnd/BitOr/BitXor
     * (`DAGUtils.cpp` ExprType map, `AggregateFunctionsBitwise`). */
   val q96BitAggs: QueryDef = QueryDef(
@@ -237,5 +259,5 @@ object Coverage {
   val all: Seq[QueryDef] = Seq(
     q25AggKeyless, q26SortFull, q27MinMaxBy, q28StatAggs, q29DecimalArith,
     q46InExistence, q49SaltedAgg, q55CiCollation, q56TidbDivide,
-    q96BitAggs, q97JsonAggs)
+    q28bTopK, q96BitAggs, q97JsonAggs)
 }
