@@ -81,6 +81,73 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
   }.copy(headline = true)
 
+  /** Brute-force KNN with per-partition partial top-k — the scale-safe
+    * form of q51: each corpus partition keeps a bounded k-heap per
+    * query (the one justified `mapPartitions` — per-partition
+    * imperative state), so the shuffle carries ≤ partitions × |Q| × k
+    * candidate rows instead of N × |Q|; a final window re-ranks the
+    * tiny candidate set. Distances use the same ascending-index double
+    * loop as the codegen expression, so results are bit-identical and
+    * the oracle is the same as q51's. */
+  val q51bKnnPartial: QueryDef = QueryDef(
+    "q51b_knn_partial_topk",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |dists AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ${duckCosineDist("q.qvec", "e.embedding")} AS dist
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+       |  FROM dists)
+       |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
+       |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val k = 10
+    val e = Tables.embeddings(s, d)
+    // small query set pinned to the driver and shipped in the task
+    // closure — the same "broadcast the queries" posture as q51
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val candidates = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        // per-query bounded max-heap of (dist, vec_id); worst on top
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = qs.map { case (qid, _) =>
+          qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+        }.toMap
+        it.foreach { case (vid, emb) =>
+          qs.foreach { case (qid, qv) =>
+            if (vid != qid) {
+              val dTup = (cosDist(qv, emb), vid)
+              val h = heaps(qid)
+              if (h.size < k) h.enqueue(dTup)
+              else if (ord.lt(dTup, h.head)) { h.dequeue(); h.enqueue(dTup) }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (dist, vid) => (qid, vid, dist) }
+        }
+      }
+      .toDF("qid", "vec_id", "dist")
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    candidates
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
+  }
+
   /** All four distance metrics side by side on aligned pairs. */
   val q52VecMetrics: QueryDef = QueryDef(
     "q52_vec_metrics",
@@ -248,6 +315,6 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q50VecNorms, q51KnnBrute, q52VecMetrics, q53AnnLsh, q54EmbedNearDup,
-    q58AnnIvf)
+    q50VecNorms, q51KnnBrute, q51bKnnPartial, q52VecMetrics, q53AnnLsh,
+    q54EmbedNearDup, q58AnnIvf)
 }
