@@ -24,4 +24,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.mergeSchema", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
+      // FAIR scheduling ≙ the reference's resource groups
+      // (docs/design/2023-09-21-tiflash-resource-control.md): concurrent
+      // workloads in equal-weight pools share the cluster ~equally
+      // (ResourceGroupSpec asserts it); with a single pool this behaves
+      // like the default scheduler.
+      .config("spark.scheduler.mode", "FAIR")
 }
