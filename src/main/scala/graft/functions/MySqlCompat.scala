@@ -38,6 +38,21 @@ object MySqlCompat {
   def tidb_divide(num: Column, den: Column): Column =
     when(den === 0, lit(null)).otherwise(num / den)
 
+  /** MySQL mod: NULL on zero divisor (ANSI Spark `%` would error);
+    * sign follows the dividend in both engines
+    * (`tests/fullstack-test/expr/mod.test`). */
+  def mysql_mod(a: Column, b: Column): Column =
+    when(b === 0, lit(null)).otherwise(a % b)
+
+  /** MySQL least/greatest: NULL if ANY argument is NULL — Spark's
+    * built-ins skip nulls instead
+    * (`tests/fullstack-test/expr/least_greatest.test`). */
+  def mysql_least(cols: Column*): Column =
+    when(cols.map(_.isNull).reduce(_ || _), lit(null)).otherwise(least(cols: _*))
+
+  def mysql_greatest(cols: Column*): Column =
+    when(cols.map(_.isNull).reduce(_ || _), lit(null)).otherwise(greatest(cols: _*))
+
   /** Case-insensitive collation key (≙ the normalize-key approach for
     * the reference's *_general_ci / *_unicode_ci collations, SURVEY
     * §7.4.2 — exact ICU weight tables out of scope). */

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import graft.functions.MySqlCompat._
+
+/** Direct parity with the reference's own fullstack test transcripts
+  * (`/root/reference/tests/fullstack-test/expr/<name>.test`): the literal
+  * input rows and expected outputs from the reference suite, mirrored
+  * on Spark. Where MySQL semantics diverge from Spark built-ins the
+  * `MySqlCompat` wrappers close the gap (least/greatest NULL
+  * poisoning, mod-by-zero). */
+class FullstackParitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("compare_null.test: three-valued BETWEEN/IN with NULL bounds") {
+    // expr/compare_null.test:26-44
+    val t = Seq("2024-08-26", "2024-08-25", "2024-08-24", "2024-08-23")
+      .map(Date.valueOf).toDF("a")
+    assert(t.filter(expr("a between NULL and '2024-08-25'")).count() === 0L)
+    val notBetween = t.filter(expr("not (a between NULL and '2024-08-25')"))
+      .collect().map(_.getDate(0).toString)
+    assert(notBetween.toSeq === Seq("2024-08-26"),
+      "NOT(between NULL..) keeps only rows where the comparison is definitively false")
+    assert(t.filter(expr("a in (NULL)")).count() === 0L)
+    assert(t.filter(expr("a not in (NULL)")).count() === 0L)
+  }
+
+  test("least_greatest.test: NULL argument poisons the result") {
+    // expr/least_greatest.test t1 rows + expected least outputs
+    val t1 = Seq(
+      (1, 10, 20, 30, 40L, 50f, 60d, 70, 80),
+      (90, 80, 70, 60, 50L, 40f, 30d, 20, 10),
+      (1278, 127, 1297, 878, 127319L, 17281.3278f, 227183.1231823618d, 121, 17319))
+      .toDF("id", "id1", "id2", "id3", "id4", "id5", "id6", "id7", "id8")
+    val cols = Seq($"id", $"id1", $"id2", $"id3", $"id4", $"id5", $"id6", $"id7", $"id8")
+    val got = t1.orderBy($"id")
+      .select($"id", least(cols: _*).cast("double")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((1, 1.0), (90, 10.0), (1278, 121.0)))
+    // MySQL: least(NULL, ...) is NULL for every row; Spark's builtin
+    // skips nulls, the compat wrapper restores reference semantics
+    val withNull = t1.select(mysql_least(lit(null) +: cols: _*)).collect()
+    assert(withNull.forall(_.isNullAt(0)))
+    val builtinSkips = t1.select(least(lit(null) +: cols: _*)).collect()
+    assert(builtinSkips.forall(!_.isNullAt(0)), "documents the Spark divergence")
+  }
+
+  test("mod.test t6: real mod — sign follows dividend, zero divisor is NULL") {
+    // expr/mod.test:145-160 expected values verbatim
+    val t6 = Seq(
+      (1, Some(1.3), 1.1), (2, Some(-1.3), 1.1), (3, Some(1.3), -1.1),
+      (4, Some(-1.3), -1.1), (5, Some(3.3), 1.1), (6, Some(3.3), -1.1),
+      (7, Some(-3.3), 1.1), (8, Some(-3.3), -1.1), (9, Some(1.2), 0.0),
+      (10, None, 0.0)).toDF("id", "a", "b")
+    val got = t6.orderBy($"id")
+      .select($"id", mysql_mod($"a", $"b").as("m")).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    val expected = Seq(
+      (1, 0.19999999999999996), (2, -0.19999999999999996),
+      (3, 0.19999999999999996), (4, -0.19999999999999996),
+      (5, 1.0999999999999996), (6, 1.0999999999999996),
+      (7, -1.0999999999999996), (8, -1.0999999999999996),
+      (9, null), (10, null))
+    assert(got.toSeq === expected)
+  }
+
+  test("nulleq.test: <=> truth table on (1,NULL),(NULL,1)") {
+    // expr/nulleq.test:22-29 expected verbatim (1=true, 0=false)
+    val t = Seq((Some(1), Option.empty[Int]), (Option.empty[Int], Some(1))).toDF("a", "b")
+    val got = t.select(
+      expr("a <=> NULL").cast("int"), expr("b <=> NULL").cast("int"),
+      expr("a <=> 1").cast("int"), expr("b <=> 1").cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSet === Set((0, 1, 1, 0), (1, 0, 0, 1)))
+  }
+}
