@@ -38,6 +38,26 @@ class SimilaritySpec extends SparkTestBase {
       "signatures bounded to 16 bits")
   }
 
+  test("simhash: near-duplicate pairs sit at smaller Hamming distance than random pairs") {
+    val sigs = SparkEntry.queries("q62_dedup_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // ground-truth near-dups: the (Jaccard-verified) minhash pairs
+    val pairs = SparkEntry.queries("q61_dedup_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val avgPair = pairs.map { case (a, b) => hamming(sigs(a), sigs(b)) }.sum.toDouble / pairs.length
+    val ids = sigs.keys.toArray.sorted
+    val rnd = (1 to 300)
+      .map(i => (ids(i * 7 % ids.length), ids((i * 13 + 1) % ids.length)))
+      .collect { case (a, b) if a != b => hamming(sigs(a), sigs(b)) }
+    val avgRnd = rnd.sum.toDouble / rnd.length
+    assert(avgPair < avgRnd,
+      f"near-dup Hamming $avgPair%.2f not below random-pair $avgRnd%.2f")
+    assert(avgPair <= 4.0,
+      f"near-dups should share most of their 16 signature bits (avg $avgPair%.2f)")
+  }
+
   test("minhash candidate pairs are true near-duplicates (high exact Jaccard)") {
     import spark.implicits._
     val pairs = SparkEntry.queries("q61_dedup_minhash")(spark, sf)
