@@ -65,6 +65,45 @@ class FullstackParitySpec extends SparkTestBase {
     assert(got.toSeq === expected)
   }
 
+  test("in_expression.test: mixed-type IN lists over decimals and narrow ints") {
+    // expr/in_expression.test:21-40 (issues tics#1483, tidb#23198, tics#1543)
+    val t = Seq((BigDecimal("1.00"), -80, -1, BigDecimal("1")),
+      (BigDecimal("3.00"), -90, -3, BigDecimal("0")))
+      .toDF("a", "b", "c", "d")
+      .select(col("a").cast("decimal(4,2)").as("a"), col("b").cast("tinyint").as("b"),
+        col("c"), col("d").cast("decimal(38,18)").as("d"))
+    val r1 = t.filter(expr("a in (1.0, 2)")).select("a").collect()
+    assert(r1.map(_.getDecimal(0).toPlainString).toSeq === Seq("1.00"))
+    // out-of-tinyint-range members: empty, not an overflow error
+    assert(t.filter(expr("b in (-302764853, 12498864)")).count() === 0L)
+    // beyond-bigint literal member: empty, not an error
+    assert(t.filter(expr("c in (1, 18446744073709551616)")).count() === 0L)
+    // duplicate list members dedupe
+    assert(t.filter(expr("d in (1, 1)")).count() === 1L)
+    // NOT mirrored: `d in (2, 'y')` — MySQL laxly coerces 'y' to 0 and
+    // matches d=0; ANSI Spark raises on the malformed cast (EdgeCasesSpec
+    // documents the strict-vs-lax contract)
+  }
+
+  test("hex_str.test: hex of UTF-8 strings incl. multibyte and emoji") {
+    // expr/hex_str.test:30-46 expected verbatim
+    val rows = Seq(
+      "www.pingcap.com" -> "7777772E70696E676361702E636F6D",
+      "abcd" -> "61626364",
+      "测试测试测试测试abcd测试" ->
+        "E6B58BE8AF95E6B58BE8AF95E6B58BE8AF95E6B58BE8AF9561626364E6B58BE8AF95",
+      "さらに入" -> "E38195E38289E381ABE585A5",
+      "🍻" -> "F09F8DBB",
+      "\t" -> "09",
+      "\n" -> "0A")
+    val got = rows.map(_._1).toDF("a")
+      .select(col("a"), hex(col("a")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.foreach { case (in, expected) => assert(got(in) === expected, s"hex($in)") }
+    val nullHex = Seq(Option.empty[String]).toDF("a").select(hex(col("a"))).first()
+    assert(nullHex.isNullAt(0))
+  }
+
   test("nulleq.test: <=> truth table on (1,NULL),(NULL,1)") {
     // expr/nulleq.test:22-29 expected verbatim (1=true, 0=false)
     val t = Seq((Some(1), Option.empty[Int]), (Option.empty[Int], Some(1))).toDF("a", "b")
