@@ -130,8 +130,10 @@ object MySqlCompat {
     * mixed notation. */
   def is_ipv6(ip: Column): Column = {
     val full = ip.rlike("^([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}$")
+    // exactly ONE `::` run: a second run ('1::2::3') is ambiguous and
+    // invalid per RFC 4291 / the reference's tiDBIsIPv6
     val compressed = ip.rlike("^(([0-9A-Fa-f]{1,4})?:){1,7}(:?[0-9A-Fa-f]{1,4})?$") &&
-      ip.contains("::") && !ip.contains(":::")
+      ip.contains("::") && !ip.contains(":::") && !ip.rlike("::.*::")
     full || compressed
   }
 

@@ -37,7 +37,7 @@ object ScalarQueries4 {
       |    c_nationkey + 1 || ',' || c_nationkey + 2 || ']}' AS js
       |  FROM customer WHERE c_custkey % 11 = 0)
       |SELECT c_custkey, js,
-      |  json_keys(js) AS keys,
+      |  array_to_string(json_keys(js), ',') AS keys,
       |  CAST(json_array_length(js, '$.tags') AS INTEGER) AS tags_len,
       |  json_extract_string(js, '$.name') AS name_ex,
       |  CAST(json_extract(js, '$.nested.n') AS INTEGER) AS nested_n,
@@ -45,7 +45,7 @@ object ScalarQueries4 {
       |  json_extract(js, '$.missing') IS NULL AS missing_absent,
       |  CAST(json_extract(js, '$.nested.flag') AS BOOLEAN) AS flag_parsed,
       |  NOT json_valid('{not json') AS invalid_null,
-      |  json_keys(js, '$.nested') AS keys_nested,
+      |  array_to_string(json_keys(js, '$.nested'), ',') AS keys_nested,
       |  3 AS depth,
       |  CASE WHEN c_custkey % 2 = 1 THEN 4 ELSE 2 END AS depth_var,
       |  CAST(NULL AS INTEGER) AS depth_invalid
@@ -62,7 +62,9 @@ object ScalarQueries4 {
       .withColumn("js", js)
       .select(
         col("c_custkey"), col("js"),
-        json_object_keys(col("js")).as("keys"),
+        // Serialized: the driver's pandas compare crashes on ARRAY columns
+        // ("unhashable type: numpy.ndarray") — join to a scalar string.
+        array_join(json_object_keys(col("js")), ",").as("keys"),
         json_array_length(get_json_object(col("js"), "$.tags")).cast("int").as("tags_len"),
         get_json_object(col("js"), "$.name").as("name_ex"),
         get_json_object(col("js"), "$.nested.n").cast("int").as("nested_n"),
@@ -72,7 +74,7 @@ object ScalarQueries4 {
           .getField("nested").getField("flag").as("flag_parsed"),
         get_json_object(lit("{not json"), "$.a").isNull.as("invalid_null"),
         // json_keys with a path argument (jsonKeys2Args)
-        json_object_keys(get_json_object(col("js"), "$.nested")).as("keys_nested"),
+        array_join(json_object_keys(get_json_object(col("js"), "$.nested")), ",").as("keys_nested"),
         // custom JsonDepth expression (Spark has no json_depth built-in)
         JsonFunctions.json_depth(col("js")).as("depth"),
         JsonFunctions.json_depth(concat(lit("{\"w\":"),

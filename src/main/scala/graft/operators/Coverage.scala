@@ -97,9 +97,9 @@ object Coverage {
   val q29DecimalArith: QueryDef = QueryDef(
     "q29_decimal_arith",
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)) AS dadd,
-      |  CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)) AS dsub,
-      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(24,4)) AS dmul,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS dadd,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS dsub,
+      |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(24,4)) AS DOUBLE) AS dmul,
       |  CAST((2 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000
       |        + CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
       |    // (2 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
@@ -110,9 +110,13 @@ object Coverage {
     val qty = col("l_quantity").cast(DecimalType(18, 2))
     Tables.lineitem(s, d).filter(col("l_orderkey") % 43 === 0).select(
       col("l_orderkey"), col("l_linenumber"),
-      (price + col("l_tax").cast(DecimalType(18, 2))).as("dadd"),
-      (price - col("l_discount").cast(DecimalType(18, 2))).as("dsub"),
-      (price * col("l_tax").cast(DecimalType(18, 2))).cast(DecimalType(24, 4)).as("dmul"),
+      // Decimal math internally, DOUBLE in the projection: the driver's
+      // pandas compare renders Spark DECIMAL as object-Decimal vs DuckDB
+      // float64 and hash-mismatches bit-identical values. Cent/4-place
+      // values are exactly double-representable, so the cast is lossless.
+      (price + col("l_tax").cast(DecimalType(18, 2))).cast("double").as("dadd"),
+      (price - col("l_discount").cast(DecimalType(18, 2))).cast("double").as("dsub"),
+      (price * col("l_tax").cast(DecimalType(18, 2))).cast(DecimalType(24, 4)).cast("double").as("dmul"),
       // True decimal division, HALF_UP to scale 6 (Decimal.changePrecision).
       // Double division + round(6) is NOT portable here: quotients of
       // cent-exact values by small integers land exactly on .xxxxxx5

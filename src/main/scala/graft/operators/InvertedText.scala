@@ -76,12 +76,14 @@ object InvertedText {
     """WITH tok AS (
       |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
       |  FROM documents)
-      |SELECT term, list_sort(list(doc_id)) AS postings, COUNT(*) AS df
+      |SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings, COUNT(*) AS df
       |FROM tok WHERE term IN ('hash', 'join', 'scan')
       |GROUP BY term""".stripMargin) { (s, d) =>
+    // postings serialized to CSV: the driver's pandas compare crashes on
+    // ARRAY output columns ("unhashable type: numpy.ndarray").
     buildPostings(Tables.documents(s, d))
       .filter(col("term").isin("hash", "join", "scan"))
-      .select(col("term"), col("postings"), col("df"))
+      .select(col("term"), array_join(col("postings"), ",").as("postings"), col("df"))
   }
 
   val all: Seq[QueryDef] = Seq(q75FulltextAnd, q76PostingLists)

@@ -141,7 +141,7 @@ object Multimodal {
   val q83MultimodalFrames: QueryDef = QueryDef(
     "q83_multimodal_framesample",
     """WITH t AS (SELECT doc_id, text FROM documents
-      |           WHERE octet_length(encode(text)) = length(text)),
+      |           WHERE octet_length(encode(text)) = length(text) AND length(text) > 0),
       |f AS (SELECT doc_id, text,
       |        unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS frame_idx
       |      FROM t)
@@ -149,8 +149,10 @@ object Multimodal {
       |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_hash
       |FROM f""".stripMargin) { (s, d) =>
     val frameSize = 64; val stride = 4
+    // length > 0 guard: an empty payload would make the sequence upper
+    // bound -1 < 0 and throw, where the oracle's range(0,0,4) emits none.
     withPayload(Tables.documents(s, d)
-      .filter(octet_length(col("text")) === length(col("text"))))
+      .filter(octet_length(col("text")) === length(col("text")) && length(col("text")) > 0))
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0L),
           ceil(length(col("payload")) / frameSize.toDouble).cast("long") - 1,

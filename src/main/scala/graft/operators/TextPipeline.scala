@@ -345,8 +345,10 @@ object TextPipeline {
       |                          v4*v4 + v5*v5 + v6*v6 + v7*v7 AS DOUBLE)) AS nrm
       |      FROM d)
       |SELECT doc_id,
-      |  [round(v0/nrm, 6), round(v1/nrm, 6), round(v2/nrm, 6), round(v3/nrm, 6),
-      |   round(v4/nrm, 6), round(v5/nrm, 6), round(v6/nrm, 6), round(v7/nrm, 6)] AS embedding
+      |  round(v0/nrm, 6) AS e0, round(v1/nrm, 6) AS e1,
+      |  round(v2/nrm, 6) AS e2, round(v3/nrm, 6) AS e3,
+      |  round(v4/nrm, 6) AS e4, round(v5/nrm, 6) AS e5,
+      |  round(v6/nrm, 6) AS e6, round(v7/nrm, 6) AS e7
       |FROM n WHERE nrm > 0""".stripMargin) { (s, d) =>
     val dims = 8
     val h = docs(s, d)
@@ -363,11 +365,14 @@ object TextPipeline {
           sum(when(pmod(col("hv"), lit(dims)) === k, expr("hv div 8") % 100).otherwise(0L)).as(s"v$k")): _*)
     val vs = (0 until dims).map(k => col(s"v$k"))
     val nrm = sqrt(vs.map(v => (v * v).cast("double")).reduce(_ + _))
+    // Projected as 8 scalar doubles, not ARRAY<double>: the driver's
+    // pandas compare crashes on array columns, and cross-engine float
+    // JSON formatting would make a serialized array un-hashable anyway.
     pivoted
       .withColumn("nrm", nrm)
       .filter(col("nrm") > 0)
-      .select(col("doc_id"),
-        array(vs.map(v => round(v.cast("double") / col("nrm"), 6)): _*).as("embedding"))
+      .select(col("doc_id") +:
+        (0 until dims).map(k => round(col(s"v$k").cast("double") / col("nrm"), 6).as(s"e$k")): _*)
   }
 
   /** Heavy hitters: the corpus's most frequent tokens with document

@@ -139,7 +139,8 @@ object Ingest {
       |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       |      FROM g)
-      |SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+      |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+      |  COUNT(*) AS n_events, MIN(event_id) AS first_event
       |FROM s GROUP BY user_id, sess_id""".stripMargin) { (s, d) =>
     // Integer microseconds end-to-end: DuckDB's epoch() returns a double
     // whose ~0.5 µs resolution at 1.7e9 s can flip a boundary gap test;

@@ -60,8 +60,12 @@ class MySqlCompatSpec extends SparkTestBase {
     assert(r.getBoolean(0))
     assert(r.getString(1) === "20010db8000100000000000000abcdef")
     assert(r.getString(2) === "2001:db8:1:0:0:0:ab:cdef")
-    val bad = Seq("10.1.2.3", "not-an-ip", ":::1").toDF("ip")
+    // '1::2::3' has two '::' runs — ambiguous, invalid per RFC 4291
+    val bad = Seq("10.1.2.3", "not-an-ip", ":::1", "1::2::3", "::1::").toDF("ip")
       .select(is_ipv6($"ip")).collect()
     assert(bad.forall(!_.getBoolean(0)))
+    val good = Seq("::1", "fe80::", "1::2", "a:b::c:d").toDF("ip")
+      .select(is_ipv6($"ip")).collect()
+    assert(good.forall(_.getBoolean(0)))
   }
 }

@@ -103,8 +103,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(rangeReparts.nonEmpty, "expected range repartition in scalable sort")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.{Window => W}
-    val got = df.select(col("s_suppkey").cast("long"), col("sort_pos").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sel = df.select(col("s_suppkey").cast("long"), col("sort_pos").cast("long"))
+    val got = sel.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // The offsets branch is only guaranteed the same partition
+    // boundaries as the main branch via exchange reuse (the
+    // RangePartitioner sample seed derives from the RDD id, so two
+    // separately-executed range exchanges could disagree). Assert the
+    // executed plan actually reused the exchange.
+    val planStr = sel.queryExecution.executedPlan.toString
+    assert(planStr.contains("ReusedExchange") || planStr.contains("ReusedQueryStage"),
+      "offsets branch must share the range exchange via reuse; got plan:\n" + planStr)
     val naive = sources.Tables.supplier(spark, sf)
       .select(col("s_suppkey"),
         row_number().over(W.orderBy(col("s_acctbal").desc, col("s_suppkey"))).cast("long").as("rn"))

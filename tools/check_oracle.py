@@ -36,6 +36,36 @@ def rows_of(rel):
     return sorted(cols), sorted(data)
 
 
+def contract_violations(con, qdir, oracle_sql):
+    """The DRIVER's compare is pandas-based (.df() + sort_values), which is
+    stricter than this checker's canonicalized fetchall: Spark DECIMAL
+    output columns hash as object-Decimal vs DuckDB float64; DuckDB
+    HUGEINT (SUM of integer) renders float64 vs Spark int64; and ARRAY
+    columns crash sort_values outright. Enforce the resulting contract —
+    project only BIGINT/INT/DOUBLE/STRING/BOOL/TIMESTAMP/DATE — so a
+    query can never pass locally but red out on the driver."""
+    bad = []
+    spark_types = {r[0]: r[1] for r in
+                   con.sql(f"DESCRIBE SELECT * FROM '{qdir}/*.parquet'").fetchall()}
+    for c, t in spark_types.items():
+        if "DECIMAL" in t or "[]" in t or "STRUCT" in t or "MAP" in t:
+            bad.append(f"spark col {c}: {t} (driver-unhashable)")
+    oracle_types = {}
+    if oracle_sql is not None:
+        oracle_types = {r[0]: r[1] for r in
+                        con.sql(f"DESCRIBE {oracle_sql}").fetchall()}
+        for c, t in oracle_types.items():
+            if "DECIMAL" in t or "HUGEINT" in t or "[]" in t or "STRUCT" in t:
+                bad.append(f"oracle col {c}: {t} (pandas renders != Spark dtype; CAST it)")
+    ints = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+            "USMALLINT", "UINTEGER", "UBIGINT")
+    for c in set(spark_types) & set(oracle_types):
+        s, o = spark_types[c], oracle_types[c]
+        if (s in ints) != (o in ints) and "DECIMAL" not in s + o and "HUGEINT" not in o:
+            bad.append(f"col {c}: spark {s} vs oracle {o} (int/float dtype mismatch)")
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -49,6 +79,13 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(qdir):
             continue
         got_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        viol = contract_violations(con, qdir, oracle.get(name))
+        if viol:
+            print(f"FAIL {name}: driver-contract violation:")
+            for v in viol:
+                print(f"  {v}")
+            nfail += 1
+            continue
         if name not in oracle:
             print(f"SKIP {name} (no oracle) rows={len(got_rel.fetchall())}")
             nskip += 1
