@@ -248,16 +248,20 @@ object Similarity {
 
   /** IVF-style ANN: a coarse quantizer partitions the corpus into
     * inverted lists; a query probes only its nProbe nearest lists. The
-    * centroids are a deterministic every-Nth systematic sample, so the
-    * list count grows with the corpus (the production shape — there
-    * k-means over a sample; "first K rows" would stop partitioning the
-    * space as data grows). At 100 TB the assignment is one
-    * broadcast-join pass, the index is a cid-partitioned table, and
-    * query cost is |probed lists| not |corpus|. Deterministic math end
-    * to end, so unlike LSH this variant is fully oracled. */
+    * centroids are a FIXED-k (k=32) deterministic sample — the k rows
+    * minimizing a Knuth multiplicative hash of vec_id, i.e. a uniform
+    * pseudo-random draw both engines compute identically — so the
+    * centroid set stays broadcast-able and assignment stays O(N·k) no
+    * matter how large the corpus grows (production would k-means the
+    * same sample; a modulo sample whose size tracks N would make
+    * assignment O(N²)). At 100 TB the assignment is one broadcast-join
+    * pass, the index is a cid-partitioned table, and query cost is
+    * |probed lists| not |corpus|. Deterministic math end to end, so
+    * unlike LSH this variant is fully oracled. */
   val q58AnnIvf: QueryDef = QueryDef(
     "q58_ann_ivf",
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0),
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |              ORDER BY (vec_id % 1000003) * 2654435761 % 4294967296, vec_id LIMIT 32),
        |assign AS (
        |  SELECT e.vec_id, e.embedding, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -282,8 +286,12 @@ object Similarity {
        |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
        |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    val cent = e.filter(col("vec_id") % 31 === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // k smallest Knuth-hash values of vec_id → TakeOrderedAndProject (a
+    // bounded top-k, never a full sort). The pre-modulo keeps the
+    // product < 2^52 so ANSI-mode Spark and DuckDB agree exactly.
+    val cent = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .orderBy((col("cid") % 1000003L) * 2654435761L % 4294967296L, col("cid"))
+      .limit(32)
     // Nearest-centroid assignment as a min_by AGGREGATION, not a window:
     // the N×C expansion collapses map-side (partial min_by) so only N
     // rows shuffle — a window would shuffle all N×C expanded rows.

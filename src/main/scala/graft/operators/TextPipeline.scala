@@ -128,34 +128,57 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
-  /** N-gram Jaccard similarity on candidate pairs blocked by `source`-
-    * group + shared first shingle hash band — here demonstrated with a
-    * deterministic modulo block so the oracle stays SQL-expressible:
-    * J = |A∩B| / |A∪B| over distinct 3-gram shingle sets. */
+  /** One-shuffle bounded candidate-pair expansion, the 100 TB blocking
+    * shape shared by q63/q69 (same pattern as q61's banded buckets):
+    * group rows by a CONTENT-derived block key, keep only buckets of
+    * 2..cap members (an oversized bucket is boilerplate/skew, not a
+    * near-dup cluster — the cap bounds pair output at cap²/2 per bucket
+    * regardless of corpus size, where a fixed block COUNT would grow
+    * pairs quadratically with N), and emit id1<id2 pairs with payloads
+    * straight from the sorted member array. Input columns:
+    * (doc_id, blk, payload). The pair HOF runs interpreted but only
+    * over ≤cap-size arrays, one per bucket. */
+  private def boundedPairs(t: DataFrame, cap: Int): DataFrame =
+    t.groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("payload")))).as("ms"))
+      .filter(size(col("ms")).between(2, cap))
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), lit(cap)), y =>
+          struct(x.getField("doc_id").as("id1"), x.getField("payload").as("p1"),
+            y.getField("doc_id").as("id2"), y.getField("payload").as("p2"))))))
+        .as("pr"))
+      .select(col("pr.id1"), col("pr.p1"), col("pr.id2"), col("pr.p2"))
+
+  /** N-gram Jaccard similarity on candidate pairs blocked by their
+    * MINIMUM shingle (content-derived — near-identical docs share it)
+    * with a bucket-size cap: J = |A∩B| / |A∪B| over distinct 3-gram
+    * shingle sets. Oracle spells the same blocking with a self-join
+    * restricted to capped buckets. */
   val q63NgramJaccard: QueryDef = QueryDef(
     "q63_ngram_jaccard",
     """WITH t AS (
-      |  SELECT doc_id, doc_id % 50 AS blk,
+      |  SELECT doc_id,
       |    list_distinct(list_transform(
       |      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
       |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' ')
       |    )) AS sh
-      |  FROM documents)
-      |SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id""".stripMargin) {
+      |  FROM documents),
+      |b AS (SELECT doc_id, sh, list_sort(sh)[1] AS blk FROM t),
+      |c AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 16)
+      |SELECT a.doc_id AS id1, b2.doc_id AS id2,
+      |  round(CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))), 6) AS jaccard
+      |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+      |JOIN c ON c.blk = a.blk""".stripMargin) {
     (s, d) =>
-      val t = docs(s, d).select(
-        col("doc_id"), (col("doc_id") % 50).as("blk"),
-        array_distinct(shingles(tokens, 3)).as("sh"))
-      val a = t.select(col("blk"), col("doc_id").as("id1"), col("sh").as("sh1"))
-      val b = t.select(col("blk"), col("doc_id").as("id2"), col("sh").as("sh2"))
-      a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
-        .withColumn("ni", size(array_intersect(col("sh1"), col("sh2"))))
+      val t = docs(s, d)
+        .select(col("doc_id"), array_distinct(shingles(tokens, 3)).as("payload"))
+        .withColumn("blk", array_min(col("payload")))
+      boundedPairs(t, 16)
+        .withColumn("ni", size(array_intersect(col("p1"), col("p2"))))
         .select(col("id1"), col("id2"),
           round(col("ni").cast("double") /
-            (size(col("sh1")) + size(col("sh2")) - col("ni")), 6).as("jaccard"))
+            (size(col("p1")) + size(col("p2")) - col("ni")), 6).as("jaccard"))
   }
 
   // ------------------------------------------------------------ text analysis
@@ -291,28 +314,33 @@ object TextPipeline {
   }
 
   /** Edit-distance near-dup on blocked candidate pairs (levenshtein is
-    * identical in both engines); blocked by n_chars bucket so only
-    * similar-length docs pair up — at scale the block key bounds the
-    * O(len^2) DP to plausible candidates. */
+    * identical in both engines); blocked by (length-bucket, first token)
+    * — content-derived, so bucket population tracks actual similarity
+    * clusters instead of corpus size — with a bucket cap bounding the
+    * O(len²) DP to ≤cap²/2 pairs per bucket. */
   val q69EditDistance: QueryDef = QueryDef(
     "q69_edit_distance",
-    """WITH t AS (SELECT doc_id, text, n_chars // 100 AS blk FROM documents
-      |           WHERE n_chars < 200)
+    """WITH t AS (SELECT doc_id, text,
+      |             CAST(n_chars // 20 AS VARCHAR) || '#' ||
+      |               string_split_regex(trim(text), '\s+')[1] AS blk
+      |           FROM documents WHERE n_chars < 200),
+      |c AS (SELECT blk FROM t GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 16)
       |SELECT a.doc_id AS id1, b.doc_id AS id2,
       |  levenshtein(a.text, b.text) AS dist,
       |  CAST(levenshtein(a.text, b.text) AS DOUBLE) /
       |    greatest(length(a.text), length(b.text)) AS rel_dist
-      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id""".stripMargin) {
+      |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |JOIN c ON c.blk = a.blk""".stripMargin) {
     (s, d) =>
       val t = docs(s, d).filter(col("n_chars") < 200)
-        .select(col("doc_id"), col("text"), (col("n_chars") / 100).cast("long").as("blk"))
-      val a = t.select(col("blk"), col("doc_id").as("id1"), col("text").as("t1"))
-      val b = t.select(col("blk"), col("doc_id").as("id2"), col("text").as("t2"))
-      a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+        .select(col("doc_id"), col("text").as("payload"),
+          concat_ws("#", (col("n_chars") / 20).cast("long").cast("string"),
+            element_at(split(trim(col("text")), "\\s+"), 1)).as("blk"))
+      boundedPairs(t, 16)
         .select(col("id1"), col("id2"),
-          levenshtein(col("t1"), col("t2")).as("dist"),
-          (levenshtein(col("t1"), col("t2")).cast("double") /
-            greatest(length(col("t1")), length(col("t2")))).as("rel_dist"))
+          levenshtein(col("p1"), col("p2")).as("dist"),
+          (levenshtein(col("p1"), col("p2")).cast("double") /
+            greatest(length(col("p1")), length(col("p2")))).as("rel_dist"))
   }
 
   /** Feature-hashing text embedding — the deterministic text→vector

@@ -89,6 +89,10 @@ class PlanShapeSpec extends SparkTestBase {
       // minhash: shingle window (doc) shared with the signature groupBy,
       // then (band,bucket) groupBy, then pair distinct
       assert(shuffles("q61_dedup_minhash") <= 3)
+      // bounded-bucket pair expansion: ONE groupBy on the content block
+      // key, no pair join — cap² output per bucket regardless of corpus
+      assert(shuffles("q63_ngram_jaccard") <= 1)
+      assert(shuffles("q69_edit_distance") <= 1)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
