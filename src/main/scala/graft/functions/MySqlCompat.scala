@@ -106,17 +106,25 @@ object MySqlCompat {
   def str_to_datetime_mysql(c: Column, fmt: String): Column =
     to_timestamp(c, mysqlPatternToJvm(fmt))
 
-  /** GET_FORMAT literal table (common subset) ≙ getFormat
-    * (`DAGUtils.cpp:500`); returns MySQL-token patterns consumable by
-    * [[date_format_mysql]]/[[str_to_date_mysql]]. */
+  /** GET_FORMAT literal table — the reference's FULL type×locale matrix
+    * (`Functions/FunctionsConversion.h:1869-1911`, sig map
+    * `DAGUtils.cpp:553`); returns MySQL-token patterns consumable by
+    * [[date_format_mysql]]/[[str_to_date_mysql]]. Unknown combinations
+    * return "" exactly as the reference does. */
   def getFormat(typ: String, loc: String): String =
     (typ.toUpperCase, loc.toUpperCase) match {
-      case ("DATE", "ISO") => "%Y-%m-%d"
       case ("DATE", "USA") => "%m.%d.%Y"
+      case ("DATE", "JIS" | "ISO") => "%Y-%m-%d"
       case ("DATE", "EUR") => "%d.%m.%Y"
-      case ("DATETIME", "ISO") => "%Y-%m-%d %H:%i:%s"
-      case ("TIME", "ISO") => "%H:%i:%s"
-      case _ => "%Y-%m-%d"
+      case ("DATE", "INTERNAL") => "%Y%m%d"
+      case ("DATETIME" | "TIMESTAMP", "USA" | "EUR") => "%Y-%m-%d %H.%i.%s"
+      case ("DATETIME" | "TIMESTAMP", "JIS" | "ISO") => "%Y-%m-%d %H:%i:%s"
+      case ("DATETIME" | "TIMESTAMP", "INTERNAL") => "%Y%m%d%H%i%s"
+      case ("TIME", "USA") => "%h:%i:%s %p"
+      case ("TIME", "JIS" | "ISO") => "%H:%i:%s"
+      case ("TIME", "EUR") => "%H.%i.%s"
+      case ("TIME", "INTERNAL") => "%H%i%s"
+      case _ => ""
     }
 
   /** IS_IPV4: syntactic dotted-quad check with 0-255 range. */

@@ -313,7 +313,51 @@ object ScalarQueries4 {
         find_in_set(lit("even"), col("flags")).as("find_even"))
   }
 
+  /** json_contains_path one-vs-all multi-path semantics ≙ the
+    * reference's jsonContainsPath (`DAGUtils.cpp:471-498`: 'one' = any
+    * path present, 'all' = every path present) plus vec_as_text ≙
+    * vecAsText (`DAGUtils.cpp:717-724`): vector rendered as its JSON
+    * text form. Integer vector components keep the text form
+    * byte-identical across engines (float formatting is
+    * engine-specific). Path-presence is tested via extraction IS NOT
+    * NULL — the documented approximation (a stored JSON null reads as
+    * absent), same caveat as q34b. */
+  val q34cJsonPaths: QueryDef = QueryDef(
+    "q34c_json_paths",
+    """WITH t AS (
+      |  SELECT c_custkey,
+      |    '{"a":' || c_custkey || ',"b":{"c":' || c_nationkey || '}}' AS js,
+      |    [c_nationkey, c_nationkey + 1, c_custkey % 100] AS vec
+      |  FROM customer WHERE c_custkey % 13 = 0)
+      |SELECT c_custkey,
+      |  (json_extract(js, '$.a') IS NOT NULL
+      |    OR json_extract(js, '$.missing') IS NOT NULL) AS one_hit,
+      |  (json_extract(js, '$.a') IS NOT NULL
+      |    AND json_extract(js, '$.missing') IS NOT NULL) AS all_miss,
+      |  (json_extract(js, '$.a') IS NOT NULL
+      |    AND json_extract(js, '$.b.c') IS NOT NULL) AS all_hit,
+      |  (json_extract(js, '$.nope') IS NOT NULL
+      |    OR json_extract(js, '$.missing') IS NOT NULL) AS one_miss,
+      |  '[' || array_to_string(vec, ',') || ']' AS vec_text
+      |FROM t""".stripMargin) { (s, d) =>
+    val js = concat(lit("{\"a\":"), col("c_custkey"),
+      lit(",\"b\":{\"c\":"), col("c_nationkey"), lit("}}"))
+    Tables.customer(s, d).filter(col("c_custkey") % 13 === 0)
+      .withColumn("js", js)
+      .select(col("c_custkey"),
+        (get_json_object(col("js"), "$.a").isNotNull ||
+          get_json_object(col("js"), "$.missing").isNotNull).as("one_hit"),
+        (get_json_object(col("js"), "$.a").isNotNull &&
+          get_json_object(col("js"), "$.missing").isNotNull).as("all_miss"),
+        (get_json_object(col("js"), "$.a").isNotNull &&
+          get_json_object(col("js"), "$.b.c").isNotNull).as("all_hit"),
+        (get_json_object(col("js"), "$.nope").isNotNull ||
+          get_json_object(col("js"), "$.missing").isNotNull).as("one_miss"),
+        to_json(array(col("c_nationkey"), col("c_nationkey") + 1,
+          col("c_custkey") % 100)).as("vec_text"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q34bJsonTail, q32bMysqlDatefmt, q39bCrc32, q48bDuration, q59CollatedCi,
-    q35bRegexpTail, q32cUnixtime, q38bIpv6, q47bEnumSet)
+    q35bRegexpTail, q32cUnixtime, q38bIpv6, q47bEnumSet, q34cJsonPaths)
 }

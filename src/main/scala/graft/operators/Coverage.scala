@@ -152,6 +152,95 @@ object Coverage {
         |FROM customer""".stripMargin)
   }
 
+  /** Null-aware left-outer-semi with the THREE-VALUED flag preserved ≙
+    * the reference's NullAware_LeftOuterSemi join kind
+    * (`ASTTablesInSelectQuery.h:94-119`, fullstack
+    * `mpp/left_semi_family_joins.test`): the projected IN-flag is
+    * true / false / NULL (UNKNOWN), NOT folded to false as q46's
+    * isTrueWithNull form does. Spark's ExistenceJoin folds NULL→false,
+    * so the UNKNOWN rows are reconstructed the way a distributed
+    * null-aware join actually runs at scale: hash-join the probe
+    * against the DISTINCT non-null build values (broadcast,
+    * dim-sized), and combine with a broadcast 1-row null-summary of
+    * the build side — x IN S is true on match; NULL when x IS NULL
+    * and S is non-empty, or when unmatched but S contains NULL; false
+    * otherwise. No shuffle of the probe side beyond the join itself. */
+  val q46bNullAwareSemiFlag: QueryDef = QueryDef(
+    "q46b_null_aware_semi_flag",
+    """SELECT c_custkey,
+      |  (CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END)
+      |    IN (SELECT CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_custkey END
+      |        FROM orders WHERE o_totalprice > 300000) AS in_flag,
+      |  (CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END)
+      |    IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000) AS in_flag_nn
+      |FROM customer""".stripMargin) { (s, d) =>
+    val sub = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(when(col("o_orderkey") % 101 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")).as("v"))
+    val stats = sub.agg(count(lit(1)).as("n_total"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+    val vals = sub.filter(col("v").isNotNull).distinct()
+    // second build side with NO nulls: unmatched non-null probes read
+    // FALSE here, so the output exercises the full {true,false,NULL} set
+    val sub2 = Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+      .select(col("o_custkey").as("w"))
+    val stats2 = sub2.agg(count(lit(1)).as("n_total2"))
+    val vals2 = sub2.distinct()
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 97 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey")).as("x"))
+      .join(broadcast(vals), col("x") === col("v"), "left")
+      .join(broadcast(vals2), col("x") === col("w"), "left")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats2))
+      .select(col("c_custkey"),
+        when(col("v").isNotNull, lit(true))
+          .when(col("x").isNull && col("n_total") > 0, lit(null).cast("boolean"))
+          .when(col("n_null") > 0, lit(null).cast("boolean"))
+          .otherwise(lit(false)).as("in_flag"),
+        when(col("w").isNotNull, lit(true))
+          .when(col("x").isNull && col("n_total2") > 0, lit(null).cast("boolean"))
+          .otherwise(lit(false)).as("in_flag_nn"))
+  }
+
+  /** Decimal(38) / unsigned-BIGINT boundary contract (SURVEY §7.4.1 ≙
+    * the reference's Decimal256 + UInt64 surface,
+    * `DataTypes/DataTypeDecimal.h`): products at full Decimal(38)
+    * precision, sums approaching the precision cap, and values in the
+    * unsigned-bigint range (2^63..2^64) that Int64 cannot hold,
+    * carried as DECIMAL(20,0). Projected as VARCHAR because the driver
+    * contract forbids DECIMAL output columns — the digit strings are
+    * exact on both engines. */
+  val q98DecimalOverflow: QueryDef = QueryDef(
+    "q98_decimal_boundaries",
+    """WITH t AS (
+      |  SELECT l_orderkey,
+      |    CAST(l_orderkey AS DECIMAL(18,0)) *
+      |      CAST('1000000000000000000' AS DECIMAL(19,0)) AS big,
+      |    CAST('9223372036854775808' AS DECIMAL(20,0)) + (l_orderkey % 1000) AS ubig
+      |  FROM lineitem WHERE l_orderkey % 97 = 0)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(big) AS VARCHAR) AS sum_big,
+      |  CAST(MAX(big) AS VARCHAR) AS max_big,
+      |  CAST(SUM(ubig) AS VARCHAR) AS sum_ubig,
+      |  CAST(MIN(ubig) AS VARCHAR) AS min_ubig,
+      |  CAST(MAX(ubig) AS VARCHAR) AS max_ubig
+      |FROM t""".stripMargin) { (s, d) =>
+    val t = Tables.lineitem(s, d).filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"),
+        (col("l_orderkey").cast(DecimalType(18, 0)) *
+          expr("CAST('1000000000000000000' AS DECIMAL(19,0))")).as("big"),
+        (expr("CAST('9223372036854775808' AS DECIMAL(20,0))") +
+          col("l_orderkey") % 1000).as("ubig"))
+    t.agg(count(lit(1)).as("n"),
+      sum(col("big")).cast("string").as("sum_big"),
+      max(col("big")).cast("string").as("max_big"),
+      sum(col("ubig")).cast("string").as("sum_ubig"),
+      min(col("ubig")).cast("string").as("min_ubig"),
+      max(col("ubig")).cast("string").as("max_ubig"))
+  }
+
   /** Salted two-stage aggregation — the manual skew guard (SURVEY §4
     * "salting for skew"): stage 1 aggregates on (key, salt), stage 2
     * merges partials per key. Result must equal the direct aggregation,
@@ -262,6 +351,6 @@ object Coverage {
 
   val all: Seq[QueryDef] = Seq(
     q25AggKeyless, q26SortFull, q27MinMaxBy, q28StatAggs, q29DecimalArith,
-    q46InExistence, q49SaltedAgg, q55CiCollation, q56TidbDivide,
-    q28bTopK, q96BitAggs, q97JsonAggs)
+    q46InExistence, q46bNullAwareSemiFlag, q49SaltedAgg, q55CiCollation,
+    q56TidbDivide, q28bTopK, q96BitAggs, q97JsonAggs, q98DecimalOverflow)
 }

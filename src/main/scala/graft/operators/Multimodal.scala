@@ -57,6 +57,41 @@ object Multimodal {
   def withPayload(df: DataFrame): DataFrame =
     df.withColumn("payload", col("text").cast("binary"))
 
+  /** REAL codec for one tiny format: BMP. Serializes a 54-byte
+    * BITMAPFILEHEADER+BITMAPINFOHEADER and parses it back with genuine
+    * little-endian byte arithmetic — no native libraries required, so
+    * unlike [[fakeDecode]] this path exercises an actual binary format
+    * end to end (signature check, LE int32 fields, bpp→channels). */
+  def makeBmp(w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](54)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, 54) // file size (header-only payload)
+    putLe32(10, 54) // pixel-array offset
+    putLe32(14, 40) // DIB header size (BITMAPINFOHEADER)
+    putLe32(18, w)
+    putLe32(22, h)
+    out(26) = 1 // color planes
+    out(28) = 24 // bits per pixel
+    out
+  }
+
+  def bmpDecode(id: Long, payload: Array[Byte]): MediaMeta = {
+    require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+      s"doc $id: not a BMP payload")
+    def le32(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+        ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+    val bpp = (payload(28) & 0xff) | ((payload(29) & 0xff) << 8)
+    MediaMeta(id, payload.length.toLong, le32(18), le32(22), bpp / 8,
+      Array.empty[Float])
+  }
+
   /** Binary metadata surface: byte length, content hash, hex prefix —
     * computed straight on the binary column (codegen'd built-ins). */
   val q80MultimodalMeta: QueryDef = QueryDef(
@@ -162,7 +197,45 @@ object Multimodal {
           .as("frame_hash"))
   }
 
+  /** Real-format decode pipeline: derive per-doc dimensions, serialize a
+    * genuine BMP header, then recover every output field by PARSING the
+    * bytes back (not by passing the inputs through) — the honest version
+    * of the decode stage, plus the pixel-row-stride arithmetic
+    * (4-byte-aligned rows) a real raster pipeline computes. The oracle
+    * reproduces the same dimensions from the text arithmetic and the
+    * same stride formula. */
+  val q84MultimodalBmp: QueryDef = QueryDef(
+    "q84_multimodal_bmp",
+    """SELECT doc_id,
+      |  64 + ascii(substr(text, 1, 1)) % 192 AS width,
+      |  64 + ascii(substr(text, 2, 1)) % 192 AS height,
+      |  3 AS channels,
+      |  CAST(((64 + ascii(substr(text, 1, 1)) % 192) * 3 + 3) // 4 * 4 *
+      |    (64 + ascii(substr(text, 2, 1)) % 192) AS BIGINT) AS px_bytes
+      |FROM documents
+      |WHERE octet_length(encode(text)) = length(text) AND length(text) > 1""".stripMargin) {
+    (s, d) =>
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      Tables.documents(s, d)
+        .filter(octet_length(col("text")) === length(col("text")) &&
+          length(col("text")) > 1)
+        .select(col("doc_id"),
+          (lit(64) + ascii(substring(col("text"), 1, 1)) % 192).as("w"),
+          (lit(64) + ascii(substring(col("text"), 2, 1)) % 192).as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, w, h) =>
+            val meta = bmpDecode(id, makeBmp(w, h)) // encode → real parse
+            val stride = (meta.width * meta.channels + 3) / 4 * 4
+            (id, meta.width, meta.height, meta.channels,
+              stride.toLong * meta.height)
+          }
+        }
+        .toDF("doc_id", "width", "height", "channels", "px_bytes")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q80MultimodalMeta, q81MultimodalDecode, q82MultimodalResize,
-    q83MultimodalFrames)
+    q83MultimodalFrames, q84MultimodalBmp)
 }

@@ -41,6 +41,12 @@ class MySqlCompatSpec extends SparkTestBase {
   test("get_format returns usable MySQL-token patterns") {
     assert(getFormat("DATE", "ISO") === "%Y-%m-%d")
     assert(getFormat("datetime", "iso") === "%Y-%m-%d %H:%i:%s")
+    // full reference matrix (FunctionsConversion.h:1869-1911)
+    assert(getFormat("DATE", "INTERNAL") === "%Y%m%d")
+    assert(getFormat("TIMESTAMP", "USA") === "%Y-%m-%d %H.%i.%s")
+    assert(getFormat("TIME", "USA") === "%h:%i:%s %p")
+    assert(getFormat("TIME", "EUR") === "%H.%i.%s")
+    assert(getFormat("DATE", "MARS") === "")
   }
 
   test("inverted search with absent terms is empty, not an error") {
