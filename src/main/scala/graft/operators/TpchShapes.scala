@@ -195,6 +195,99 @@ object TpchShapes {
         sum(rev).cast("double"), 6).as("promo_revenue"))
   }
 
+  /** Q4 shape (adapted: schema has no l_commitdate — a returned
+    * lineitem plays the late-delivery flag): order count per priority
+    * where a matching lineitem EXISTS. The correlated EXISTS is a
+    * LeftSemi join — the fact side shuffles once on orderkey, the
+    * priority groupBy is dimension-cardinality. */
+  val q96TpchQ4: QueryDef = QueryDef(
+    "q96b_tpch_q4",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q15 shape: revenue-per-supplier view consumed TWICE (max + join
+    * back) — the classic shared-subquery top-revenue-supplier query.
+    * The revenue aggregate is computed once; the 1-row max broadcasts;
+    * equality is tested on the exact DECIMAL, not the projected double. */
+  val q97TpchQ15: QueryDef = QueryDef(
+    "q97b_tpch_q15",
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS trd
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(trd AS DOUBLE) AS total_rev
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE trd = (SELECT MAX(trd) FROM rev)""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(30, 6))).as("trd"))
+    val mx = rev.agg(max(col("trd")).as("mx"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(mx))
+      .filter(col("trd") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("trd").cast("double").as("total_rev"))
+  }
+
+  /** Q20 shape: doubly-nested semi join — suppliers shipping an
+    * above-average volume of the probed parts (Q20's relative
+    * threshold, which stays selective at every scale factor, unlike an
+    * absolute constant). The part filter broadcasts into the lineitem
+    * scan; one suppkey groupBy; the 1-row (count,total) summary
+    * broadcasts for the threshold; the qualifying-supplier set
+    * semi-joins back into the supplier table. The average compare is
+    * done in exact integer cents (sq·100·n > total·100) so neither
+    * engine's decimal-vs-double AVG rules can flip a boundary row. */
+  val q98TpchQ20: QueryDef = QueryDef(
+    "q98b_tpch_q20",
+    """WITH q AS (
+      |  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(30,2))) AS sq
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM q
+      |  WHERE CAST(sq * 100 AS BIGINT) * (SELECT COUNT(*) FROM q)
+      |      > CAST((SELECT SUM(sq) FROM q) * 100 AS BIGINT))""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val p = Tables.part(s, d).filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val q = Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "leftsemi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(30, 2))).as("sq"))
+    val stats = q.agg(count(lit(1)).as("n"), sum(col("sq")).as("tot"))
+    val qualifying = q.crossJoin(broadcast(stats))
+      .filter((col("sq") * 100).cast("long") * col("n") >
+        (col("tot") * 100).cast("long"))
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "leftsemi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q90TpchQ5, q91TpchQ10, q92TpchQ18, q93TpchQ7, q94TpchQ12, q95TpchQ14)
+    q90TpchQ5, q91TpchQ10, q92TpchQ18, q93TpchQ7, q94TpchQ12, q95TpchQ14,
+    q96TpchQ4, q97TpchQ15, q98TpchQ20)
 }

@@ -156,6 +156,36 @@ object Ingest {
       .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
   }.copy(headline = true)
 
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+    * KeyValueGroupedDataset custom-state surface (SURVEY §2.6). Same
+    * gap semantics as q73's window-lag batch form (new session when the
+    * gap exceeds 30 min), but with EXPLICIT per-key state carried
+    * across micro-batches: state = (current session id, last event
+    * µs), events within a batch processed in (ts, event_id) order.
+    * Works identically on a batch Dataset (Spark runs the function per
+    * group with empty initial state), which is what makes it testable
+    * against the window-lag analog. */
+  def sessionizeStateful(df: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    df.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        var (sessId, lastTs) = state.getOption.getOrElse((0L, Long.MinValue))
+        val out = evs.map { case (_, eid, ts) =>
+          if (lastTs != Long.MinValue && ts - lastTs > 1800L * 1000000L) sessId += 1
+          lastTs = ts
+          (uid, eid, sessId)
+        }
+        state.update((sessId, lastTs))
+        out.iterator
+      }
+      .toDF("user_id", "event_id", "sess_id")
+  }
+
   /** Native session windows (`session_window`, the engine's stateful
     * sessionization operator — works identically in batch and
     * Structured Streaming with a watermark; `StreamingSpec` runs the

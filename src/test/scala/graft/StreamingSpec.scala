@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.streaming.Ingest
 import graft.sources.Tables
@@ -77,6 +78,63 @@ class StreamingSpec extends SparkTestBase {
     val batchDistinct = Tables.events(spark, sf).select("event_id").distinct().count()
     assert(streamedCount === batchDistinct,
       s"streaming dedup $streamedCount vs batch distinct $batchDistinct")
+  }
+
+  test("flatMapGroupsWithState sessionization matches the window-lag sessionize") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val in = Files.createTempDirectory("graft-stream-state").resolve("in")
+    Files.createDirectories(in)
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("events.parquet"))
+    val schema = spark.read.parquet(in.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Ingest.sessionizeStateful(stream).writeStream
+      .outputMode("append").format("memory").queryName("state_sess")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = key(spark.table("state_sess"))
+    // window-lag analog of the same gap rule (q73's shape, per event)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ep = unix_micros(col("ts"))
+    val batch = key(Tables.events(spark, sf)
+      .withColumn("new_sess",
+        when(ep - lag(ep, 1).over(w) > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("sess_id")))
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
+  test("stream-static dimension join matches the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Files.createTempDirectory("graft-stream-dim").resolve("in")
+    Files.createDirectories(in)
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("events.parquet"))
+    val schema = spark.read.parquet(in.toString).schema
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val nCust = dim.count()
+    def enrich(events: org.apache.spark.sql.DataFrame) = events
+      .withColumn("ck", pmod(col("user_id"), lit(nCust)) + 1)
+      .join(dim, col("ck") === col("c_custkey")) // stream-static: dim broadcasts
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = enrich(stream).writeStream
+      .outputMode("complete").format("memory").queryName("dim_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val streamed = key(spark.table("dim_join"))
+    val batch = key(enrich(Tables.events(spark, sf)))
+    assert(streamed === batch && streamed.nonEmpty)
   }
 
   test("watermarked streaming window agg matches the batch window agg") {
