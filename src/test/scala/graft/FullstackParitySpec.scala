@@ -104,6 +104,78 @@ class FullstackParitySpec extends SparkTestBase {
     assert(nullHex.isNullAt(0))
   }
 
+  test("left_semi_family_joins.test: WHERE-context IN/NOT IN families match reference rows") {
+    // mpp/left_semi_family_joins.test — fixture t(a NOT NULL, b NULL) and
+    // the expected rows for every semi/anti family, verbatim. Spark's
+    // WHERE-context IN/NOT IN is ANSI three-valued, same as the
+    // reference's NullAware joins, so the row sets must agree exactly.
+    val t = Seq((1, Some(1)), (1, Some(2)), (2, Some(1)), (1, Some(3)),
+      (2, Some(3)), (1, Option.empty[Int]), (2, Option.empty[Int])).toDF("a", "b")
+    t.createOrReplaceTempView("lsf_t")
+    def rows(pred: String): Seq[(Int, Option[Int])] =
+      spark.sql(s"select a, b from lsf_t t1 where $pred")
+        .collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+        .toSeq.sortBy(x => (x._1, x._2.getOrElse(Int.MinValue)))
+    def exp(rows: (Int, Option[Int])*): Seq[(Int, Option[Int])] =
+      rows.sortBy(x => (x._1, x._2.getOrElse(Int.MinValue)))
+    // simple left semi: all rows survive
+    assert(rows("t1.a>1 or t1.a in (select a from lsf_t)") ===
+      exp((1, Some(1)), (1, Some(2)), (2, Some(1)), (1, Some(3)), (2, Some(3)),
+        (1, None), (2, None)))
+    // left semi with correlated other-condition
+    assert(rows("t1.a>1 or t1.a in (select a from lsf_t where b < t1.b)") ===
+      exp((1, Some(2)), (2, Some(1)), (1, Some(3)), (2, Some(3)), (2, None)))
+    // simple left anti
+    assert(rows("t1.a>1 or t1.a not in (select a from lsf_t)") ===
+      exp((2, Some(1)), (2, Some(3)), (2, None)))
+    // left anti with correlated other-condition
+    assert(rows("t1.a>1 or t1.a not in (select a from lsf_t where b < t1.b)") ===
+      exp((1, Some(1)), (2, Some(1)), (2, Some(3)), (1, None), (2, None)))
+    // cartesian left semi (nullable probe column)
+    assert(rows("t1.a>1 or t1.b in (select a from lsf_t)") ===
+      exp((1, Some(1)), (1, Some(2)), (2, Some(1)), (2, Some(3)), (2, None)))
+    // cartesian left semi with other condition (nullable build column)
+    assert(rows("t1.a>1 or t1.a in (select b from lsf_t where b < t1.b)") ===
+      exp((1, Some(2)), (2, Some(1)), (1, Some(3)), (2, Some(3)), (2, None)))
+    // cartesian simple left anti
+    assert(rows("t1.a>1 or t1.b not in (select a from lsf_t)") ===
+      exp((2, Some(1)), (1, Some(3)), (2, Some(3)), (2, None)))
+    // cartesian left anti with other condition
+    assert(rows("t1.a>1 or t1.b not in (select a from lsf_t where b < t1.b)") ===
+      exp((1, Some(1)), (2, Some(1)), (1, Some(3)), (2, Some(3)), (1, None), (2, None)))
+  }
+
+  test("left_semi_family_joins.test scalar: projected IN flag three-valued truth table") {
+    // mpp/left_semi_family_joins.test "as scalar test": probe {0,1,2,NULL}
+    // vs build {0,1,NULL} — reference expects in: [1,1,NULL,NULL],
+    // not-in: [0,0,NULL,NULL]. Reconstructed with q46b's broadcast
+    // machinery (Coverage.q46bNullAwareSemiFlag) since Spark's
+    // ExistenceJoin folds the projected UNKNOWN to false.
+    val build = Seq(Some(0), Some(1), Option.empty[Int]).toDF("v")
+    val probe = Seq(Some(0), Some(1), Some(2), Option.empty[Int]).toDF("x")
+    val stats = build.agg(count(lit(1)).as("n_total"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+    val vals = build.filter(col("v").isNotNull).distinct()
+    val flag = when(col("v").isNotNull, lit(true))
+      .when(col("x").isNull && col("n_total") > 0, lit(null).cast("boolean"))
+      .when(col("n_null") > 0, lit(null).cast("boolean"))
+      .otherwise(lit(false))
+    val got = probe
+      .join(broadcast(vals), col("x") === col("v"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("x"), flag.as("in_flag"), (!flag).as("not_in_flag"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        if (r.isNullAt(1)) None else Some(r.getBoolean(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSet
+    assert(got === Set(
+      (Some(0), Some(true), Some(false)),
+      (Some(1), Some(true), Some(false)),
+      (Some(2), None, None),
+      (None, None, None)))
+  }
+
   test("nulleq.test: <=> truth table on (1,NULL),(NULL,1)") {
     // expr/nulleq.test:22-29 expected verbatim (1=true, 0=false)
     val t = Seq((Some(1), Option.empty[Int]), (Option.empty[Int], Some(1))).toDF("a", "b")
