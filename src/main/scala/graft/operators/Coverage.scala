@@ -160,11 +160,13 @@ object Coverage {
     * isTrueWithNull form does. Spark's ExistenceJoin folds NULL→false,
     * so the UNKNOWN rows are reconstructed the way a distributed
     * null-aware join actually runs at scale: hash-join the probe
-    * against the DISTINCT non-null build values (broadcast,
-    * dim-sized), and combine with a broadcast 1-row null-summary of
-    * the build side — x IN S is true on match; NULL when x IS NULL
-    * and S is non-empty, or when unmatched but S contains NULL; false
-    * otherwise. No shuffle of the probe side beyond the join itself. */
+    * against the DISTINCT non-null build values (no broadcast hint —
+    * the distinct set grows with the data, so whether it broadcasts is
+    * AQE's runtime call), and combine with a broadcast 1-ROW
+    * null-summary of the build side — x IN S is true on match; NULL
+    * when x IS NULL and S is non-empty, or when unmatched but S
+    * contains NULL; false otherwise. Only the bounded summaries are
+    * hinted broadcast. */
   val q46bNullAwareSemiFlag: QueryDef = QueryDef(
     "q46b_null_aware_semi_flag",
     """SELECT c_custkey,
@@ -190,8 +192,8 @@ object Coverage {
       .select(col("c_custkey"),
         when(col("c_custkey") % 97 === 0, lit(null).cast("long"))
           .otherwise(col("c_custkey")).as("x"))
-      .join(broadcast(vals), col("x") === col("v"), "left")
-      .join(broadcast(vals2), col("x") === col("w"), "left")
+      .join(vals, col("x") === col("v"), "left")
+      .join(vals2, col("x") === col("w"), "left")
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(stats2))
       .select(col("c_custkey"),

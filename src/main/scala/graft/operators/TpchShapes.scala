@@ -252,10 +252,11 @@ object TpchShapes {
   /** Q20 shape: doubly-nested semi join — suppliers shipping an
     * above-average volume of the probed parts (Q20's relative
     * threshold, which stays selective at every scale factor, unlike an
-    * absolute constant). The part filter broadcasts into the lineitem
-    * scan; one suppkey groupBy; the 1-row (count,total) summary
-    * broadcasts for the threshold; the qualifying-supplier set
-    * semi-joins back into the supplier table. The average compare is
+    * absolute constant). The part-filter semi join is left to AQE (the
+    * probed part set grows with scale factor — only genuinely bounded
+    * sides get broadcast hints); one suppkey groupBy; the 1-row
+    * (count,total) summary broadcasts for the threshold; the
+    * qualifying-supplier set semi-joins back. The average compare is
     * done in exact integer cents (sq·100·n > total·100) so neither
     * engine's decimal-vs-double AVG rules can flip a boundary row. */
   val q98TpchQ20: QueryDef = QueryDef(
@@ -274,7 +275,7 @@ object TpchShapes {
     import org.apache.spark.sql.types.DecimalType
     val p = Tables.part(s, d).filter(col("p_name").like("red%")).select(col("p_partkey"))
     val q = Tables.lineitem(s, d)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "leftsemi")
+      .join(p, col("l_partkey") === col("p_partkey"), "leftsemi")
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_quantity").cast(DecimalType(30, 2))).as("sq"))
     val stats = q.agg(count(lit(1)).as("n"), sum(col("sq")).as("tot"))
