@@ -96,31 +96,6 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("runtime bloom filter injects into the fact scan of a selective dim join") {
-    // ≙ the reference's RuntimeFilter (RuntimeFilter.h:25-91): a
-    // selective build side plants a bloom filter on the probe scan.
-    // Production thresholds (10 GB probe) can't trigger at test scale,
-    // so they are zeroed here; the assertion is that the optimizer
-    // actually injects might_contain when the shape calls for it.
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-      "spark.sql.autoBroadcastJoinThreshold")
-    val prev = keys.map(k => k -> spark.conf.get(k)).toMap
-    try {
-      spark.conf.set(keys(0), "0") // probe side: any size qualifies
-      spark.conf.set(keys(1), "1GB") // build side: must fit UNDER this cap
-      spark.conf.set(keys(2), "-1") // shuffle join: broadcast wouldn't need the filter
-      import org.apache.spark.sql.functions._
-      val o = sources.Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
-      val l = sources.Tables.lineitem(spark, sf)
-      val plan = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .queryExecution.optimizedPlan.toString
-      assert(plan.contains("might_contain"),
-        "expected a runtime bloom filter on the fact side; got plan:\n" + plan)
-    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
-  }
-
   test("q26 global rank is range-partitioned and matches a naive global sort") {
     import org.apache.spark.sql.catalyst.expressions.SortOrder
     import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
