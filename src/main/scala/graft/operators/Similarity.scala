@@ -258,6 +258,28 @@ object Similarity {
     * pass, the index is a cid-partitioned table, and query cost is
     * |probed lists| not |corpus|. Deterministic math end to end, so
     * unlike LSH this variant is fully oracled. */
+  /** Fixed-k IVF centroids: the k smallest Knuth-hash values of vec_id
+    * → TakeOrderedAndProject (a bounded top-k, never a full sort). The
+    * pre-modulo keeps the product < 2^52 so ANSI-mode Spark and DuckDB
+    * agree exactly. */
+  def ivfCentroids(e: DataFrame, k: Int = 32): DataFrame =
+    e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .orderBy((col("cid") % 1000003L) * 2654435761L % 4294967296L, col("cid"))
+      .limit(k)
+
+  /** Nearest-centroid assignment as a min_by AGGREGATION, not a window:
+    * the N×C expansion collapses map-side (partial min_by) so only N
+    * rows shuffle — a window would shuffle all N×C expanded rows.
+    * (cdist, cid) lexicographic min ≙ ORDER BY dist, cid. */
+  def ivfAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("cdist", vec_l2_distance(col("embedding"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("cid"), struct(col("cdist"), col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("cid"))
+
   val q58AnnIvf: QueryDef = QueryDef(
     "q58_ann_ivf",
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
@@ -286,23 +308,8 @@ object Similarity {
        |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
        |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    // k smallest Knuth-hash values of vec_id → TakeOrderedAndProject (a
-    // bounded top-k, never a full sort). The pre-modulo keeps the
-    // product < 2^52 so ANSI-mode Spark and DuckDB agree exactly.
-    val cent = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .orderBy((col("cid") % 1000003L) * 2654435761L % 4294967296L, col("cid"))
-      .limit(32)
-    // Nearest-centroid assignment as a min_by AGGREGATION, not a window:
-    // the N×C expansion collapses map-side (partial min_by) so only N
-    // rows shuffle — a window would shuffle all N×C expanded rows.
-    // (cdist, cid) lexicographic min ≙ the oracle's ORDER BY dist, cid.
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("cdist", vec_l2_distance(col("embedding"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(
-        min_by(col("cid"), struct(col("cdist"), col("cid"))).as("cid"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val cent = ivfCentroids(e)
+    val assigned = ivfAssign(e, cent)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cid"))

@@ -24,6 +24,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.05, f"recall@10 implausibly low: $recall%.3f")
   }
 
+  test("stored IVF index probes only the selected lists (partition pruning)") {
+    // The 100 TB claim behind q58: persist the assignment as a
+    // cid-PARTITIONED table and a probe touches only its nProbe lists —
+    // the scan must show a partition filter on cid, and the probed read
+    // must equal the in-memory assignment filtered the same way.
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+    val cent = Similarity.ivfCentroids(e)
+    val assigned = Similarity.ivfAssign(e, cent)
+      .select(col("vec_id"), col("cid")) // embeddings stay in the lists too in prod
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    assigned.write.partitionBy("cid").mode("overwrite").parquet(dir)
+    // probe 3 real lists (|Q|×nProbe-sized set, bounded)
+    val probed = cent.select(col("cid")).collect().map(_.getLong(0)).sorted.take(3).toSeq
+    val scan = spark.read.parquet(dir)
+      .filter(col("cid").isin(probed: _*))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"expected cid partition pruning in stored-index scan:\n$plan")
+    val viaIndex = scan.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = assigned.filter(col("cid").isin(probed: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === direct && viaIndex.nonEmpty)
+  }
+
   test("minhash pairs and simhash signatures hold their structural invariants") {
     val pairs = SparkEntry.queries("q61_dedup_minhash")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
