@@ -243,6 +243,34 @@ object Coverage {
       max(col("ubig")).cast("string").as("max_ubig"))
   }
 
+  /** Correlated scalar subquery ≙ the reference's Apply operator
+    * (TiDB pushes Apply to TiFlash; fullstack `mpp/apply.test`):
+    * orders priced above 1.5× their customer's average. Catalyst
+    * decorrelates the two scalar aggregates into grouped aggregates +
+    * joins — the distributed Apply plan. The threshold compare runs in
+    * exact integer cents (2·cents·n > 3·total) so neither engine's
+    * AVG return-type rules (Spark decimal vs DuckDB double) matter. */
+  val q99CorrelatedScalar: QueryDef = QueryDef(
+    "q99_correlated_scalar",
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |           FROM orders)
+      |SELECT o_orderkey, o_custkey, cents
+      |FROM o
+      |WHERE 2 * cents * (SELECT COUNT(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+      |    > 3 * (SELECT SUM(cents) FROM o o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin) {
+    (s, d) =>
+      Relational.views(s, d)
+      s.sql(
+        """WITH o AS (SELECT o_orderkey, o_custkey,
+          |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          |           FROM orders)
+          |SELECT o_orderkey, o_custkey, cents
+          |FROM o
+          |WHERE 2 * cents * (SELECT COUNT(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+          |    > 3 * (SELECT SUM(cents) FROM o o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   /** Salted two-stage aggregation — the manual skew guard (SURVEY §4
     * "salting for skew"): stage 1 aggregates on (key, salt), stage 2
     * merges partials per key. Result must equal the direct aggregation,
@@ -354,5 +382,6 @@ object Coverage {
   val all: Seq[QueryDef] = Seq(
     q25AggKeyless, q26SortFull, q27MinMaxBy, q28StatAggs, q29DecimalArith,
     q46InExistence, q46bNullAwareSemiFlag, q49SaltedAgg, q55CiCollation,
-    q56TidbDivide, q28bTopK, q96BitAggs, q97JsonAggs, q98DecimalOverflow)
+    q56TidbDivide, q28bTopK, q96BitAggs, q97JsonAggs, q98DecimalOverflow,
+    q99CorrelatedScalar)
 }

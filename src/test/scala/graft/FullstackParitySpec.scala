@@ -176,6 +176,28 @@ class FullstackParitySpec extends SparkTestBase {
       (None, None, None)))
   }
 
+  test("apply.test: non-equi correlated scalar subquery count matches reference") {
+    // mpp/apply.test — fixture: 8 seed rows, then 9 rounds of
+    // `insert into t select a+5, b+5 from t` (doubling with shift) →
+    // 4096 rows; expected count(*) where a > (select avg(b) from t t1
+    // where t.a > t1.a) is 4094, identical with parallel apply on/off.
+    // fixture built driver-side (one 4096-row LocalRelation — the
+    // 9-level union-of-projections plan decorrelates into a 512×512
+    // leaf join and chokes the optimizer, which is a plan-size issue,
+    // not a semantics one)
+    var rows = Seq((1, 2), (2, 1), (10, 15), (15, 10), (20, 25), (25, 10),
+      (18, 19), (19, 18))
+    for (_ <- 1 to 9) rows = rows ++ rows.map { case (a, b) => (a + 5, b + 5) }
+    val t = rows.toDF("a", "b")
+    assert(t.count() === 4096L)
+    t.createOrReplaceTempView("apply_t")
+    val n = spark.sql(
+      """select count(*) from apply_t t
+        |where a > (select avg(b) from apply_t t1 where t.a > t1.a)""".stripMargin)
+      .first().getLong(0)
+    assert(n === 4094L)
+  }
+
   test("nulleq.test: <=> truth table on (1,NULL),(NULL,1)") {
     // expr/nulleq.test:22-29 expected verbatim (1=true, 0=false)
     val t = Seq((Some(1), Option.empty[Int]), (Option.empty[Int], Some(1))).toDF("a", "b")
