@@ -176,6 +176,30 @@ class FullstackParitySpec extends SparkTestBase {
       (None, None, None)))
   }
 
+  test("right_semi_family_join.test: EXISTS/NOT EXISTS rows invariant to build side") {
+    // mpp/right_semi_family_join.test — the reference runs the same
+    // semi/anti queries with the build side forced to either input
+    // (broadcast thresholds 0 vs large); results must not change.
+    // Spark analog: broadcast-off (shuffle join) vs broadcast-on.
+    val a = Seq((0, "a"), (2, "b"), (5, "c")).toDF("id", "value")
+    val b = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "value")
+    a.createOrReplaceTempView("rsf_a")
+    b.createOrReplaceTempView("rsf_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def run(pred: String): Set[(Int, String)] =
+      spark.sql(s"select id, value from rsf_a a where $pred")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    try {
+      for (threshold <- Seq("-1", "10485760")) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        assert(run("exists (select * from rsf_b b where a.id = b.id)") ===
+          Set((2, "b")), s"exists @threshold=$threshold")
+        assert(run("not exists (select * from rsf_b b where a.id = b.id)") ===
+          Set((0, "a"), (5, "c")), s"not-exists @threshold=$threshold")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("apply.test: non-equi correlated scalar subquery count matches reference") {
     // mpp/apply.test — fixture: 8 seed rows, then 9 rounds of
     // `insert into t select a+5, b+5 from t` (doubling with shift) →
