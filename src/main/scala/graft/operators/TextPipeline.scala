@@ -403,6 +403,61 @@ object TextPipeline {
         (0 until dims).map(k => round(col(s"v$k").cast("double") / col("nrm"), 6).as(s"e$k")): _*)
   }
 
+  /** Deterministic per-class (stratified) sampling — the train-set
+    * curation primitive: a fixed per-language quota selected by Knuth
+    * hash order, reproducible across runs and engines (no rand()).
+    * Scale shape: an aggressive hash GATE first (here hv < 25% of the
+    * hash space; in production the rate is tuned ≈ quota·safety /
+    * docs-per-class) bounds the set entering the per-class window, so
+    * the low-cardinality `lang` partition key never sees a full-corpus
+    * partition — the same bounded-window discipline as ScalableSort. */
+  val q85StratifiedSample: QueryDef = QueryDef(
+    "q85_stratified_sample",
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    (doc_id % 1000003) * 2654435761 % 4294967296 AS hv
+      |  FROM documents),
+      |g AS (SELECT * FROM h WHERE hv < 1073741824),
+      |r AS (SELECT doc_id, lang,
+      |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      |      FROM g)
+      |SELECT doc_id, lang, rn FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val hv = (col("doc_id") % 1000003L) * 2654435761L % 4294967296L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), hv.as("hv"))
+      .filter(col("hv") < 1073741824L)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
+  /** Deterministic train/validation/test split — hash-bucket
+    * assignment (80/10/10), reproducible and disjoint by construction;
+    * per-row map + a tiny per-split count. Emits the assignment so
+    * downstream reads filter on it (at scale: the split column is the
+    * partition key of the written dataset). */
+  val q86TrainTestSplit: QueryDef = QueryDef(
+    "q86_train_test_split",
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    (doc_id % 1000003) * 2654435761 % 4294967296 % 10 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 8 THEN 'train'
+      |            WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split,
+      |  COUNT(*) AS n, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM h GROUP BY 1""".stripMargin) { (s, d) =>
+    val bucket = (col("doc_id") % 1000003L) * 2654435761L % 4294967296L % 10L
+    docs(s, d)
+      .select(col("doc_id"),
+        when(bucket < 8, "train").when(bucket === 8, "valid")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** Heavy hitters: the corpus's most frequent tokens with document
     * frequency — the vocabulary/stopword-discovery pass of a
     * pretraining pipeline. Scale shape: one high-cardinality token
@@ -424,5 +479,6 @@ object TextPipeline {
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
-    q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters)
+    q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
+    q85StratifiedSample, q86TrainTestSplit)
 }
