@@ -44,6 +44,26 @@ object MySqlCompat {
   def mysql_mod(a: Column, b: Column): Column =
     when(b === 0, lit(null)).otherwise(a % b)
 
+  /** MySQL-lax string→signed cast: parse the longest leading integer
+    * prefix ('2006-01' → 2006, ' -123x' → -123), NULL when no digit
+    * leads — the reference's castStringAsInt behavior
+    * (`tests/fullstack-test/expr/cast_string_as_int.test`, tics#1469).
+    * Spark's ANSI cast raises and try_cast yields NULL on the same
+    * inputs, so this is the compat bridge. */
+  def mysql_cast_signed(c: Column): Column =
+    nullif(regexp_extract(trim(c), "^[+-]?\\d+", 0), lit("")).cast("long")
+
+  /** MySQL cast-as-UNSIGNED of a signed value: negatives wrap mod 2^64
+    * (cast(-123 as unsigned) = 18446744073709551493). The result lives
+    * in DECIMAL(21,0) because 2^64-1 exceeds BIGINT. */
+  def mysql_cast_unsigned(c: Column): Column = {
+    val v = c.cast("long")
+    import org.apache.spark.sql.types.DecimalType
+    when(v < 0,
+      expr("CAST('18446744073709551616' AS DECIMAL(21,0))") + v.cast(DecimalType(21, 0)))
+      .otherwise(v.cast(DecimalType(21, 0)))
+  }
+
   /** MySQL least/greatest: NULL if ANY argument is NULL — Spark's
     * built-ins skip nulls instead
     * (`tests/fullstack-test/expr/least_greatest.test`). */

@@ -85,6 +85,29 @@ class FullstackParitySpec extends SparkTestBase {
     // documents the strict-vs-lax contract)
   }
 
+  test("cast_string_as_int.test: lax prefix parse and unsigned wraparound") {
+    // expr/cast_string_as_int.test (tics#1469): '-123' and '2006-01'
+    // under MySQL casts — '2006-01' parses its numeric prefix 2006;
+    // cast(-123 as unsigned) wraps to 2^64-123.
+    val t = Seq("-123", "2006-01").toDF("a")
+    val signedHits = t.filter(mysql_cast_signed($"a") === -123)
+      .collect().map(_.getString(0)).toSeq
+    assert(signedHits === Seq("-123"))
+    val prefixHits = t.filter(mysql_cast_signed($"a") === 2006)
+      .collect().map(_.getString(0)).toSeq
+    assert(prefixHits === Seq("2006-01"))
+    val unsignedHits = t
+      .filter(mysql_cast_unsigned(mysql_cast_signed($"a")) === mysql_cast_unsigned(lit(-123)))
+      .collect().map(_.getString(0)).toSeq
+    assert(unsignedHits === Seq("-123"))
+    assert(Seq("-123").toDF("a")
+      .select(mysql_cast_unsigned(mysql_cast_signed($"a")).cast("string"))
+      .first().getString(0) === "18446744073709551493")
+    // no leading digits → NULL (MySQL warns + returns 0; the NULL form
+    // is the reference's pushed-down strict-ish variant; documented)
+    assert(Seq("abc").toDF("a").select(mysql_cast_signed($"a")).first().isNullAt(0))
+  }
+
   test("hex_str.test: hex of UTF-8 strings incl. multibyte and emoji") {
     // expr/hex_str.test:30-46 expected verbatim
     val rows = Seq(
