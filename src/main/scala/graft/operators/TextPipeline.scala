@@ -406,30 +406,35 @@ object TextPipeline {
   /** Deterministic per-class (stratified) sampling — the train-set
     * curation primitive: a fixed per-language quota selected by Knuth
     * hash order, reproducible across runs and engines (no rand()).
-    * Scale shape: an aggressive hash GATE first (here hv < 25% of the
-    * hash space; in production the rate is tuned ≈ quota·safety /
-    * docs-per-class) bounds the set entering the per-class window, so
-    * the low-cardinality `lang` partition key never sees a full-corpus
-    * partition — the same bounded-window discipline as ScalableSort. */
+    * Scale shape: EXACT two-phase top-k (the ScalableSort discipline).
+    * Phase 1 ranks within (lang, input-partition) — high-cardinality,
+    * balanced — keeping ≤ quota rows per (class, partition); phase 2
+    * ranks the survivors per class, whose size is bounded by
+    * quota × #partitions (cluster width, not data size). The global
+    * per-class top-quota by (hv, doc_id) is recovered exactly, so the
+    * oracle is the direct single-window rank. */
   val q85StratifiedSample: QueryDef = QueryDef(
     "q85_stratified_sample",
     """WITH h AS (
       |  SELECT doc_id, lang,
       |    (doc_id % 1000003) * 2654435761 % 4294967296 AS hv
       |  FROM documents),
-      |g AS (SELECT * FROM h WHERE hv < 1073741824),
       |r AS (SELECT doc_id, lang,
       |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
-      |      FROM g)
+      |      FROM h)
       |SELECT doc_id, lang, rn FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val quota = 5
     val hv = (col("doc_id") % 1000003L) * 2654435761L % 4294967296L
-    val w = org.apache.spark.sql.expressions.Window
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), spark_partition_id()).orderBy(col("hv"), col("doc_id"))
+    val wFinal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))
     docs(s, d)
       .select(col("doc_id"), col("lang"), hv.as("hv"))
-      .filter(col("hv") < 1073741824L)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= quota) // ≤ quota × #partitions rows per class survive
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= quota)
       .select(col("doc_id"), col("lang"), col("rn"))
   }
 
