@@ -324,9 +324,11 @@ object Coverage {
 
   /** topK aggregate ≙ the registered-but-unexposed AggregateFunctionTopK
     * (`AggregateFunctionTopK.cpp`): per-group most-frequent values.
-    * Shape: count aggregation (map-side combine) then a window over the
-    * aggregated (group, value) pairs — bounded by distinct-pair
-    * cardinality, never the raw row count. */
+    * Shape: count aggregation (map-side combine), then EXACT two-phase
+    * top-k over the aggregated (group, value) pairs — phase 1 ranks
+    * within (group, input-partition) so the final per-group window sees
+    * ≤ k × #partitions rows even when a group's distinct-value set
+    * grows with the corpus (the group key is low-cardinality). */
   val q28bTopK: QueryDef = QueryDef(
     "q28b_topk",
     """WITH c AS (SELECT l_returnflag, l_suppkey, COUNT(*) AS n
@@ -339,9 +341,14 @@ object Coverage {
       val counts = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_suppkey"))
         .agg(count(lit(1)).as("n"))
+      val wLocal = Window.partitionBy(col("l_returnflag"), spark_partition_id())
+        .orderBy(col("n").desc, col("l_suppkey"))
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("n").desc, col("l_suppkey"))
-      counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      counts
+        .withColumn("lrk", row_number().over(wLocal)).filter(col("lrk") <= 3)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("l_returnflag"), col("l_suppkey"), col("n"), col("rk"))
   }
 
   /** Bitwise aggregates ≙ Agg_BitAnd/BitOr/BitXor
