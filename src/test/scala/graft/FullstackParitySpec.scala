@@ -85,6 +85,36 @@ class FullstackParitySpec extends SparkTestBase {
     // documents the strict-vs-lax contract)
   }
 
+  test("window_range_frame.test: first/last_value over RANGE frames, rows verbatim") {
+    // mpp/window_range_frame.test:17-43,370-391 — 17-row fixture, frames
+    // `range between 3 preceding and 0 following` (first_value) and
+    // `range between 0 preceding and 3 following` (last_value).
+    import org.apache.spark.sql.expressions.Window
+    val t = Seq((0, 0, 0), (1, 1, 1), (1, 2, 2), (1, 4, 4), (1, 8, 8),
+      (2, 0, 0), (2, 3, 3), (2, 10, 10), (2, 13, 13), (2, 15, 15),
+      (3, 1, 1), (3, 3, 3), (3, 5, 5), (3, 9, 9), (3, 15, 15),
+      (3, 20, 20), (3, 31, 31)).toDF("p", "o", "v")
+    val wPrec = Window.partitionBy($"p").orderBy($"o").rangeBetween(-3, 0)
+    val gotFirst = t.select($"p", $"o", first($"v").over(wPrec).as("a"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+    val expFirst = Map(
+      (1, 1) -> 1, (1, 2) -> 1, (1, 4) -> 1, (1, 8) -> 8,
+      (2, 0) -> 0, (2, 3) -> 0, (2, 10) -> 10, (2, 13) -> 10, (2, 15) -> 13,
+      (3, 1) -> 1, (3, 3) -> 1, (3, 5) -> 3, (3, 9) -> 9, (3, 15) -> 15,
+      (3, 20) -> 20, (3, 31) -> 31, (0, 0) -> 0)
+    assert(gotFirst === expFirst)
+    val wFoll = Window.partitionBy($"p").orderBy($"o").rangeBetween(0, 3)
+    val gotLast = t.select($"p", $"o", last($"v").over(wFoll).as("a"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2))).toMap
+    val expLast = Map(
+      (1, 1) -> 4, (1, 2) -> 4, (1, 4) -> 4, (1, 8) -> 8,
+      (3, 1) -> 3, (3, 3) -> 5, (3, 5) -> 5, (3, 9) -> 9, (3, 15) -> 15,
+      (3, 20) -> 20, (3, 31) -> 31,
+      (2, 0) -> 3, (2, 3) -> 3, (2, 10) -> 13, (2, 13) -> 15, (2, 15) -> 15,
+      (0, 0) -> 0)
+    assert(gotLast === expLast)
+  }
+
   test("cast_string_as_int.test: lax prefix parse and unsigned wraparound") {
     // expr/cast_string_as_int.test (tics#1469): '-123' and '2006-01'
     // under MySQL casts — '2006-01' parses its numeric prefix 2006;
