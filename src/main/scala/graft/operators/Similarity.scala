@@ -221,23 +221,61 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked on `label` so the
-    * pair space is a per-key join, not a global cross product. */
+  /** Deterministic coarse projection bit for blocking: sign of the
+    * inner product with a fixed ±1 weight pattern over the 64 dims —
+    * computed through the codegen VecNegativeInnerProduct (no
+    * interpreted HOF in the per-row hot path). The DuckDB oracle
+    * recomputes the identical ascending-index double fold. */
+  private val embedDims = 64
+  private def signedProj(vec: Column, w: Int => Double): Column =
+    -vec_negative_inner_product(vec,
+      array((0 until embedDims).map(i => lit(w(i).toFloat)): _*))
+
+  private def duckSignedProj(col: String, weightCase: String): String =
+    s"""list_reduce(list_transform(range(0, len($col)),
+       |  i -> CAST($col[i+1] AS DOUBLE) * ($weightCase)), (a,b) -> a+b)""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs through the SAME bounded
+    * blocking shape as q61/q63/q69: block key = (label, 4 coarse
+    * sign-projection bits), buckets capped at 32 members — pair output
+    * is bounded at cap²/2 per bucket regardless of corpus size, where
+    * the former label-only block grew quadratically within each label.
+    * Blocking is inherently recall-trading (like the reference's
+    * ANN index pruning); the oracle spells the identical blocking. */
   val q54EmbedNearDup: QueryDef = QueryDef(
     "q54_embed_neardup",
-    s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
-       |  round(1.0 - (${duckCosineDist("a.embedding", "b.embedding")}), 6) AS sim
-       |FROM embeddings a
-       |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE 1.0 - (${duckCosineDist("a.embedding", "b.embedding")}) > 0.35""".stripMargin) {
+    s"""WITH t AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${duckSignedProj("embedding", "1.0")} AS p0,
+       |    ${duckSignedProj("embedding", "CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END")} AS p1,
+       |    ${duckSignedProj("embedding", "CASE WHEN i < 32 THEN 1.0 ELSE -1.0 END")} AS p2,
+       |    ${duckSignedProj("embedding", "CASE WHEN i % 4 < 2 THEN 1.0 ELSE -1.0 END")} AS p3
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, embedding,
+       |        label || ':' || CAST(CAST(p0 > 0 AS INT) AS VARCHAR)
+       |          || CAST(CAST(p1 > 0 AS INT) AS VARCHAR)
+       |          || CAST(CAST(p2 > 0 AS INT) AS VARCHAR)
+       |          || CAST(CAST(p3 > 0 AS INT) AS VARCHAR) AS blk
+       |      FROM t),
+       |c AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 32)
+       |SELECT a.vec_id AS id1, b2.vec_id AS id2,
+       |  round(1.0 - (${duckCosineDist("a.embedding", "b2.embedding")}), 6) AS sim
+       |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+       |JOIN c ON c.blk = a.blk
+       |WHERE 1.0 - (${duckCosineDist("a.embedding", "b2.embedding")}) > 0.2""".stripMargin) {
     (s, d) =>
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
-      val b = e.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"))
-      a.join(b, Seq("label"))
-        .filter(col("id1") < col("id2"))
-        .withColumn("sim", lit(1.0) - vec_cosine_distance(col("v1"), col("v2")))
-        .filter(col("sim") > 0.35)
+      val bits = Seq[Int => Double](
+        _ => 1.0,
+        i => if (i % 2 == 0) 1.0 else -1.0,
+        i => if (i < embedDims / 2) 1.0 else -1.0,
+        i => if (i % 4 < 2) 1.0 else -1.0)
+      val blk = concat((col("label").cast("string") +: lit(":") +:
+        bits.map(w => (signedProj(col("embedding"), w) > 0).cast("int").cast("string"))): _*)
+      val t = e.select(col("vec_id").as("doc_id"), col("embedding").as("payload"), blk.as("blk"))
+      TextPipeline.boundedPairs(t, 32)
+        .withColumn("sim", lit(1.0) - vec_cosine_distance(col("p1"), col("p2")))
+        .filter(col("sim") > 0.2)
         .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }
 

@@ -138,7 +138,7 @@ object TextPipeline {
     * straight from the sorted member array. Input columns:
     * (doc_id, blk, payload). The pair HOF runs interpreted but only
     * over ≤cap-size arrays, one per bucket. */
-  private def boundedPairs(t: DataFrame, cap: Int): DataFrame =
+  private[operators] def boundedPairs(t: DataFrame, cap: Int): DataFrame =
     t.groupBy(col("blk"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("payload")))).as("ms"))
       .filter(size(col("ms")).between(2, cap))

@@ -41,7 +41,10 @@ object TpchShapes {
     val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
     c.join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup),
+      // supplier grows with scale factor (SF x 10k rows) — no forced
+      // broadcast; AQE picks the join strategy at runtime. Only the
+      // bounded dims (nation/region) stay hinted.
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -188,7 +191,9 @@ object TpchShapes {
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
     val p = Tables.part(s, d)
     val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(30, 6))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    // part grows with scale factor (SF x 200k rows) — no forced
+    // broadcast; AQE decides.
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .agg(round(lit(100.0) *
         sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(30, 6))))
           .cast("double") /

@@ -93,7 +93,34 @@ class PlanShapeSpec extends SparkTestBase {
       // key, no pair join — cap² output per bucket regardless of corpus
       assert(shuffles("q63_ngram_jaccard") <= 1)
       assert(shuffles("q69_edit_distance") <= 1)
+      // embed near-dup now rides the same bounded-bucket shape: one
+      // groupBy on (label, sign-bits), pair output ≤ cap²/2 per bucket
+      assert(shuffles("q54_embed_neardup") <= 1)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q54 embed near-dup has no pair join — pairs expand from capped buckets") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = SparkEntry.queries("q54_embed_neardup")(spark, sf).queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join => j }.isEmpty,
+      s"expected zero joins (bounded bucket expansion), got:\n$lp")
+  }
+
+  test("q90/q95 leave scale-growing fact-dim joins to AQE (no forced broadcast)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // q90: only the bounded dims (nation, region) may carry hints
+    val q90 = SparkEntry.queries("q90_tpch_q5")(spark, sf).queryExecution.analyzed
+    val q90Hints = q90.collect { case h: ResolvedHint => h }
+    assert(q90Hints.size == 2, s"q90 expected 2 bounded-dim hints, got ${q90Hints.size}")
+    q90Hints.foreach { h =>
+      val sub = h.child.toString
+      assert(!sub.contains("s_suppkey") && !sub.contains("l_orderkey"),
+        s"q90 hints a scale-growing table:\n$sub")
+    }
+    // q95: part grows with SF — no hint at all
+    val q95 = SparkEntry.queries("q95_tpch_q14")(spark, sf).queryExecution.analyzed
+    assert(q95.collect { case h: ResolvedHint => h }.isEmpty,
+      "q95 must not force-broadcast part")
   }
 
   test("q26 global rank is range-partitioned and matches a naive global sort") {
