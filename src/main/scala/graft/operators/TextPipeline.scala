@@ -109,21 +109,23 @@ object TextPipeline {
     * fingerprint + a sample pairing on exact signature match. */
   val q62DedupSimhash: QueryDef = QueryDef.noOracle("q62_dedup_simhash") { (s, d) =>
     val bits = 16 // 16-bit demo signature; 64 in production
-    val th = docs(s, d).select(col("doc_id"),
-      transform(tokens, t => xxhash64(t)).as("th"))
-    // Single fold over the token-hash array accumulating all bit votes
-    // at once (same CollapseProject consideration as minhash above).
-    val votes = aggregate(
-      col("th"),
-      array(Seq.fill(bits)(lit(0)): _*),
-      (acc, h) => zip_with(acc,
-        array((0 until bits).map(b =>
-          when(pmod(shiftright(h, b), lit(2)) === 0, -1).otherwise(1)): _*),
-        (a, v) => a + v))
+    // posexplode + ONE doc_id groupBy keeps the whole plan inside
+    // whole-stage codegen: bit b's vote is a conditional SUM over the
+    // exploded token hashes, with map-side partial aggregation. (The
+    // former single aggregate/zip_with fold computed identical votes
+    // but ran interpreted over every token of every document — a ~10×
+    // constant at corpus scale, the same reason q61's shingling moved
+    // to posexplode.)
+    val th = docs(s, d)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until bits).map { b =>
+      sum(when(pmod(shiftright(col("h"), b), lit(2)) === 0, -1).otherwise(1)).as(s"v$b")
+    }
     val sig = (0 until bits).map { b =>
-      when(element_at(col("votes"), b + 1) > 0, 1L << b).otherwise(0L)
+      when(col(s"v$b") > 0, 1L << b).otherwise(0L)
     }.reduce(_ + _)
-    th.withColumn("votes", votes)
+    th.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
       .orderBy(col("doc_id"))
   }
@@ -407,12 +409,14 @@ object TextPipeline {
     * curation primitive: a fixed per-language quota selected by Knuth
     * hash order, reproducible across runs and engines (no rand()).
     * Scale shape: EXACT two-phase top-k (the ScalableSort discipline).
-    * Phase 1 ranks within (lang, input-partition) — high-cardinality,
-    * balanced — keeping ≤ quota rows per (class, partition); phase 2
-    * ranks the survivors per class, whose size is bounded by
-    * quota × #partitions (cluster width, not data size). The global
-    * per-class top-quota by (hv, doc_id) is recovered exactly, so the
-    * oracle is the direct single-window rank. */
+    * The projected (doc_id, lang, hv) triple is first hash-repartitioned
+    * to a FIXED partition count, so phase 1 (rank within
+    * (lang, partition), keep ≤ quota) leaves phase 2 a per-class input
+    * of at most quota × fixedParts rows — a constant, independent of
+    * data size (input-split count grows ~1 per 128 MB scanned, so
+    * ranking over scan partitions would NOT be a fixed bound at 100 TB).
+    * The global per-class top-quota by (hv, doc_id) is recovered
+    * exactly, so the oracle is the direct single-window rank. */
   val q85StratifiedSample: QueryDef = QueryDef(
     "q85_stratified_sample",
     """WITH h AS (
@@ -424,6 +428,7 @@ object TextPipeline {
       |      FROM h)
       |SELECT doc_id, lang, rn FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
     val quota = 5
+    val fixedParts = 32
     val hv = (col("doc_id") % 1000003L) * 2654435761L % 4294967296L
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), spark_partition_id()).orderBy(col("hv"), col("doc_id"))
@@ -431,8 +436,9 @@ object TextPipeline {
       .partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))
     docs(s, d)
       .select(col("doc_id"), col("lang"), hv.as("hv"))
+      .repartition(fixedParts, col("doc_id"))
       .withColumn("lrn", row_number().over(wLocal))
-      .filter(col("lrn") <= quota) // ≤ quota × #partitions rows per class survive
+      .filter(col("lrn") <= quota) // ≤ quota × fixedParts rows per class survive
       .withColumn("rn", row_number().over(wFinal))
       .filter(col("rn") <= quota)
       .select(col("doc_id"), col("lang"), col("rn"))

@@ -106,6 +106,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected zero joins (bounded bucket expansion), got:\n$lp")
   }
 
+  test("q85 phase-1 rank runs over a FIXED partition count (true phase-2 bound)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{RepartitionOperation, Window => LWindow}
+    val lp = SparkEntry.queries("q85_stratified_sample")(spark, sf).queryExecution.optimizedPlan
+    // the innermost window (the spark_partition_id local rank) must sit
+    // above a repartition with an explicit fixed partition count, so
+    // the final per-class window input is ≤ quota × fixedParts rows no
+    // matter how many input splits the scan produces
+    val innermostWindow = lp.collect { case w: LWindow => w }.last
+    val fixedRepart = innermostWindow.child.collectFirst {
+      case r: RepartitionOperation if r.numPartitions == 32 => r
+    }
+    assert(fixedRepart.nonEmpty,
+      s"local rank must follow a fixed-count repartition:\n$lp")
+  }
+
   test("q90/q95 leave scale-growing fact-dim joins to AQE (no forced broadcast)") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     // q90: only the bounded dims (nation, region) may carry hints
