@@ -195,6 +195,45 @@ object ScalarQueries4 {
       .select(col("tname").as("type_ci"), col("n"), col("first_part"))
   }
 
+  /** Accent-insensitive collation (≙ utf8mb4_unicode_ci /
+    * utf8mb4_0900_ai_ci in the reference's collator registry,
+    * `/root/reference/dbms/src/TiDB/Collation/Collator.h:33-62`):
+    * Spark 4's ICU-backed UNICODE_CI_AI folds case AND accents at
+    * compare time, so 'café' joins/groups with 'CAFE'. The accented
+    * variants are synthesized deterministically (vowel→accented-vowel
+    * translate on a custkey slice), and the projected key is the plain
+    * lowercase dim value, never the arbitrary group representative.
+    * DuckDB oracle spells the fold as strip_accents(lower(x)) — for
+    * Latin accented vowels ICU primary strength and accent-stripping
+    * agree. */
+  val q59bCollatedAi: QueryDef = QueryDef(
+    "q59b_collated_ai",
+    """WITH t AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+      |         WHEN c_custkey % 3 = 1 THEN translate(lower(c_mktsegment), 'aeiou', 'áéíóú')
+      |         ELSE lower(c_mktsegment) END AS seg
+      |  FROM customer),
+      |dim AS (SELECT DISTINCT lower(c_mktsegment) AS sname FROM customer)
+      |SELECT d.sname AS seg_ai, COUNT(*) AS n, MIN(t.c_custkey) AS first_cust,
+      |  CAST(SUM(CASE WHEN t.seg <> strip_accents(t.seg) THEN 1 ELSE 0 END) AS BIGINT) AS accented_n
+      |FROM t JOIN dim d ON strip_accents(lower(t.seg)) = d.sname
+      |GROUP BY d.sname""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val accented = translate(lower(col("c_mktsegment")), "aeiou", "áéíóú")
+    val t = cust.select(col("c_custkey"),
+      when(col("c_custkey") % 3 === 0, upper(col("c_mktsegment")))
+        .when(col("c_custkey") % 3 === 1, accented)
+        .otherwise(lower(col("c_mktsegment"))).as("seg"))
+    val dim = cust.select(lower(col("c_mktsegment")).as("sname")).distinct()
+    t.join(dim,
+        collate(col("seg"), "UNICODE_CI_AI") === collate(col("sname"), "UNICODE_CI_AI"))
+      .groupBy(col("sname"))
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("first_cust"),
+        sum(when(col("seg") =!= translate(col("seg"),
+          "áéíóú", "aeiou"), 1).otherwise(0)).as("accented_n"))
+      .select(col("sname").as("seg_ai"), col("n"), col("first_cust"), col("accented_n"))
+  }
+
   /** regexp tail ≙ regexp_instr / regexp_substr / regexp_like / ilike
     * (`DAGUtils.cpp` regexp family, `dbms/src/Functions/Regexps.h`).
     * DuckDB spells regexp_instr as prefix-length arithmetic and
@@ -359,5 +398,6 @@ object ScalarQueries4 {
 
   val all: Seq[QueryDef] = Seq(
     q34bJsonTail, q32bMysqlDatefmt, q39bCrc32, q48bDuration, q59CollatedCi,
-    q35bRegexpTail, q32cUnixtime, q38bIpv6, q47bEnumSet, q34cJsonPaths)
+    q59bCollatedAi, q35bRegexpTail, q32cUnixtime, q38bIpv6, q47bEnumSet,
+    q34cJsonPaths)
 }

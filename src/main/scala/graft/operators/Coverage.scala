@@ -386,9 +386,49 @@ object Coverage {
             k => struct(k.cast("string").as("k"), k.as("v"))))).as("jobj"))
   }
 
+  /** MySQL zero-date (`0000-00-00`) as a VALUE — the reference's
+    * MyDate stores year/month/day 0 and its conversions special-case it
+    * (`/root/reference/dbms/src/Functions/FunctionsTiDBConversion.h`
+    * zero-date branches; `DataTypeMyDate`). Spark has no year-0 date,
+    * so the documented representation is the string sentinel
+    * '0000-00-00' in a typed string column (EdgeCasesSpec keeps the
+    * strict-path documentation: ANSI casts RAISE, try_to_timestamp →
+    * NULL). This query round-trips zero dates through the
+    * filter/compare/cast surface: the sentinel survives filter +
+    * projection, sorts before every real yyyy-MM-dd date (MySQL
+    * ordering), lax-casts to NULL, and yields YEAR() = 0 as MySQL
+    * does. */
+  val q100ZeroDate: QueryDef = QueryDef(
+    "q100_zero_date",
+    """WITH t AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN '0000-00-00'
+      |         ELSE strftime(o_orderdate, '%Y-%m-%d') END AS od
+      |  FROM orders)
+      |SELECT o_orderkey, od,
+      |  od = '0000-00-00' AS is_zero,
+      |  TRY_CAST(od AS TIMESTAMP) AS lax_ts,
+      |  CASE WHEN od = '0000-00-00' THEN 0
+      |       ELSE CAST(substr(od, 1, 4) AS INT) END AS od_year,
+      |  od < '1992-01-01' AS before_epoch
+      |FROM t
+      |WHERE od = '0000-00-00' OR od < '1995-06-01'""".stripMargin) { (s, d) =>
+    val od = when(col("o_orderkey") % 97 === 0, lit("0000-00-00"))
+      .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), od.as("od"))
+      .filter(col("od") === "0000-00-00" || col("od") < "1995-06-01")
+      .select(
+        col("o_orderkey"), col("od"),
+        (col("od") === "0000-00-00").as("is_zero"),
+        try_to_timestamp(col("od")).as("lax_ts"),
+        when(col("od") === "0000-00-00", 0)
+          .otherwise(substring(col("od"), 1, 4).cast("int")).as("od_year"),
+        (col("od") < "1992-01-01").as("before_epoch"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q25AggKeyless, q26SortFull, q27MinMaxBy, q28StatAggs, q29DecimalArith,
     q46InExistence, q46bNullAwareSemiFlag, q49SaltedAgg, q55CiCollation,
     q56TidbDivide, q28bTopK, q96BitAggs, q97JsonAggs, q98DecimalOverflow,
-    q99CorrelatedScalar)
+    q99CorrelatedScalar, q100ZeroDate)
 }
