@@ -86,5 +86,67 @@ object InvertedText {
       .select(col("term"), array_join(col("postings"), ",").as("postings"), col("df"))
   }
 
-  val all: Seq[QueryDef] = Seq(q75FulltextAnd, q76PostingLists)
+  /** BM25-ranked retrieval over the inverted index (≙ the reference's
+    * scored FullTextIndex reads, `Index/FullTextIndex/Reader.h`):
+    * score(D,Q) = Σ_t idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl)),
+    * k1=1.2, b=0.75, idf = ln((N−df+0.5)/(df+0.5)+1). Scale shape:
+    * the tf table is filtered to the probed terms BEFORE any
+    * aggregation (against a stored index this is the pushed `IN`
+    * probe), doc lengths are the index-build side table, N/avgdl is a
+    * broadcast 1-row summary, and top-k goes through
+    * TakeOrderedAndProject. Determinism: each per-term contribution is
+    * a single double (no fold), and the final score adds the per-term
+    * conditional sums in a FIXED literal order on both engines, so the
+    * doubles are bit-identical and the (score, doc_id) ordering
+    * agrees. */
+  val q75bBm25: QueryDef = QueryDef(
+    "q75b_bm25_ranked",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |              CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |       WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |co AS (SELECT tf.doc_id, tf.term,
+      |         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+      |           * (tf.tf * 2.2)
+      |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+      |                / (CAST(st.total AS DOUBLE) / st.n))) AS c
+      |       FROM tf JOIN df ON tf.term = df.term
+      |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  round(COALESCE(SUM(CASE WHEN term = 'hash' THEN c END), 0)
+      |      + COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0)
+      |      + COALESCE(SUM(CASE WHEN term = 'scan' THEN c END), 0), 6) AS bm25
+      |FROM co GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    val terms = Seq("hash", "join", "scan")
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val tf = tok.filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+      (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+        (col("total").cast("double") / col("n"))))
+    val co = tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("term"), contrib.as("c"))
+    def termSum(t: String) =
+      coalesce(sum(when(col("term") === t, col("c"))), lit(0.0))
+    co.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(termSum("hash") + termSum("join") + termSum("scan"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val all: Seq[QueryDef] = Seq(q75FulltextAnd, q76PostingLists, q75bBm25)
 }

@@ -401,6 +401,28 @@ object Relational {
           x => x.cast("string")), ",").as("lines"))
   }
 
+  /** group_concat with MySQL's `group_concat_max_len` cap
+    * (≙ `AggregateFunctionGroupConcat.h`'s length-bounded append): the
+    * serialized list is truncated at max_len chars and a truncated
+    * flag reports whether the cap bit — the MySQL warning 1260
+    * surface. Cap of 8 chars ⇒ orders with ≥ 5 lineitems truncate. */
+  val q22bGroupConcatMaxLen: QueryDef = QueryDef(
+    "q22b_group_concat_maxlen",
+    """SELECT l_orderkey,
+      |  substr(string_agg(l_linenumber, ',' ORDER BY l_linenumber), 1, 8) AS lines_capped,
+      |  len(string_agg(l_linenumber, ',' ORDER BY l_linenumber)) > 8 AS truncated
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin) { (s, d) =>
+    val maxLen = 8
+    val full = array_join(
+      transform(array_sort(collect_list(col("l_linenumber"))),
+        x => x.cast("string")), ",")
+    li(s, d).groupBy(col("l_orderkey"))
+      .agg(full.as("gc"))
+      .select(col("l_orderkey"),
+        substring(col("gc"), 1, maxLen).as("lines_capped"),
+        (length(col("gc")) > maxLen).as("truncated"))
+  }
+
   // ---------------------------------------------------------------- CTE
   /** Shared CTE materialization ≙ CTESink/CTESource
     * (`PhysicalPlan.cpp:244-255`, `Operators/CTE.cpp`): `revenue` is
@@ -452,5 +474,6 @@ object Relational {
     q7JoinRight, q8JoinSemi, q9JoinAnti, q10JoinNullAwareAnti,
     q11JoinLeftOuterSemi, q12JoinCross, q13Union, q14Intersect, q15Except,
     q16Rollup, q17Cube, q18GroupingSets, q19DistinctAgg, q20ApproxDistinct,
-    q21GroupConcat, q22GroupConcatOrdered, q23Cte, q24FirstMinMax)
+    q21GroupConcat, q22GroupConcatOrdered, q22bGroupConcatMaxLen, q23Cte,
+    q24FirstMinMax)
 }
