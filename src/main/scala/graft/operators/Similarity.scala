@@ -345,7 +345,13 @@ object Similarity {
        |  FROM cand)
        |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
        |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
+    ivfSearch(Tables.embeddings(s, d), nProbe = 4)
+  }
+
+  /** The IVF probe path with a configurable probe count — q58 runs it
+    * at nProbe=4; the recall-sweep contract test (`SimilaritySpec`)
+    * runs probes ∈ {1,2,4,8} against the q51 brute-force truth. */
+  def ivfSearch(e: DataFrame, nProbe: Int, k: Int = 10): DataFrame = {
     val cent = ivfCentroids(e)
     val assigned = ivfAssign(e, cent)
     val q = e.filter(col("vec_id") < 5)
@@ -354,7 +360,7 @@ object Similarity {
     val probed = q.crossJoin(broadcast(cent))
       .withColumn("cdist", vec_l2_distance(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 4)
+      .filter(col("rn") <= nProbe)
       .select(col("qid"), col("qv"), col("cid"))
     val wRank = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
     // probe set is tiny (|Q| × nProbe) — broadcast it so the corpus-side
@@ -363,7 +369,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dist", vec_cosine_distance(col("qv"), col("embedding")))
       .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
   }
 

@@ -24,6 +24,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.05, f"recall@10 implausibly low: $recall%.3f")
   }
 
+  test("IVF recall@10 sweeps up with probe count; ≥0.9 at some probe setting") {
+    // brute-force truth: q51's exact cosine top-10 per query
+    val truth = SparkEntry.queries("q51_knn_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val e = sources.Tables.embeddings(spark, sf)
+    // the synthetic embeddings are uniform random — the worst case for
+    // a coarse quantizer (no cluster structure), so the curve rises
+    // slowly; at nProbe = k (all 32 lists) the candidate set is the
+    // whole corpus and recall is exactly 1.0 by construction
+    val curve = Seq(1, 2, 4, 8, 16, 32).map { nProbe =>
+      val got = operators.Similarity.ivfSearch(e, nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recall = truth.map { case (qid, t) =>
+        got.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
+      }.sum / truth.size
+      nProbe -> recall
+    }
+    info("IVF recall@10 vs probes: " +
+      curve.map { case (p, r) => f"$p→$r%.2f" }.mkString(", "))
+    // monotone non-decreasing: probing more lists never loses neighbors
+    curve.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 1e-9, f"recall dropped from $ra%.3f (probes=$pa) to $rb%.3f (probes=$pb)")
+    }
+    assert(curve.last._2 >= 0.9,
+      f"recall@10 at full probe depth should reach 0.9, got ${curve.last._2}%.3f")
+    // and the documented q58 operating point (probes=4) finds a
+    // nontrivial share of true neighbors
+    assert(curve.find(_._1 == 4).get._2 >= 0.25)
+  }
+
   test("stored IVF index probes only the selected lists (partition pruning)") {
     // The 100 TB claim behind q58: persist the assignment as a
     // cid-PARTITIONED table and a probe touches only its nProbe lists —
