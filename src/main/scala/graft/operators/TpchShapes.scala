@@ -50,7 +50,7 @@ object TpchShapes {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
-  }
+  }.copy(headline = true) // the join-heavy bench representative
 
   /** Q10 shape: revenue lost to returned items per customer, top 20. */
   val q91TpchQ10: QueryDef = QueryDef(
