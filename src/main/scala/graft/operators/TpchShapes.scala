@@ -293,7 +293,93 @@ object TpchShapes {
       .select(col("s_suppkey"), col("s_name"))
   }
 
+  /** Q17 shape: small-quantity-order revenue — the correlated
+    * per-part average decorrelated into one per-part aggregate joined
+    * back to the fact (two fact passes, both shuffling on partkey; the
+    * brand filter prunes at both scans). Both engines spell the SAME
+    * derived-table form so the threshold doubles are bit-identical. */
+  val q101TpchQ17: QueryDef = QueryDef(
+    "q101_tpch_q17",
+    s"""WITH pa AS (
+       |  SELECT l_partkey,
+       |    ${dsumSql("l_quantity", 6)} / COUNT(*) AS avg_qty
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT round(${dsumSql("l_extendedprice", 6)} / 7.0, 6) AS avg_yearly
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN pa ON pa.l_partkey = lineitem.l_partkey
+       |WHERE p_brand = 'Brand#4' AND l_quantity < 0.2 * avg_qty""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d).filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"))
+    val pa = l.groupBy(col("l_partkey"))
+      .agg((dsum(col("l_quantity"), 6) / count(lit(1))).as("avg_qty"))
+      .withColumnRenamed("l_partkey", "pa_partkey")
+    l.join(p, col("p_partkey") === col("l_partkey"))
+      .join(pa, col("pa_partkey") === col("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(dsum(col("l_extendedprice"), 6) / 7.0, 6).as("avg_yearly"))
+  }
+
+  /** Q22 shape (adapted: schema has no c_phone — nationkey plays the
+    * country code, and "no orders" becomes "no URGENT orders" since
+    * every customer has orders at all SFs): positive-balance customers
+    * above the average balance with no urgent order, grouped by
+    * country. Anti join shuffles on custkey; the global average is the
+    * justified 1-row broadcast. */
+  val q102TpchQ22: QueryDef = QueryDef(
+    "q102_tpch_q22",
+    s"""WITH ab AS (
+       |  SELECT ${dsumSql("c_acctbal", 6)} / COUNT(*) AS avg_bal
+       |  FROM customer WHERE c_acctbal > 0)
+       |SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+       |  round(${dsumSql("c_acctbal", 6)}, 6) AS totacctbal
+       |FROM customer CROSS JOIN ab
+       |WHERE c_acctbal > avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderpriority = '1-URGENT')
+       |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val ab = c.filter(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal"), 6) / count(lit(1))).as("avg_bal"))
+    c.crossJoin(broadcast(ab))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        round(dsum(col("c_acctbal"), 6), 6).as("totacctbal"))
+      .select(col("c_nationkey").as("cntry"), col("numcust"), col("totacctbal"))
+  }
+
+  /** Q13 shape: customer order-count distribution — left outer join
+    * with an ON-clause filter (priority ≠ URGENT plays Q13's NOT LIKE
+    * comment filter), COUNT(col) counting only matched rows, then a
+    * second aggregation over the counts. */
+  val q103TpchQ13: QueryDef = QueryDef(
+    "q103_tpch_q13",
+    """WITH co AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM co GROUP BY c_count""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q90TpchQ5, q91TpchQ10, q92TpchQ18, q93TpchQ7, q94TpchQ12, q95TpchQ14,
-    q96TpchQ4, q97TpchQ15, q98TpchQ20)
+    q96TpchQ4, q97TpchQ15, q98TpchQ20, q101TpchQ17, q102TpchQ22, q103TpchQ13)
 }
