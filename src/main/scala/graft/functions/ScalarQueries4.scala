@@ -234,6 +234,46 @@ object ScalarQueries4 {
       .select(col("sname").as("seg_ai"), col("n"), col("first_cust"), col("accented_n"))
   }
 
+  /** Collation-weight ORDER BY (≙ the reference collators producing
+    * SORT KEYS, not just equality,
+    * `/root/reference/dbms/src/TiDB/Collation/Collator.h:33-62` —
+    * `sortKey()` feeds ORDER BY and range scans): ranking by a
+    * UNICODE_CI_AI collated key orders 'BUILDING' / 'building' /
+    * 'búíldíng' adjacently, where binary sort scatters them (all
+    * uppercase first, accented last — the bin_rank column proves the
+    * two orders differ). Tiebreak within equal collation keys is the
+    * raw binary string, which both engines compare bytewise. The
+    * unpartitioned windows rank a bounded GROUP BY result
+    * (#segments × 3 variants), per the global-sort discipline; the
+    * DuckDB oracle spells the ICU primary-strength key as
+    * strip_accents(lower(x)), which agrees for Latin letters. */
+  val q105CollateOrderBy: QueryDef = QueryDef(
+    "q105_collate_orderby",
+    """WITH t AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+      |         WHEN c_custkey % 3 = 1 THEN translate(lower(c_mktsegment), 'aeiou', 'áéíóú')
+      |         ELSE lower(c_mktsegment) END AS seg
+      |  FROM customer),
+      |g AS (SELECT seg, COUNT(*) AS n FROM t GROUP BY seg)
+      |SELECT seg, n,
+      |  CAST(row_number() OVER (ORDER BY strip_accents(lower(seg)), seg) AS BIGINT) AS ci_rank,
+      |  CAST(row_number() OVER (ORDER BY seg) AS BIGINT) AS bin_rank
+      |FROM g""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val accented = translate(lower(col("c_mktsegment")), "aeiou", "áéíóú")
+    val t = cust.select(col("c_custkey"),
+      when(col("c_custkey") % 3 === 0, upper(col("c_mktsegment")))
+        .when(col("c_custkey") % 3 === 1, accented)
+        .otherwise(lower(col("c_mktsegment"))).as("seg"))
+    val g = t.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    val wCi = org.apache.spark.sql.expressions.Window
+      .orderBy(collate(col("seg"), "UNICODE_CI_AI"), col("seg"))
+    val wBin = org.apache.spark.sql.expressions.Window.orderBy(col("seg"))
+    g.select(col("seg"), col("n"),
+      row_number().over(wCi).cast("long").as("ci_rank"),
+      row_number().over(wBin).cast("long").as("bin_rank"))
+  }
+
   /** regexp tail ≙ regexp_instr / regexp_substr / regexp_like / ilike
     * (`DAGUtils.cpp` regexp family, `dbms/src/Functions/Regexps.h`).
     * DuckDB spells regexp_instr as prefix-length arithmetic and
@@ -398,6 +438,6 @@ object ScalarQueries4 {
 
   val all: Seq[QueryDef] = Seq(
     q34bJsonTail, q32bMysqlDatefmt, q39bCrc32, q48bDuration, q59CollatedCi,
-    q59bCollatedAi, q35bRegexpTail, q32cUnixtime, q38bIpv6, q47bEnumSet,
-    q34cJsonPaths)
+    q59bCollatedAi, q105CollateOrderBy, q35bRegexpTail, q32cUnixtime, q38bIpv6,
+    q47bEnumSet, q34cJsonPaths)
 }

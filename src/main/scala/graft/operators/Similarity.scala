@@ -286,17 +286,23 @@ object Similarity {
 
   /** IVF-style ANN: a coarse quantizer partitions the corpus into
     * inverted lists; a query probes only its nProbe nearest lists. The
-    * centroids are a FIXED-k (k=32) deterministic sample — the k rows
-    * minimizing a Knuth multiplicative hash of vec_id, i.e. a uniform
-    * pseudo-random draw both engines compute identically — so the
-    * centroid set stays broadcast-able and assignment stays O(N·k) no
-    * matter how large the corpus grows (production would k-means the
-    * same sample; a modulo sample whose size tracks N would make
-    * assignment O(N²)). At 100 TB the assignment is one broadcast-join
-    * pass, the index is a cid-partitioned table, and query cost is
-    * |probed lists| not |corpus|. Deterministic math end to end, so
-    * unlike LSH this variant is fully oracled. */
-  /** Fixed-k IVF centroids: the k smallest Knuth-hash values of vec_id
+    * centroids are a deterministic k-sample — the k rows minimizing a
+    * Knuth multiplicative hash of vec_id, i.e. a uniform pseudo-random
+    * draw both engines compute identically (production would k-means
+    * the same sample). Cost model: assignment is O(N·k) broadcast work,
+    * each inverted list holds ~N/k rows, so a probe scans
+    * ~nProbe · N/k rows — k must GROW with the corpus or probe cost
+    * degenerates to O(N). The standard sizing is k ≈ √N (FAISS/IVFADC
+    * practice): at N = 10¹¹ that is ~316k centroids ≈ 80 MB of 64-dim
+    * floats — still comfortably broadcast-able, and probe cost then
+    * scales as nProbe·√N. q58 is oracled at the small-SF operating
+    * point k=32; the SimilaritySpec sweep also runs k=64 to prove
+    * assignment and recall behave as k scales. At 100 TB the
+    * assignment is one broadcast-join pass, the index is a
+    * cid-partitioned table, and query cost is |probed lists| not
+    * |corpus|. Deterministic math end to end, so unlike LSH this
+    * variant is fully oracled. */
+  /** IVF centroids: the k smallest Knuth-hash values of vec_id
     * → TakeOrderedAndProject (a bounded top-k, never a full sort). The
     * pre-modulo keeps the product < 2^52 so ANSI-mode Spark and DuckDB
     * agree exactly. */
@@ -348,11 +354,13 @@ object Similarity {
     ivfSearch(Tables.embeddings(s, d), nProbe = 4)
   }
 
-  /** The IVF probe path with a configurable probe count — q58 runs it
-    * at nProbe=4; the recall-sweep contract test (`SimilaritySpec`)
-    * runs probes ∈ {1,2,4,8} against the q51 brute-force truth. */
-  def ivfSearch(e: DataFrame, nProbe: Int, k: Int = 10): DataFrame = {
-    val cent = ivfCentroids(e)
+  /** The IVF probe path with configurable probe and centroid counts —
+    * q58 runs it at (nProbe=4, nCentroids=32); the recall-sweep
+    * contract test (`SimilaritySpec`) sweeps probes against the q51
+    * brute-force truth and repeats the sweep at nCentroids=64 (the
+    * √N-rule scaling direction). */
+  def ivfSearch(e: DataFrame, nProbe: Int, k: Int = 10, nCentroids: Int = 32): DataFrame = {
+    val cent = ivfCentroids(e, nCentroids)
     val assigned = ivfAssign(e, cent)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))

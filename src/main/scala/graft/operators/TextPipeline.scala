@@ -408,15 +408,22 @@ object TextPipeline {
   /** Deterministic per-class (stratified) sampling — the train-set
     * curation primitive: a fixed per-language quota selected by Knuth
     * hash order, reproducible across runs and engines (no rand()).
-    * Scale shape: EXACT two-phase top-k (the ScalableSort discipline).
-    * The projected (doc_id, lang, hv) triple is first hash-repartitioned
-    * to a FIXED partition count, so phase 1 (rank within
-    * (lang, partition), keep ≤ quota) leaves phase 2 a per-class input
-    * of at most quota × fixedParts rows — a constant, independent of
-    * data size (input-split count grows ~1 per 128 MB scanned, so
-    * ranking over scan partitions would NOT be a fixed bound at 100 TB).
-    * The global per-class top-quota by (hv, doc_id) is recovered
-    * exactly, so the oracle is the direct single-window rank. */
+    * Scale shape: EXACT three-phase tree top-k (the ScalableSort
+    * discipline).
+    *  - Phase 0 ranks WITHIN each natural scan partition with a bounded
+    *    per-class heap (`mapPartitions`, the justified per-partition
+    *    imperative shape, same as q51b) — full scan parallelism, NO
+    *    exchange, survivors ≤ quota × #splits tiny (doc_id, lang, hv)
+    *    rows. The global per-class top-quota rows are each in their own
+    *    partition's top-quota, so no answer row is lost.
+    *  - Phase 1 hash-repartitions ONLY those survivors to a FIXED
+    *    partition count and re-ranks within (lang, partition), bounding
+    *    phase 2's per-class input to quota × fixedParts rows — a
+    *    constant, independent of both data size and split count.
+    *  - Phase 2 is the final per-class window.
+    * The earlier shape repartitioned the FULL projected corpus into
+    * fixedParts tasks before ranking — a ~75 GB/task funnel at 100 TB;
+    * here the only full-width pass is the zero-shuffle phase 0. */
   val q85StratifiedSample: QueryDef = QueryDef(
     "q85_stratified_sample",
     """WITH h AS (
@@ -427,16 +434,35 @@ object TextPipeline {
       |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
       |      FROM h)
       |SELECT doc_id, lang, rn FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    import s.implicits._
     val quota = 5
     val fixedParts = 32
     val hv = (col("doc_id") % 1000003L) * 2654435761L % 4294967296L
+    // phase 0: per-scan-partition bounded top-quota heap per class
+    val survivors = docs(s, d)
+      .select(col("doc_id"), col("lang"), hv.as("hv"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val ord = Ordering.Tuple2(Ordering.Long, Ordering.Long) // (hv, doc_id)
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+        it.foreach { case (docId, lang, h) =>
+          val pq = heaps.getOrElseUpdate(lang,
+            scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord))
+          if (pq.size < quota) pq.enqueue((h, docId))
+          else if (ord.lt((h, docId), pq.head)) { pq.dequeue(); pq.enqueue((h, docId)) }
+        }
+        heaps.iterator.flatMap { case (lang, pq) =>
+          pq.iterator.map { case (h, docId) => (docId, lang, h) }
+        }
+      }
+      .toDF("doc_id", "lang", "hv")
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), spark_partition_id()).orderBy(col("hv"), col("doc_id"))
     val wFinal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("hv"), col("doc_id"))
-    docs(s, d)
-      .select(col("doc_id"), col("lang"), hv.as("hv"))
-      .repartition(fixedParts, col("doc_id"))
+    survivors
+      .repartition(fixedParts, col("doc_id")) // survivors only — tiny
       .withColumn("lrn", row_number().over(wLocal))
       .filter(col("lrn") <= quota) // ≤ quota × fixedParts rows per class survive
       .withColumn("rn", row_number().over(wFinal))

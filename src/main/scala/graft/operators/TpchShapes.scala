@@ -319,7 +319,7 @@ object TpchShapes {
       .join(pa, col("pa_partkey") === col("l_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(round(dsum(col("l_extendedprice"), 6) / 7.0, 6).as("avg_yearly"))
-  }
+  }.copy(headline = true) // the shuffle-bound fact-fact re-aggregation representative
 
   /** Q22 shape (adapted: schema has no c_phone — nationkey plays the
     * country code, and "no orders" becomes "no URGENT orders" since
@@ -379,7 +379,60 @@ object TpchShapes {
       .agg(count(lit(1)).as("custdist"))
   }
 
+  /** Q21 shape (adapted: schema has no l_receiptdate/l_commitdate — a
+    * returned lineitem plays "kept the order waiting", as in the Q4
+    * adaptation): suppliers whose returned lineitem is the ONLY failure
+    * in a multi-supplier finalized order. The planner stress Q21
+    * exercises: EXISTS + NOT EXISTS self-joins on lineitem with a
+    * same-order-different-supplier condition — decorrelated into one
+    * LeftSemi and one LeftAnti join, each an equi-join on orderkey with
+    * the supplier inequality as a residual condition (never a
+    * cartesian; the reference exercises these semi families in
+    * `/root/reference/tests/fullstack-test/mpp/left_semi_family_joins.test`).
+    * All three lineitem passes shuffle on orderkey; supplier is
+    * SF-growing so its join is left to AQE. */
+  val q104TpchQ21: QueryDef = QueryDef(
+    "q104_tpch_q21",
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val l1 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val l2 = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val l3 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
+    val waiting = l1
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "leftsemi")
+      .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+        col("l3_suppkey") =!= col("l_suppkey"), "leftanti")
+    Tables.supplier(s, d)
+      .join(waiting, col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q90TpchQ5, q91TpchQ10, q92TpchQ18, q93TpchQ7, q94TpchQ12, q95TpchQ14,
-    q96TpchQ4, q97TpchQ15, q98TpchQ20, q101TpchQ17, q102TpchQ22, q103TpchQ13)
+    q96TpchQ4, q97TpchQ15, q98TpchQ20, q101TpchQ17, q102TpchQ22, q103TpchQ13,
+    q104TpchQ21)
 }

@@ -106,19 +106,56 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected zero joins (bounded bucket expansion), got:\n$lp")
   }
 
-  test("q85 phase-1 rank runs over a FIXED partition count (true phase-2 bound)") {
-    import org.apache.spark.sql.catalyst.plans.logical.{RepartitionOperation, Window => LWindow}
+  test("q85 fixed-count exchange consumes the phase-0 rank, not the raw scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      MapPartitions, RepartitionOperation, Window => LWindow}
     val lp = SparkEntry.queries("q85_stratified_sample")(spark, sf).queryExecution.optimizedPlan
-    // the innermost window (the spark_partition_id local rank) must sit
-    // above a repartition with an explicit fixed partition count, so
-    // the final per-class window input is ≤ quota × fixedParts rows no
-    // matter how many input splits the scan produces
+    // phase 1 (the spark_partition_id local re-rank) must sit above a
+    // fixed-count repartition, so the final per-class window input is
+    // ≤ quota × fixedParts rows no matter how many input splits the
+    // scan produces
     val innermostWindow = lp.collect { case w: LWindow => w }.last
     val fixedRepart = innermostWindow.child.collectFirst {
       case r: RepartitionOperation if r.numPartitions == 32 => r
     }
     assert(fixedRepart.nonEmpty,
-      s"local rank must follow a fixed-count repartition:\n$lp")
+      s"local re-rank must follow a fixed-count repartition:\n$lp")
+    // ...and that repartition must consume the phase-0 per-scan-partition
+    // rank (the bounded-heap mapPartitions), NOT the full projected
+    // corpus — otherwise the fixed count is a full-width funnel at scale
+    assert(fixedRepart.get.child.collectFirst { case m: MapPartitions => m }.nonEmpty,
+      s"fixed-count exchange must sit above the phase-0 local rank:\n$lp")
+    // phase 0 itself runs on the natural scan partitions: nothing below
+    // the mapPartitions may repartition
+    val phase0 = fixedRepart.get.child.collectFirst { case m: MapPartitions => m }.get
+    assert(phase0.child.collect { case r: RepartitionOperation => r }.isEmpty,
+      s"phase-0 rank must run over natural scan partitions (no prior exchange):\n$lp")
+  }
+
+  test("q104 decorrelates EXISTS/NOT EXISTS into semi/anti joins, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{Cross, LeftAnti, LeftSemi}
+    val lp = SparkEntry.queries("q104_tpch_q21")(spark, sf).queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.exists(_.joinType == LeftSemi), s"expected LeftSemi (EXISTS):\n$lp")
+    assert(joins.exists(_.joinType == LeftAnti), s"expected LeftAnti (NOT EXISTS):\n$lp")
+    // every join must carry a condition — the suppkey inequality is a
+    // residual on the orderkey equi-join, never a cross product
+    assert(joins.forall(j => j.condition.nonEmpty && j.joinType != Cross),
+      s"found an unconditioned/cross join:\n$lp")
+  }
+
+  test("q105 collated rank orders differently from binary rank") {
+    val rows = SparkEntry.queries("q105_collate_orderby")(spark, sf).collect()
+    val ciOrder = rows.sortBy(_.getLong(2)).map(_.getString(0)).toSeq
+    val binOrder = rows.sortBy(_.getLong(3)).map(_.getString(0)).toSeq
+    assert(ciOrder != binOrder,
+      "collation-weight ordering should differ from binary ordering on mixed-case/accented keys")
+    // collation groups the 3 variants of each segment adjacently
+    def fold(x: String) = x.toLowerCase.map(c => "áéíóú".indexOf(c) match {
+      case -1 => c; case i => "aeiou"(i) })
+    val folded = ciOrder.map(fold)
+    assert(folded == folded.sorted, s"ci_rank must order by folded key: $ciOrder")
   }
 
   test("q90/q95 leave scale-growing fact-dim joins to AQE (no forced broadcast)") {

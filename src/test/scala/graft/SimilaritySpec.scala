@@ -56,6 +56,76 @@ class SimilaritySpec extends SparkTestBase {
     assert(curve.find(_._1 == 4).get._2 >= 0.25)
   }
 
+  test("IVF sweep at nCentroids=64: recall monotone, exact at full probe depth") {
+    // the √N sizing direction: doubling the centroid count halves the
+    // list size (probe cost ~ nProbe · N/k); assignment and the recall
+    // curve must behave identically in shape
+    val truth = SparkEntry.queries("q51_knn_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val e = sources.Tables.embeddings(spark, sf)
+    val curve = Seq(4, 16, 64).map { nProbe =>
+      val got = operators.Similarity.ivfSearch(e, nProbe, nCentroids = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recall = truth.map { case (qid, t) =>
+        got.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
+      }.sum / truth.size
+      nProbe -> recall
+    }
+    info("IVF(k=64) recall@10 vs probes: " +
+      curve.map { case (p, r) => f"$p→$r%.2f" }.mkString(", "))
+    curve.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 1e-9, f"recall dropped from $ra%.3f (probes=$pa) to $rb%.3f (probes=$pb)")
+    }
+    // probing every list scans the whole corpus — exact by construction
+    assert(curve.last._2 >= 0.999,
+      f"full-depth recall must be exact, got ${curve.last._2}%.3f")
+  }
+
+  test("IVF on clustered embeddings reaches recall@10 ≥ 0.9 at probes ≤ 8") {
+    // The uniform-random corpus is a coarse quantizer's worst case (no
+    // cluster structure to exploit). Real embedding spaces are
+    // clustered; this deterministic mixture fixture (8 well-separated
+    // clusters + per-coordinate hash noise) shows the realistic curve —
+    // the posture the reference gets from its HNSW index
+    // (/root/reference/dbms/src/Storages/DeltaMerge/Index/VectorIndex/Reader.h:34).
+    import spark.implicits._
+    val dims = 16; val nClusters = 8; val n = 2000
+    def noise(id: Long, j: Int): Float = {
+      val h = ((id * 31 + j + 1) * 2654435761L) & 0xFFFFFFFFL
+      (h / 4294967296.0 - 0.5).toFloat // deterministic, in [-0.5, 0.5)
+    }
+    val rows = (0L until n.toLong).map { id =>
+      val c = (id % nClusters).toInt
+      val emb = Array.tabulate(dims) { j =>
+        (if (j % nClusters == c) 10.0f else 0.0f) + noise(id, j)
+      }
+      (id, emb)
+    }
+    val e = rows.toDF("vec_id", "embedding").repartition(8)
+    // probing all 32 lists scans the whole corpus — that IS the exact truth
+    val truth = operators.Similarity.ivfSearch(e, nProbe = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val curve = Seq(1, 2, 4, 8).map { nProbe =>
+      val got = operators.Similarity.ivfSearch(e, nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recall = truth.map { case (qid, t) =>
+        got.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
+      }.sum / truth.size
+      nProbe -> recall
+    }
+    info("IVF clustered recall@10 vs probes: " +
+      curve.map { case (p, r) => f"$p→$r%.2f" }.mkString(", "))
+    curve.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 1e-9, f"recall dropped from $ra%.3f (probes=$pa) to $rb%.3f (probes=$pb)")
+    }
+    assert(curve.find(_._1 == 8).get._2 >= 0.9,
+      f"clustered recall@8 should be ≥0.9, got ${curve.find(_._1 == 8).get._2}%.3f")
+  }
+
   test("stored IVF index probes only the selected lists (partition pruning)") {
     // The 100 TB claim behind q58: persist the assignment as a
     // cid-PARTITIONED table and a probe touches only its nProbe lists —
