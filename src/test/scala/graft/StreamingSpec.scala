@@ -164,4 +164,48 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed === batch && streamed.nonEmpty)
   }
+
+  test("incremental IVF index maintenance: streamed vectors findable without rebuild") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    // centroids fixed from the initial corpus — the IVF ingest contract
+    val cent = Similarity.ivfCentroids(e)
+    val base = Files.createTempDirectory("graft-inc-ivf")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/index"
+    def indexFiles(): Set[String] = {
+      val d = new java.io.File(idx)
+      if (!d.exists) Set.empty
+      else {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+        walk(d).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+      }
+    }
+    // batch 1 arrives: half the corpus
+    e.filter(col("vec_id") % 2 === 0).write.mode("overwrite").parquet(in)
+    Ingest.streamIndexIngest(spark, in, cent, idx)
+    val files1 = indexFiles()
+    assert(files1.nonEmpty)
+    // batch 2 arrives as NEW files in the source dir
+    e.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(in)
+    Ingest.streamIndexIngest(spark, in, cent, idx)
+    // append-only maintenance: every batch-1 index file survives untouched
+    assert(files1.subsetOf(indexFiles()), "incremental ingest must not rewrite existing lists")
+    // the stored index now equals the from-scratch batch assignment
+    val stored = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity.ivfAssign(e, cent)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === direct && stored.nonEmpty,
+      "stream-built index must equal the batch-built assignment")
+    // and a probe still partition-prunes: only the probed lists are read
+    val probedCids = cent.select(col("cid")).collect().map(_.getLong(0)).sorted.take(2).toSeq
+    val probe = spark.read.parquet(idx).filter(col("cid").isin(probedCids: _*))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"probe over the streamed index must partition-prune on cid:\n$plan")
+  }
 }
