@@ -59,6 +59,45 @@ class PartitionPruningSpec extends SparkTestBase {
       s"expected dynamic pruning in plan:\n$plan")
   }
 
+  test("row-group stats skip rows under a selective filter (late-materialization analog)") {
+    // ≙ the reference's LateMaterializationBlockInputStream
+    // (/root/reference/dbms/src/Storages/DeltaMerge/LateMaterializationBlockInputStream.h:26-31):
+    // read the filter column first, skip the packs the predicate kills,
+    // and only then materialize the remaining (wide) columns. Parquet's
+    // row-group stats + pushed filters give the same effect: a sorted
+    // write yields tight per-row-group min/max on the sort key, so a
+    // selective point filter decodes only the matching group — the scan
+    // emits a small fraction of the table, proving the wide payload
+    // column was never materialized for the skipped groups.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("graft-latemat").toString + "/t"
+    val total = 200000L
+    spark.range(0, total).select(
+        col("id"),
+        (col("id") % 97).as("k"),
+        // wide payload: what late materialization avoids decoding
+        concat_ws("-", (1 to 20).map(i => md5(concat(col("id"), lit(i)))): _*).as("payload"))
+      .orderBy(col("id")) // sorted → tight row-group min/max on id
+      .coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024) // many small row groups
+      .mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("id") === 123456L)
+    val rows = q.collect()
+    assert(rows.length === 1 && rows.head.getString(2).nonEmpty)
+    val executed = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scan = executed.collectLeaves().collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.metadata("PushedFilters").contains("EqualTo(id,123456)"),
+      s"point filter must reach the parquet reader: ${scan.metadata("PushedFilters")}")
+    val emitted = scan.metrics("numOutputRows").value
+    // without row-group skipping the scan would decode all 200k rows;
+    // with stats-based skipping it decodes only the matching group(s)
+    assert(emitted < total / 10,
+      s"scan emitted $emitted of $total rows — row-group stats not skipping")
+  }
+
   test("multi-path and glob reads (remote/disaggregated read posture)") {
     // ≙ the reference's remote read of S3-backed segments
     // (Storages/DeltaMerge/Remote/): the query layer reads whatever
