@@ -431,8 +431,117 @@ object TpchShapes {
       .limit(20)
   }
 
+  /** Q19 shape: disjunctive OR-of-ANDs predicate MIXING columns of both
+    * join sides — the planner stress Q19 exists for: the optimizer must
+    * extract the common join key, push the single-table conjuncts it
+    * can derive (CNF extraction), and evaluate the residual disjunction
+    * post-join rather than falling back to a cartesian. One fact
+    * shuffle; part is SF-growing so its join strategy is AQE's call. */
+  val q106TpchQ19: QueryDef = QueryDef(
+    "q106_tpch_q19",
+    s"""SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    def arm(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(1, szHi) && col("l_quantity").between(qLo, qHi)
+    l.join(p, col("p_partkey") === col("l_partkey"))
+      .filter(arm("Brand#11", 5, 1, 11) || arm("Brand#13", 10, 10, 20) ||
+        arm("Brand#15", 15, 20, 30))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q2 shape (adapted: schema has no partsupp — the observed minimum
+    * lineitem price per (part, supplier) plays ps_supplycost): the
+    * minimum-cost supplier per sized part within a region. The
+    * correlated min subquery is decorrelated into a per-part MIN
+    * aggregate joined back (the same discipline as Q17/q101), the
+    * region→nation chain broadcasts, and the per-(part,supplier) cost
+    * table shuffles once on its grouping key. MIN of a double is exact
+    * (no summation), so the equality probe is bit-stable across both
+    * engines. */
+  val q107TpchQ2: QueryDef = QueryDef(
+    "q107_tpch_q2",
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |eligible AS (
+      |  SELECT c.l_partkey, c.supplycost, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      |  FROM cost c
+      |  JOIN supplier s ON c.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'EUROPE'),
+      |mc AS (SELECT l_partkey AS mc_partkey, MIN(supplycost) AS min_cost
+      |       FROM eligible GROUP BY l_partkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+      |FROM part
+      |JOIN eligible e ON p_partkey = e.l_partkey
+      |JOIN mc ON mc_partkey = p_partkey
+      |WHERE p_size = 15 AND supplycost = min_cost
+      |ORDER BY s_acctbal DESC, s_name, p_partkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val cost = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("supplycost"))
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+    val eligible = cost
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("l_partkey"), col("supplycost"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+    val mc = eligible.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("supplycost")).as("min_cost"))
+    Tables.part(s, d).filter(col("p_size") === 15)
+      .join(eligible, col("p_partkey") === col("l_partkey"))
+      .join(mc, col("mc_partkey") === col("p_partkey"))
+      .filter(col("supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(10)
+  }
+
+  /** Q9 shape (adapted: schema has no partsupp — a retail-price-based
+    * unit cost plays ps_supplycost): profit per (supplier nation,
+    * order year) over a 5-table join driven by a part-name LIKE
+    * filter. The profit expression is written with IDENTICAL
+    * association order in both engines so the doubles are bit-equal
+    * before the exact decimal sum. */
+  val q108TpchQ9: QueryDef = QueryDef(
+    "q108_tpch_q9",
+    s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount) - 0.5 * p_retailprice * l_quantity", 6)} AS profit
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY n_name, year(o_orderdate)""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.5) * col("p_retailprice") * col("l_quantity")
+    l.join(p, col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(amount, 6).as("profit"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q90TpchQ5, q91TpchQ10, q92TpchQ18, q93TpchQ7, q94TpchQ12, q95TpchQ14,
     q96TpchQ4, q97TpchQ15, q98TpchQ20, q101TpchQ17, q102TpchQ22, q103TpchQ13,
-    q104TpchQ21)
+    q104TpchQ21, q106TpchQ19, q107TpchQ2, q108TpchQ9)
 }

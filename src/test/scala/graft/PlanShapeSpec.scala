@@ -145,6 +145,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"found an unconditioned/cross join:\n$lp")
   }
 
+  test("q106 disjunctive mixed-table predicate keeps the equi-join (no nested loop)") {
+    val p = planString("q106_tpch_q19")
+    // the OR-of-ANDs mixes part and lineitem columns; the optimizer must
+    // still join on the extracted p_partkey = l_partkey equi-key and
+    // evaluate the disjunction as a post-join filter — degrading to a
+    // nested-loop/cartesian would be O(|lineitem|·|part|) at scale
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q106 degraded to a non-equi join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi join:\n$p")
+  }
+
   test("q105 collated rank orders differently from binary rank") {
     val rows = SparkEntry.queries("q105_collate_orderby")(spark, sf).collect()
     val ciOrder = rows.sortBy(_.getLong(2)).map(_.getString(0)).toSeq
