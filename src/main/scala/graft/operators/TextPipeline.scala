@@ -495,6 +495,70 @@ object TextPipeline {
         max(col("doc_id")).as("last_doc"))
   }
 
+  // Shared PII patterns — valid in both Java regex (Spark) and RE2
+  // (DuckDB): no lookarounds, \b supported by both.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII redaction — the compliance pass every pretraining corpus
+    * needs before the tokenizer sees it: count and mask emails/phones
+    * with sentinel tags. Deterministic PII is synthesized into the text
+    * (hash-derived address + number per doc) so the operator provably
+    * matches and rewrites. Per-row regexp work — embarrassingly
+    * parallel, no shuffle at all. */
+  val q87RedactPii: QueryDef = QueryDef(
+    "q87_redact_pii",
+    s"""WITH t AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@example.com or call 555-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS redacted
+       |FROM t""".stripMargin) { (s, d) =>
+    val synth = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("."))
+    docs(s, d).select(col("doc_id"), synth.as("text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")).as("redacted"))
+  }
+
+  /** URL parsing — the web-corpus curation primitive (host/domain
+    * dedup, path filtering, tracking-param analysis). Spark's codegen
+    * parse_url does the splitting; the oracle re-derives each part with
+    * anchored regexps. Per-row — scales flat. */
+  val q88UrlParse: QueryDef = QueryDef(
+    "q88_url_parse",
+    """WITH t AS (SELECT doc_id,
+      |    'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/docs/' ||
+      |    CAST(doc_id AS VARCHAR) || '?q=spark&ref=corpus' AS url
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+      |  string_split(regexp_extract(url, '^https?://([^/?#]+)', 1), '.')[-2] || '.' ||
+      |    string_split(regexp_extract(url, '^https?://([^/?#]+)', 1), '.')[-1] AS domain,
+      |  regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS query
+      |FROM t""".stripMargin) { (s, d) =>
+    val url = concat(lit("https://site"), (col("doc_id") % 50).cast("string"),
+      lit(".example.org/docs/"), col("doc_id").cast("string"), lit("?q=spark&ref=corpus"))
+    val host = parse_url(col("url"), lit("HOST"))
+    docs(s, d).select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        host.as("host"),
+        concat(element_at(split(host, "\\."), -2), lit("."),
+          element_at(split(host, "\\."), -1)).as("domain"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"))
+  }
+
   /** Heavy hitters: the corpus's most frequent tokens with document
     * frequency — the vocabulary/stopword-discovery pass of a
     * pretraining pipeline. Scale shape: one high-cardinality token
@@ -517,5 +581,5 @@ object TextPipeline {
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
-    q85StratifiedSample, q86TrainTestSplit)
+    q85StratifiedSample, q86TrainTestSplit, q87RedactPii, q88UrlParse)
 }
