@@ -468,7 +468,7 @@ object TextPipeline {
       .withColumn("rn", row_number().over(wFinal))
       .filter(col("rn") <= quota)
       .select(col("doc_id"), col("lang"), col("rn"))
-  }
+  }.copy(headline = true) // tracks the tree-top-k + mapPartitions pipeline cost
 
   /** Deterministic train/validation/test split — hash-bucket
     * assignment (80/10/10), reproducible and disjoint by construction;

@@ -540,8 +540,59 @@ object TpchShapes {
       .agg(dsum(amount, 6).as("profit"))
   }
 
+  /** Q8 shape: national market share — the deepest join in the suite
+    * (8 relations: part→lineitem→supplier→orders→customer→nation×2→
+    * region), aggregated twice conceptually but computed in ONE pass as
+    * a ratio of conditional exact-decimal sums per year (the q95
+    * discipline). Nation joins broadcast twice under different roles
+    * (customer region membership vs supplier nationality); the two fact
+    * joins are the only shuffles. */
+  val q109TpchQ8: QueryDef = QueryDef(
+    "q109_tpch_q8",
+    """SELECT o_year,
+      |  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_4'
+      |      THEN CAST(volume AS DECIMAL(30,6))
+      |      ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) /
+      |    CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO') t
+      |GROUP BY o_year""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val p = Tables.part(s, d).filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val n1 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+    val n2 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val volume = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(30, 6))
+    p.join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(r), col("n1_region") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_4", volume)
+          .otherwise(lit(0).cast(DecimalType(30, 6)))).cast("double") /
+        sum(volume).cast("double"), 6).as("mkt_share"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q90TpchQ5, q91TpchQ10, q92TpchQ18, q93TpchQ7, q94TpchQ12, q95TpchQ14,
     q96TpchQ4, q97TpchQ15, q98TpchQ20, q101TpchQ17, q102TpchQ22, q103TpchQ13,
-    q104TpchQ21, q106TpchQ19, q107TpchQ2, q108TpchQ9)
+    q104TpchQ21, q106TpchQ19, q107TpchQ2, q108TpchQ9, q109TpchQ8)
 }

@@ -165,6 +165,49 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    // the remaining stateful streaming operator: two watermarked streams
+    // joined on key + event-time range (errors within 30 min after a
+    // click), state bounded by the watermark — Structured Streaming's
+    // analog of a time-bounded co-partitioned join at 100 TB/day rates
+    import org.apache.spark.sql.streaming.Trigger
+    val in = Files.createTempDirectory("graft-stream-ssj").resolve("in")
+    Files.createDirectories(in)
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("events.parquet"))
+    val schema = spark.read.parquet(in.toString).schema
+    def mkStream() = spark.readStream.schema(schema).parquet(in.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = mkStream().filter(col("event_type") =!= "error")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val errs = mkStream().filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val joined = clicks.join(errs,
+      expr("c_user = e_user AND err_ts >= click_ts AND err_ts <= click_ts + interval 30 minutes"))
+    val q = joined.select(col("c_user"), col("click_id"), col("err_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = key(spark.table("ssj"))
+    val ev = Tables.events(spark, sf)
+    val bc = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val be = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    val batch = key(bc.join(be,
+        expr("c_user = e_user AND err_ts >= click_ts AND err_ts <= click_ts + interval 30 minutes"))
+      .select(col("c_user"), col("click_id"), col("err_id")))
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("incremental IVF index maintenance: streamed vectors findable without rebuild") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sf)
