@@ -174,6 +174,114 @@ object Similarity {
           round(vec_cosine_distance(col("embedding"), col("emb2")), 6).as("cosd"))
   }
 
+  /** DuckDB fragment: squared-L2 fold over two list expressions —
+    * duckL2Dist without the sqrt (ADC sums per-subvector squares). */
+  private def duckL2Sq(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |  (u,v) -> u+v)""".stripMargin
+
+  /** Product quantization (PQ) with asymmetric-distance search (ADC) —
+    * the compression technique that makes a 10¹¹-vector index
+    * RAM-resident (FAISS IVFPQ practice; the reference's vector index
+    * holds full vectors, `Index/VectorIndex/Reader.h:34`, so PQ is the
+    * beyond-reference scale path): each 64-dim vector is encoded as
+    * M=4 sub-codes from 16-entry per-subspace codebooks — 4 bytes in
+    * place of 256, a 64× compression — and a query ranks candidates by
+    * the SUM of per-subspace table-lookup distances without touching
+    * the raw vectors.
+    *
+    * Deterministic construction keeps it fully oracled: codebooks are
+    * the same Knuth-hash sample as the IVF centroids (sliced per
+    * subspace), encode is a min_by argmin per (vector, subspace) that
+    * collapses map-side (N×M×16 expansion never shuffles), the
+    * distance lookup table is |Q|·M·16 ≈ 320 doubles broadcast, and
+    * the final ADC adds the M partial distances in FIXED order
+    * (ld0+ld1)+ld2)+ld3 so both engines produce bit-identical doubles.
+    * At 100 TB: codes are a 4-byte-per-vector table, the rank window
+    * would ride the q51b per-partition bounded-heap form. */
+  val q56AnnPq: QueryDef = QueryDef(
+    "q56_ann_pq",
+    s"""WITH cb16 AS (SELECT vec_id AS code_vec, embedding AS cv FROM embeddings
+       |              ORDER BY (vec_id % 1000003) * 2654435761 % 4294967296, vec_id LIMIT 16),
+       |ms AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(m)),
+       |cb AS (SELECT m, code_vec, list_slice(cv, m*16+1, m*16+16) AS cvm
+       |       FROM cb16 CROSS JOIN ms),
+       |enc0 AS (
+       |  SELECT e.vec_id, cb.m, cb.code_vec,
+       |    sqrt(${duckL2Sq("list_slice(e.embedding, cb.m*16+1, cb.m*16+16)", "cb.cvm")}) AS d
+       |  FROM embeddings e CROSS JOIN cb),
+       |enc AS (SELECT vec_id, m, code_vec AS code FROM (
+       |  SELECT vec_id, m, code_vec,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_vec) AS rn
+       |  FROM enc0) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |lut AS (SELECT q.qid, cb.m, cb.code_vec,
+       |    ${duckL2Sq("list_slice(q.qv, cb.m*16+1, cb.m*16+16)", "cb.cvm")} AS ld
+       |  FROM q CROSS JOIN cb),
+       |adc0 AS (SELECT l.qid, enc.vec_id,
+       |    MAX(CASE WHEN enc.m = 0 THEN ld END) AS ld0,
+       |    MAX(CASE WHEN enc.m = 1 THEN ld END) AS ld1,
+       |    MAX(CASE WHEN enc.m = 2 THEN ld END) AS ld2,
+       |    MAX(CASE WHEN enc.m = 3 THEN ld END) AS ld3
+       |  FROM enc JOIN lut l ON enc.m = l.m AND enc.code = l.code_vec
+       |  GROUP BY l.qid, enc.vec_id),
+       |adc AS (SELECT qid, vec_id, ((ld0 + ld1) + ld2) + ld3 AS dist
+       |        FROM adc0 WHERE vec_id <> qid),
+       |ranked AS (SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk FROM adc)
+       |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
+       |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
+    pqSearch(Tables.embeddings(s, d))
+  }
+
+  /** The PQ/ADC pipeline (M subspaces × 16 codes, see q56). */
+  def pqSearch(e: DataFrame, mSub: Int = 4, subDim: Int = 16, k: Int = 10): DataFrame = {
+    val session = e.sparkSession
+    import session.implicits._
+    val cb16 = e.select(col("vec_id").as("code_vec"), col("embedding").as("cv"))
+      .orderBy((col("code_vec") % 1000003L) * 2654435761L % 4294967296L, col("code_vec"))
+      .limit(16)
+    val ms = (0 until mSub).map(m => (m, m * subDim + 1)).toDF("m", "start")
+    val cb = cb16.crossJoin(ms)
+      .select(col("m"), col("start"), col("code_vec"),
+        slice(col("cv"), col("start"), lit(subDim)).as("cvm"))
+    // encode: argmin code per (vector, subspace); the N×M×16 expansion
+    // collapses in the map-side partial min_by — only N×M code rows move
+    val enc = e.crossJoin(broadcast(cb))
+      .withColumn("d",
+        vec_l2_distance(slice(col("embedding"), col("start"), lit(subDim)), col("cvm")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code_vec"), struct(col("d"), col("code_vec"))).as("code"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // distance lookup table: |Q|·M·16 squared sub-distances, ascending
+    // fold in doubles (bit-identical to the oracle's list_reduce)
+    val ld = aggregate(
+      zip_with(slice(col("qv"), col("start"), lit(subDim)), col("cvm"),
+        (x, y) => {
+          val dx = x.cast("double") - y.cast("double")
+          dx * dx
+        }),
+      lit(0.0), (acc, v) => acc + v)
+    val lut = q.crossJoin(cb)
+      .select(col("qid"), col("m").as("lm"), col("code_vec"), ld.as("ld"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    enc.join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("code_vec"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(
+        max(when(col("m") === 0, col("ld"))).as("ld0"),
+        max(when(col("m") === 1, col("ld"))).as("ld1"),
+        max(when(col("m") === 2, col("ld"))).as("ld2"),
+        max(when(col("m") === 3, col("ld"))).as("ld3"))
+      .withColumn("dist", ((col("ld0") + col("ld1")) + col("ld2")) + col("ld3"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
+  }
+
   // ------------------------------------------------------------ LSH
   /** Signed random projection: deterministic ±1 hyperplane weights from
     * xxhash64(dim_index, plane_id); one bucket id per band of `bits`
@@ -383,5 +491,5 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(
     q50VecNorms, q51KnnBrute, q51bKnnPartial, q52VecMetrics, q53AnnLsh,
-    q54EmbedNearDup, q58AnnIvf)
+    q54EmbedNearDup, q56AnnPq, q58AnnIvf)
 }

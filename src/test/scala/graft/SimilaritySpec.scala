@@ -126,6 +126,55 @@ class SimilaritySpec extends SparkTestBase {
       f"clustered recall@8 should be ≥0.9, got ${curve.find(_._1 == 8).get._2}%.3f")
   }
 
+  test("PQ/ADC compressed search finds a meaningful share of true neighbors") {
+    // PQ trades accuracy for a 64× memory cut (4-byte codes vs 256-byte
+    // vectors); on uniform-random embeddings (the hardest case) the
+    // 16-codes-per-subspace quantizer must still recover a meaningful
+    // share of the exact L2 top-10
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val e = sources.Tables.embeddings(spark, sf)
+    // exact L2 truth (q51 ranks by cosine — PQ approximates L2)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = W.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist", functions.VectorFunctions.vec_l2_distance(col("qv"), col("embedding")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (qid, t) =>
+        got.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
+      }.sum / truth.size
+    }
+    // raw ADC ranking: 16 codes/subspace on uniform data is the
+    // quantizer's worst case — random guessing would score 10/N = 0.02
+    val adcRecall = recallOf(operators.Similarity.pqSearch(e))
+    // the production pattern: PQ generates a candidate superset (top-50
+    // by compressed distance, still never touching 90% of raw vectors),
+    // then the survivors re-rank by exact distance
+    val cand = operators.Similarity.pqSearch(e, k = 50)
+      .select(col("qid").as("c_qid"), col("vec_id"))
+    val qv = q.select(col("qid"), col("qv"))
+    val ev = e.select(col("vec_id").as("e_vid"), col("embedding"))
+    val rerank = cand
+      .join(broadcast(qv), col("c_qid") === col("qid"))
+      .join(ev, col("vec_id") === col("e_vid"))
+      .withColumn("dist", functions.VectorFunctions.vec_l2_distance(col("qv"), col("embedding")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val rerankRecall = recallOf(rerank)
+    info(f"PQ/ADC recall@10: raw $adcRecall%.2f, +exact-rerank-of-top-50 $rerankRecall%.2f")
+    assert(adcRecall >= 0.1, f"raw ADC recall implausibly low: $adcRecall%.3f")
+    assert(rerankRecall >= adcRecall,
+      "exact re-rank of the PQ candidate set must not lose recall")
+    assert(rerankRecall >= 0.3, f"re-ranked recall implausibly low: $rerankRecall%.3f")
+  }
+
   test("stored IVF index probes only the selected lists (partition pruning)") {
     // The 100 TB claim behind q58: persist the assignment as a
     // cid-PARTITIONED table and a probe touches only its nProbe lists —
