@@ -96,6 +96,9 @@ class PlanShapeSpec extends SparkTestBase {
       // embed near-dup now rides the same bounded-bucket shape: one
       // groupBy on (label, sign-bits), pair output ≤ cap²/2 per bucket
       assert(shuffles("q54_embed_neardup") <= 1)
+      // PQ/ADC: encode groupBy + ADC groupBy + rank window; codebook and
+      // lookup tables broadcast, raw vectors never reshuffled
+      assert(shuffles("q56_ann_pq") <= 3)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
