@@ -215,6 +215,45 @@ object Ingest {
       .toDF("user_id", "event_id", "sess_id")
   }
 
+  /** Spark 4's arbitrary-state API (`transformWithState`, the successor
+    * to flatMapGroupsWithState): the same gap-sessionization semantics
+    * as [[sessionizeStateful]], but with NAMED typed state
+    * (`ValueState`) acquired from the `StatefulProcessorHandle` — the
+    * API that supports multiple state variables, TTL, and timers, and
+    * runs on the RocksDB state store in streaming mode. State is
+    * (current session id, last event µs) per user. */
+  class SessionizeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      val evs = rows.toArray.sortBy(e => (e._3, e._2))
+      var (sessId, lastTs) = if (st.exists()) st.get() else (0L, Long.MinValue)
+      val out = evs.map { case (_, eid, ts) =>
+        if (lastTs != Long.MinValue && ts - lastTs > 1800L * 1000000L) sessId += 1
+        lastTs = ts
+        (uid, eid, sessId)
+      }
+      st.update((sessId, lastTs))
+      out.iterator
+    }
+  }
+
+  def sessionizeTws(df: DataFrame)(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    df.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionizeProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "sess_id")
+  }
+
   /** Native session windows (`session_window`, the engine's stateful
     * sessionization operator — works identically in batch and
     * Structured Streaming with a watermark; `StreamingSpec` runs the

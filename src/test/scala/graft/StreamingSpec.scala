@@ -165,6 +165,37 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("transformWithState sessionization matches the flatMapGroupsWithState form") {
+    // the Spark 4 arbitrary-state API with named ValueState on the
+    // RocksDB state store — must reproduce the legacy API's sessions
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = Files.createTempDirectory("graft-stream-tws").resolve("in")
+      Files.createDirectories(in)
+      Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+        in.resolve("events.parquet"))
+      val schema = spark.read.parquet(in.toString).schema
+      val stream = spark.readStream.schema(schema).parquet(in.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q = Ingest.sessionizeTws(stream).writeStream
+        .outputMode("append").format("memory").queryName("tws_sess")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val streamed = key(spark.table("tws_sess"))
+      val legacy = key(Ingest.sessionizeStateful(Tables.events(spark, sf)))
+      assert(streamed === legacy && streamed.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     // the remaining stateful streaming operator: two watermarked streams
     // joined on key + event-time range (errors within 30 min after a
