@@ -148,6 +148,43 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Filtered (hybrid) vector search — ANN combined with a scalar
+    * predicate, the pattern the reference serves by pushing filters
+    * INTO the vector index scan
+    * (`/root/reference/dbms/src/Storages/DeltaMerge/Filter/PushDownExecutor.h:43-88`).
+    * Semantics matter: this is a PRE-filter (predicate applied before
+    * the top-k), which guarantees k results from the qualifying set —
+    * post-filtering an unfiltered top-k would silently return fewer
+    * than k. Spark-native: the label predicate prunes at the parquet
+    * scan (PushedFilters) BEFORE the distance evaluation, so the
+    * filtered corpus is never fully materialized. */
+  val q51cKnnFiltered: QueryDef = QueryDef(
+    "q51c_knn_filtered",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |dists AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ${duckCosineDist("q.qvec", "e.embedding")} AS dist
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.qid AND e.label = 3),
+       |ranked AS (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+       |  FROM dists)
+       |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
+       |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    e.filter(col("label") === 3) // pre-filter: pushed to the scan
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist", vec_cosine_distance(col("qvec"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
+  }
+
   /** All four distance metrics side by side on aligned pairs. */
   val q52VecMetrics: QueryDef = QueryDef(
     "q52_vec_metrics",
@@ -490,6 +527,6 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q50VecNorms, q51KnnBrute, q51bKnnPartial, q52VecMetrics, q53AnnLsh,
-    q54EmbedNearDup, q56AnnPq, q58AnnIvf)
+    q50VecNorms, q51KnnBrute, q51bKnnPartial, q51cKnnFiltered, q52VecMetrics,
+    q53AnnLsh, q54EmbedNearDup, q56AnnPq, q58AnnIvf)
 }

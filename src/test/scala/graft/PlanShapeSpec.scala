@@ -58,6 +58,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected broadcast for query set:\n$p")
   }
 
+  test("q51c filtered ANN pushes the scalar predicate to the scan (pre-filter)") {
+    val p = planString("q51c_knn_filtered")
+    // hybrid search: the label predicate must prune at the parquet
+    // reader BEFORE distance evaluation (≙ the reference pushing
+    // filters into the vector index scan) — post-filtering a top-k
+    // would return fewer than k rows
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"),
+      s"label pre-filter not pushed to the scan:\n$p")
+    val rows = SparkEntry.queries("q51c_knn_filtered")(spark, sf).collect()
+    assert(rows.length == 5 * 10, "pre-filter must still yield k results per query")
+  }
+
   test("no window query runs an unpartitioned window over raw (unaggregated) data") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // every Window with an empty partitionSpec must sit above an
