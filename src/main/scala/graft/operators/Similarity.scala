@@ -272,8 +272,13 @@ object Similarity {
     pqSearch(Tables.embeddings(s, d))
   }
 
-  /** The PQ/ADC pipeline (M subspaces × 16 codes, see q56). */
+  /** The PQ/ADC pipeline (M subspaces × 16 codes, see q56). The ADC
+    * pivot and the fixed-order distance sum are derived from `mSub`,
+    * so any (mSub, subDim) factorization of the embedding dimension
+    * is exact; the left-to-right add order keeps doubles bit-stable. */
   def pqSearch(e: DataFrame, mSub: Int = 4, subDim: Int = 16, k: Int = 10): DataFrame = {
+    require(mSub * subDim == embedDims,
+      s"mSub*subDim must cover the $embedDims-dim embeddings, got $mSub*$subDim")
     val session = e.sparkSession
     import session.implicits._
     val cb16 = e.select(col("vec_id").as("code_vec"), col("embedding").as("cv"))
@@ -304,15 +309,12 @@ object Similarity {
     val lut = q.crossJoin(cb)
       .select(col("qid"), col("m").as("lm"), col("code_vec"), ld.as("ld"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    val ldCols = (0 until mSub).map(m => max(when(col("m") === m, col("ld"))).as(s"ld$m"))
     enc.join(broadcast(lut),
         col("m") === col("lm") && col("code") === col("code_vec"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(
-        max(when(col("m") === 0, col("ld"))).as("ld0"),
-        max(when(col("m") === 1, col("ld"))).as("ld1"),
-        max(when(col("m") === 2, col("ld"))).as("ld2"),
-        max(when(col("m") === 3, col("ld"))).as("ld3"))
-      .withColumn("dist", ((col("ld0") + col("ld1")) + col("ld2")) + col("ld3"))
+      .agg(ldCols.head, ldCols.tail: _*)
+      .withColumn("dist", (0 until mSub).map(m => col(s"ld$m")).reduce(_ + _))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

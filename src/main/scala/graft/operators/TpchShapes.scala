@@ -591,8 +591,131 @@ object TpchShapes {
         sum(volume).cast("double"), 6).as("mkt_share"))
   }
 
+  /** Q3 shape: the shipping-priority top-10 — segment-filtered
+    * customer×orders×lineitem with date bounds on both fact sides,
+    * revenue-ranked via TakeOrderedAndProject (no global sort). The
+    * schema has no o_shippriority — o_orderpriority stands in. */
+  val q110TpchQ3: QueryDef = QueryDef(
+    "q110_tpch_q3",
+    s"""SELECT l_orderkey,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |  o_orderdate, o_orderpriority
+       |FROM customer
+       |JOIN orders   ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q6 shape: the forecasting-revenue-change scan — a pure
+    * filter-and-aggregate with NO join, the pushdown showcase: all
+    * three predicates (date range, discount band, quantity cap) reach
+    * the parquet reader; one exact-decimal sum comes back. */
+  val q111TpchQ6: QueryDef = QueryDef(
+    "q111_tpch_q6",
+    s"""SELECT round(${dsumSql("l_extendedprice * l_discount", 6)}, 6) AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(dsum(col("l_extendedprice") * col("l_discount"), 6), 6).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q11 shape (adapted: schema has no partsupp — shipped value
+    * sum(extendedprice·quantity) per part plays ps_supplycost·availqty):
+    * parts holding an outsized share of one nation's shipped value.
+    * Per-part decimal sums shuffle once on partkey; the 1-row
+    * (total, count) summary broadcasts; the HAVING threshold is the
+    * RELATIVE form v·cnt > 2·total (more than twice the average
+    * share) — TPC-H's own fraction scales by 1/SF for the same
+    * reason: an absolute share cutoff empties as the part count
+    * grows. Compared in EXACT decimals (the q98b discipline) so no
+    * double rounding can flip a boundary part. */
+  val q112TpchQ11: QueryDef = QueryDef(
+    "q112_tpch_q11",
+    """WITH val AS (
+      |  SELECT l_partkey, SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS v
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_13'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey AS ps_partkey, round(CAST(v AS DOUBLE), 6) AS value
+      |FROM val CROSS JOIN (SELECT SUM(v) AS tot, COUNT(*) AS cnt FROM val)
+      |WHERE v * cnt > 2 * tot""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d).filter(col("n_name") === "NATION_13")
+    val v = Tables.lineitem(s, d)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * col("l_quantity"))
+        .cast(DecimalType(30, 6))).as("v"))
+    val tot = v.agg(sum(col("v")).as("tot"), count(lit(1)).as("cnt"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("v") * col("cnt") > col("tot") * 2)
+      .select(col("l_partkey").as("ps_partkey"),
+        round(col("v").cast("double"), 6).as("value"))
+  }
+
+  /** Q16 shape (adapted: partsupp ≙ the DISTINCT (partkey, suppkey)
+    * pairs observed in lineitem; "customer complaints" ≙ a negative
+    * account balance): supplier count per (brand, type, size) for the
+    * probed size set, excluding one brand, one type prefix, and the
+    * complained-about suppliers via NOT IN → LeftAnti. The distinct
+    * pair projection and the count(distinct) both shuffle on bounded
+    * grouping keys; part is SF-growing so its join is AQE's call. */
+  val q113TpchQ16: QueryDef = QueryDef(
+    "q113_tpch_q16",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ps JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val ps = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+    val complained = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("PROMO%") &&
+        col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49))
+    ps.join(complained, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q90TpchQ5, q91TpchQ10, q92TpchQ18, q93TpchQ7, q94TpchQ12, q95TpchQ14,
     q96TpchQ4, q97TpchQ15, q98TpchQ20, q101TpchQ17, q102TpchQ22, q103TpchQ13,
-    q104TpchQ21, q106TpchQ19, q107TpchQ2, q108TpchQ9, q109TpchQ8)
+    q104TpchQ21, q106TpchQ19, q107TpchQ2, q108TpchQ9, q109TpchQ8,
+    q110TpchQ3, q111TpchQ6, q112TpchQ11, q113TpchQ16)
 }

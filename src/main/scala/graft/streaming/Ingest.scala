@@ -56,20 +56,25 @@ object Ingest {
   /** Structured Streaming replay: events parquet → foreachBatch append
     * into a versioned parquet table ≙ Raft apply into the Delta layer.
     * Synchronous for tests (AvailableNow + awaitTermination). */
-  def streamIngest(spark: SparkSession, inputDir: String, outPath: String): Unit = {
-    val batchSchema = spark.read.parquet(inputDir).schema
-    val stream = spark.readStream
-      .schema(batchSchema)
-      .parquet(inputDir)
+  def streamIngest(spark: SparkSession, inputDir: String, outPath: String): Unit =
+    runAvailableNow(spark, inputDir, s"$outPath-ckpt",
       // same ns→µs conversion as Tables.load
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = versioned(stream).writeStream
+      prep = df => versioned(df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))) {
+      batch => batch.write.mode("append").parquet(outPath)
+    }
+
+  /** Shared AvailableNow replay scaffolding: schema-inferred parquet
+    * stream → optional stream-side transform → foreachBatch sink,
+    * synchronous (awaitTermination) so tests see the committed result. */
+  private def runAvailableNow(spark: SparkSession, inputDir: String, ckpt: String,
+      prep: DataFrame => DataFrame = identity)(perBatch: DataFrame => Unit): Unit = {
+    val batchSchema = spark.read.parquet(inputDir).schema
+    val stream = prep(spark.readStream.schema(batchSchema).parquet(inputDir))
+    val q = stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outPath)
-      }
+      .foreachBatch { (batch: DataFrame, _: Long) => perBatch(batch) }
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$outPath-ckpt")
+      .option("checkpointLocation", ckpt)
       .start()
     q.awaitTermination()
   }
@@ -88,20 +93,11 @@ object Ingest {
     * rebuild path). At 100 TB this is exactly the delta-merge posture:
     * ingest cost per batch is O(batch × k), never O(corpus). */
   def streamIndexIngest(spark: SparkSession, inputDir: String, cent: DataFrame,
-      indexPath: String): Unit = {
-    val batchSchema = spark.read.parquet(inputDir).schema
-    val stream = spark.readStream.schema(batchSchema).parquet(inputDir)
-    val q = stream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.ivfAssign(batch, cent)
-          .write.mode("append").partitionBy("cid").parquet(indexPath)
-      }
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$indexPath-ckpt")
-      .start()
-    q.awaitTermination()
-  }
+      indexPath: String): Unit =
+    runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { batch =>
+      graft.operators.Similarity.ivfAssign(batch, cent)
+        .write.mode("append").partitionBy("cid").parquet(indexPath)
+    }
 
   // ------------------------------------------------------------ queries
   /** MVCC snapshot as a verifiable query (read_ts fixed). */

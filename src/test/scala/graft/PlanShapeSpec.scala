@@ -59,14 +59,19 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q51c filtered ANN pushes the scalar predicate to the scan (pre-filter)") {
-    val p = planString("q51c_knn_filtered")
     // hybrid search: the label predicate must prune at the parquet
     // reader BEFORE distance evaluation (≙ the reference pushing
     // filters into the vector index scan) — post-filtering a top-k
-    // would return fewer than k rows
+    // would return fewer than k rows. One execution serves both the
+    // AQE-final plan and the row-count assertion.
+    val df = SparkEntry.queries("q51c_knn_filtered")(spark, sf)
+    val rows = df.collect()
+    val p = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }).toString
     assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"),
       s"label pre-filter not pushed to the scan:\n$p")
-    val rows = SparkEntry.queries("q51c_knn_filtered")(spark, sf).collect()
     assert(rows.length == 5 * 10, "pre-filter must still yield k results per query")
   }
 

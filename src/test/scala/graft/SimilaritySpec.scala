@@ -8,6 +8,17 @@ import org.apache.spark.sql.functions._
   * neighbors. */
 class SimilaritySpec extends SparkTestBase {
 
+  /** qid → returned vec_id set, from a (qid, vec_id, ...) result. */
+  private def topIdsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  /** Mean per-query recall of `got` against the `truth` top-k sets. */
+  private def recallOf(truth: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double =
+    truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
+    }.sum / truth.size
+
   test("LSH ANN distances agree with brute force; recall@10 nonzero") {
     val brute = SparkEntry.queries("q51_knn_bruteforce")(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
@@ -26,22 +37,14 @@ class SimilaritySpec extends SparkTestBase {
 
   test("IVF recall@10 sweeps up with probe count; ≥0.9 at some probe setting") {
     // brute-force truth: q51's exact cosine top-10 per query
-    val truth = SparkEntry.queries("q51_knn_bruteforce")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topIdsOf(SparkEntry.queries("q51_knn_bruteforce")(spark, sf))
     val e = sources.Tables.embeddings(spark, sf)
     // the synthetic embeddings are uniform random — the worst case for
     // a coarse quantizer (no cluster structure), so the curve rises
     // slowly; at nProbe = k (all 32 lists) the candidate set is the
     // whole corpus and recall is exactly 1.0 by construction
     val curve = Seq(1, 2, 4, 8, 16, 32).map { nProbe =>
-      val got = operators.Similarity.ivfSearch(e, nProbe)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val recall = truth.map { case (qid, t) =>
-        got.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
-      }.sum / truth.size
-      nProbe -> recall
+      nProbe -> recallOf(truth, topIdsOf(operators.Similarity.ivfSearch(e, nProbe)))
     }
     info("IVF recall@10 vs probes: " +
       curve.map { case (p, r) => f"$p→$r%.2f" }.mkString(", "))
@@ -60,18 +63,11 @@ class SimilaritySpec extends SparkTestBase {
     // the √N sizing direction: doubling the centroid count halves the
     // list size (probe cost ~ nProbe · N/k); assignment and the recall
     // curve must behave identically in shape
-    val truth = SparkEntry.queries("q51_knn_bruteforce")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topIdsOf(SparkEntry.queries("q51_knn_bruteforce")(spark, sf))
     val e = sources.Tables.embeddings(spark, sf)
     val curve = Seq(4, 16, 64).map { nProbe =>
-      val got = operators.Similarity.ivfSearch(e, nProbe, nCentroids = 64)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val recall = truth.map { case (qid, t) =>
-        got.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
-      }.sum / truth.size
-      nProbe -> recall
+      nProbe -> recallOf(truth,
+        topIdsOf(operators.Similarity.ivfSearch(e, nProbe, nCentroids = 64)))
     }
     info("IVF(k=64) recall@10 vs probes: " +
       curve.map { case (p, r) => f"$p→$r%.2f" }.mkString(", "))
@@ -105,17 +101,9 @@ class SimilaritySpec extends SparkTestBase {
     }
     val e = rows.toDF("vec_id", "embedding").repartition(8)
     // probing all 32 lists scans the whole corpus — that IS the exact truth
-    val truth = operators.Similarity.ivfSearch(e, nProbe = 32)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topIdsOf(operators.Similarity.ivfSearch(e, nProbe = 32))
     val curve = Seq(1, 2, 4, 8).map { nProbe =>
-      val got = operators.Similarity.ivfSearch(e, nProbe)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      val recall = truth.map { case (qid, t) =>
-        got.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
-      }.sum / truth.size
-      nProbe -> recall
+      nProbe -> recallOf(truth, topIdsOf(operators.Similarity.ivfSearch(e, nProbe)))
     }
     info("IVF clustered recall@10 vs probes: " +
       curve.map { case (p, r) => f"$p→$r%.2f" }.mkString(", "))
@@ -138,22 +126,13 @@ class SimilaritySpec extends SparkTestBase {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val w = W.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
-    val truth = e.crossJoin(broadcast(q))
+    val truth = topIdsOf(e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dist", functions.VectorFunctions.vec_l2_distance(col("qv"), col("embedding")))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
-      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id"))))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      truth.map { case (qid, t) =>
-        got.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
-      }.sum / truth.size
-    }
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10))
     // raw ADC ranking: 16 codes/subspace on uniform data is the
     // quantizer's worst case — random guessing would score 10/N = 0.02
-    val adcRecall = recallOf(operators.Similarity.pqSearch(e))
+    val adcRecall = recallOf(truth, topIdsOf(operators.Similarity.pqSearch(e)))
     // the production pattern: PQ generates a candidate superset (top-50
     // by compressed distance, still never touching 90% of raw vectors),
     // then the survivors re-rank by exact distance
@@ -167,12 +146,27 @@ class SimilaritySpec extends SparkTestBase {
       .withColumn("dist", functions.VectorFunctions.vec_l2_distance(col("qv"), col("embedding")))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
       .select(col("qid"), col("vec_id"))
-    val rerankRecall = recallOf(rerank)
+    val rerankRecall = recallOf(truth, topIdsOf(rerank))
     info(f"PQ/ADC recall@10: raw $adcRecall%.2f, +exact-rerank-of-top-50 $rerankRecall%.2f")
     assert(adcRecall >= 0.1, f"raw ADC recall implausibly low: $adcRecall%.3f")
     assert(rerankRecall >= adcRecall,
       "exact re-rank of the PQ candidate set must not lose recall")
     assert(rerankRecall >= 0.3, f"re-ranked recall implausibly low: $rerankRecall%.3f")
+    // alternate factorization (8 subspaces × 8 dims): the ADC pivot is
+    // derived from mSub, so every distance must be non-NULL and the
+    // finer-grained codes should not collapse below random
+    val alt = operators.Similarity.pqSearch(e, mSub = 8, subDim = 8).cache()
+    assert(alt.filter(col("dist").isNull).count() === 0L,
+      "mSub=8 left NULL ADC distances — a subspace was dropped")
+    assert(alt.count() === 50L)
+    val altRecall = recallOf(truth, topIdsOf(alt))
+    info(f"PQ/ADC (8×8) recall@10: $altRecall%.2f")
+    assert(altRecall >= 0.1, f"8×8 ADC recall implausibly low: $altRecall%.3f")
+    alt.unpersist()
+    // an mSub·subDim that does not cover the embedding dim must be rejected
+    intercept[IllegalArgumentException] {
+      operators.Similarity.pqSearch(e, mSub = 2, subDim = 16)
+    }
   }
 
   test("stored IVF index probes only the selected lists (partition pruning)") {
