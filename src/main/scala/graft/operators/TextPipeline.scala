@@ -173,14 +173,106 @@ object TextPipeline {
       |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
       |JOIN c ON c.blk = a.blk""".stripMargin) {
     (s, d) =>
-      val t = docs(s, d)
-        .select(col("doc_id"), array_distinct(shingles(tokens, 3)).as("payload"))
-        .withColumn("blk", array_min(col("payload")))
-      boundedPairs(t, 16)
-        .withColumn("ni", size(array_intersect(col("p1"), col("p2"))))
-        .select(col("id1"), col("id2"),
-          round(col("ni").cast("double") /
-            (size(col("p1")) + size(col("p2")) - col("ni")), 6).as("jaccard"))
+      ngramJaccardPairs(s, d)
+        .select(col("id1"), col("id2"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** The q63 capped-bucket 3-gram candidate pairs with the RAW Jaccard
+    * ratio (a quotient of small exact ints — bit-identical in both
+    * engines): q63 rounds it for output, q114 thresholds it. */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d)
+      .select(col("doc_id"), array_distinct(shingles(tokens, 3)).as("payload"))
+      .withColumn("blk", array_min(col("payload")))
+    boundedPairs(t, 16)
+      .withColumn("ni", size(array_intersect(col("p1"), col("p2"))))
+      .select(col("id1"), col("id2"),
+        (col("ni").cast("double") /
+          (size(col("p1")) + size(col("p2")) - col("ni"))).as("j"))
+  }
+
+  /** Distributed connected components by min-label propagation: every
+    * node starts as its own label; each round a node takes the minimum
+    * label among itself and its neighbors; stop when a round changes
+    * nothing. O(cluster diameter) rounds, each ONE hash join + ONE
+    * groupBy on the edge list — near-dup graphs have tiny diameters
+    * (dup chains, not paths), so this converges in 2-4 rounds where
+    * the general-graph alternative (alternating small-star/large-star
+    * contraction) would only pay off on long-path topologies. The
+    * per-round convergence check is a bounded driver scalar (one
+    * count), the justified exception like q97b's 1-row max. At 100 TB
+    * the edge list is the BOUNDED near-dup pair output (≤ cap²/2 per
+    * bucket, see boundedPairs) — orders of magnitude smaller than the
+    * corpus — so every round shuffles only pair-scale data. */
+  private[graft] def ccLabels(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val nbr = sym
+        .join(labels.select(col("node").as("b"), col("label").as("blab")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("blab")).as("nlab"))
+      val next = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Transitive near-duplicate CLUSTERING — the step every real dedup
+    * pipeline needs above pairwise similarity: if A~B and B~C, all
+    * three are one cluster even when A and C share no block. Edges are
+    * the q63 capped-bucket Jaccard pairs at ≥ 0.5; components close
+    * transitively via [[ccLabels]]; the cluster id is the minimum
+    * member (the canonical doc to keep). The oracle spells the same
+    * closure as a recursive CTE. */
+  val q114DedupClusters: QueryDef = QueryDef(
+    "q114_dedup_clusters",
+    """WITH RECURSIVE
+      |t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
+      |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' ')
+      |    )) AS sh
+      |  FROM documents),
+      |b AS (SELECT doc_id, sh, list_sort(sh)[1] AS blk FROM t),
+      |c AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 16),
+      |pr AS (SELECT a.doc_id AS id1, b2.doc_id AS id2,
+      |    CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS j
+      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+      |  JOIN c ON c.blk = a.blk),
+      |e AS (SELECT id1 AS ea, id2 AS eb FROM pr WHERE j >= 0.5
+      |      UNION SELECT id2, id1 FROM pr WHERE j >= 0.5),
+      |n AS (SELECT DISTINCT ea AS node FROM e),
+      |reach(node, lab) AS (
+      |  SELECT node, node FROM n
+      |  UNION
+      |  SELECT r.node, e.eb FROM reach r JOIN e ON e.ea = r.lab),
+      |cl AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+      |SELECT node AS doc_id, cluster_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      |FROM cl""".stripMargin) { (s, d) =>
+    val e = ngramJaccardPairs(s, d).filter(col("j") >= 0.5)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    ccLabels(e)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
   }
 
   // ------------------------------------------------------------ text analysis
@@ -581,5 +673,6 @@ object TextPipeline {
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
-    q85StratifiedSample, q86TrainTestSplit, q87RedactPii, q88UrlParse)
+    q85StratifiedSample, q86TrainTestSplit, q87RedactPii, q88UrlParse,
+    q114DedupClusters)
 }

@@ -169,6 +169,41 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ccLabels transitively closes chains, triangles, and disjoint components") {
+    import spark.implicits._
+    // path 1-2-3-4 (diameter 3 — forces multiple propagation rounds),
+    // a triangle, and a disjoint pair; every node must adopt its
+    // component's minimum id
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = operators.TextPipeline.ccLabels(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // and q114's clusters agree with a transitive closure of its own
+    // pair list computed independently on the driver
+    val pairs = SparkEntry.queries("q63_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val clusters = SparkEntry.queries("q114_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === expected,
+      "q114 cluster assignment diverges from the union-find closure")
+    // empty edge list → empty labels, no crash
+    assert(operators.TextPipeline.ccLabels(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() === 0L)
+  }
+
   test("stored IVF index probes only the selected lists (partition pruning)") {
     // The 100 TB claim behind q58: persist the assignment as a
     // cid-PARTITIONED table and a probe touches only its nProbe lists —
