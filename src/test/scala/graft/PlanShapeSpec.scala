@@ -75,6 +75,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(rows.length == 5 * 10, "pre-filter must still yield k results per query")
   }
 
+  test("q110 TPC-H Q3 ranks its top-10 as TakeOrderedAndProject (no global sort)") {
+    val p = planString("q110_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q111 TPC-H Q6 pushes all three scan predicates to the parquet reader") {
+    // the no-join scan query exists to prove pushdown: date range,
+    // discount band, and quantity cap must all reach the reader. The
+    // plan's toString truncates the PushedFilters list, so read the
+    // scan node's metadata directly.
+    val df = SparkEntry.queries("q111_tpch_q6")(spark, sf)
+    // pushdown is decided at planning; the pre-AQE physical plan has
+    // the scan node directly (AQE wraps it in opaque query stages)
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), s"date bound not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      pushed.contains("LessThanOrEqual(l_discount,0.07)"), s"discount band not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_quantity,24"), s"quantity cap not pushed: $pushed")
+  }
+
   test("no window query runs an unpartitioned window over raw (unaggregated) data") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // every Window with an empty partitionSpec must sit above an
