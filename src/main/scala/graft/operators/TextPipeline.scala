@@ -275,6 +275,42 @@ object TextPipeline {
       .withColumn("cluster_size", count(lit(1)).over(w))
   }
 
+  /** Repetition / boilerplate quality signals (the Gopher-style rules
+    * corpus curation filters on): distinct-token fraction and the
+    * most-frequent-bigram share of each document. Per-row metrics plus
+    * one (doc_id, bigram) groupBy with map-side combine — token-scale
+    * rows but bounded per-doc output, hash-partitioned, scales. Both
+    * fractions are quotients of small exact ints, bit-identical in
+    * both engines. */
+  val q115Repetition: QueryDef = QueryDef(
+    "q115_repetition",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(w)-1),
+      |         i -> w[i+1] || ' ' || w[i+2])) AS b
+      |       FROM t WHERE len(w) >= 2),
+      |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+      |topb AS (SELECT doc_id, MAX(c) AS top_c FROM bc GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS uniq_frac,
+      |  CAST(coalesce(top_c, 0) AS BIGINT) AS top_bigram_n,
+      |  round(CAST(coalesce(top_c, 0) AS DOUBLE) / greatest(len(w)-1, 1), 6) AS rep_frac
+      |FROM t LEFT JOIN topb ON t.doc_id = topb.doc_id""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), tokens.as("w"))
+    val topb = t.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(shingles(col("w"), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+      .withColumnRenamed("doc_id", "td")
+    t.join(topb, col("doc_id") === col("td"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
+          .as("uniq_frac"),
+        coalesce(col("top_c"), lit(0L)).as("top_bigram_n"),
+        round(coalesce(col("top_c"), lit(0L)).cast("double") /
+          greatest(size(col("w")) - 1, lit(1)), 6).as("rep_frac"))
+  }
+
   // ------------------------------------------------------------ text analysis
   /** Language-ID by stopword-hit heuristic: score each language by
     * counting membership of its tiny stopword set in the token list;
@@ -674,5 +710,5 @@ object TextPipeline {
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
     q85StratifiedSample, q86TrainTestSplit, q87RedactPii, q88UrlParse,
-    q114DedupClusters)
+    q114DedupClusters, q115Repetition)
 }
