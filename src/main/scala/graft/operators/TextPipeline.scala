@@ -180,7 +180,7 @@ object TextPipeline {
   /** The q63 capped-bucket 3-gram candidate pairs with the RAW Jaccard
     * ratio (a quotient of small exact ints — bit-identical in both
     * engines): q63 rounds it for output, q114 thresholds it. */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val t = docs(s, d)
       .select(col("doc_id"), array_distinct(shingles(tokens, 3)).as("payload"))
       .withColumn("blk", array_min(col("payload")))
@@ -203,8 +203,17 @@ object TextPipeline {
     * count), the justified exception like q97b's 1-row max. At 100 TB
     * the edge list is the BOUNDED near-dup pair output (≤ cap²/2 per
     * bucket, see boundedPairs) — orders of magnitude smaller than the
-    * corpus — so every round shuffles only pair-scale data. */
-  private[graft] def ccLabels(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * corpus — so every round shuffles only pair-scale data.
+    *
+    * Failing to converge within `maxIter` throws rather than silently
+    * returning a partial closure (the oracle's recursive CTE always
+    * closes fully, so a truncated result would be a silent wrong
+    * answer). The returned labels DataFrame is intentionally left
+    * persisted: the convergence checks already materialized it, and
+    * downstream consumers re-read it — recomputing would replay every
+    * propagation round. Callers in long-lived sessions may unpersist
+    * after consuming. */
+  private[graft] def ccLabels(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist()
@@ -229,6 +238,10 @@ object TextPipeline {
       round += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds — " +
+          "a component's min-label eccentricity exceeds the cap; raise maxIter")
     labels
   }
 
@@ -279,9 +292,11 @@ object TextPipeline {
     * corpus curation filters on): distinct-token fraction and the
     * most-frequent-bigram share of each document. Per-row metrics plus
     * one (doc_id, bigram) groupBy with map-side combine — token-scale
-    * rows but bounded per-doc output, hash-partitioned, scales. Both
-    * fractions are quotients of small exact ints, bit-identical in
-    * both engines. */
+    * rows but bounded per-doc output, hash-partitioned, scales. The
+    * fractions follow the q29 discipline — true DECIMAL division
+    * (HALF_UP at scale 6) on the Spark side, exact integer micro-unit
+    * arithmetic `(2·a·1e6 + b) // (2·b)` on the oracle side — because
+    * double division + round(6) is midpoint-unstable across engines. */
   val q115Repetition: QueryDef = QueryDef(
     "q115_repetition",
     """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
@@ -291,10 +306,16 @@ object TextPipeline {
       |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
       |topb AS (SELECT doc_id, MAX(c) AS top_c FROM bc GROUP BY doc_id)
       |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-      |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS uniq_frac,
+      |  CAST((2 * len(list_distinct(w)) * 1000000 + len(w)) // (2 * len(w))
+      |    AS DOUBLE) / 1000000.0 AS uniq_frac,
       |  CAST(coalesce(top_c, 0) AS BIGINT) AS top_bigram_n,
-      |  round(CAST(coalesce(top_c, 0) AS DOUBLE) / greatest(len(w)-1, 1), 6) AS rep_frac
+      |  CAST((2 * coalesce(top_c, 0) * 1000000 + greatest(len(w)-1, 1))
+      |       // (2 * greatest(len(w)-1, 1)) AS DOUBLE) / 1000000.0 AS rep_frac
       |FROM t LEFT JOIN topb ON t.doc_id = topb.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    def dfrac(num: Column, den: Column): Column =
+      (num.cast(DecimalType(18, 0)) / den.cast(DecimalType(18, 0)))
+        .cast(DecimalType(30, 6)).cast("double")
     val t = docs(s, d).select(col("doc_id"), tokens.as("w"))
     val topb = t.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(shingles(col("w"), 2)).as("b"))
@@ -304,11 +325,10 @@ object TextPipeline {
     t.join(topb, col("doc_id") === col("td"), "left")
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
-          .as("uniq_frac"),
+        dfrac(size(array_distinct(col("w"))), size(col("w"))).as("uniq_frac"),
         coalesce(col("top_c"), lit(0L)).as("top_bigram_n"),
-        round(coalesce(col("top_c"), lit(0L)).cast("double") /
-          greatest(size(col("w")) - 1, lit(1)), 6).as("rep_frac"))
+        dfrac(coalesce(col("top_c"), lit(0L)),
+          greatest(size(col("w")) - 1, lit(1))).as("rep_frac"))
   }
 
   // ------------------------------------------------------------ text analysis

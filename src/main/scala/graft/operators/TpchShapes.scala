@@ -653,20 +653,27 @@ object TpchShapes {
     * RELATIVE form v·cnt > 2·total (more than twice the average
     * share) — TPC-H's own fraction scales by 1/SF for the same
     * reason: an absolute share cutoff empties as the part count
-    * grows. Compared in EXACT decimals (the q98b discipline) so no
-    * double rounding can flip a boundary part. */
+    * grows. Both engines evaluate the threshold EXACTLY, each in its
+    * own exact arithmetic: Spark multiplies the DECIMAL(38,6) sums
+    * directly (scale stays 6, no overflow below 1e32); DuckDB's
+    * decimal·bigint multiply would exceed width 38 and silently fall
+    * back to DOUBLE, so the oracle compares integer micro-units
+    * (v·1e6 summed as exact BIGINTs, widened to HUGEINT) — the q98b
+    * integer-cents discipline, same set by construction. */
   val q112TpchQ11: QueryDef = QueryDef(
     "q112_tpch_q11",
     """WITH val AS (
-      |  SELECT l_partkey, SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS v
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS v,
+      |    SUM(CAST(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS vm
       |  FROM lineitem
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN nation ON s_nationkey = n_nationkey
       |  WHERE n_name = 'NATION_13'
       |  GROUP BY l_partkey)
       |SELECT l_partkey AS ps_partkey, round(CAST(v AS DOUBLE), 6) AS value
-      |FROM val CROSS JOIN (SELECT SUM(v) AS tot, COUNT(*) AS cnt FROM val)
-      |WHERE v * cnt > 2 * tot""".stripMargin) { (s, d) =>
+      |FROM val CROSS JOIN (SELECT SUM(vm) AS totm, COUNT(*) AS cnt FROM val)
+      |WHERE CAST(vm AS HUGEINT) * cnt > 2 * totm""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
     val sup = Tables.supplier(s, d)
     val n = Tables.nation(s, d).filter(col("n_name") === "NATION_13")

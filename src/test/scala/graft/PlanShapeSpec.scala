@@ -13,8 +13,14 @@ class PlanShapeSpec extends SparkTestBase {
   private def planString(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // materialize so AQE finalizes the plan
-    val executed = df.queryExecution.executedPlan
-    val finalPlan: SparkPlan = executed match {
+    finalPlanOf(df)
+  }
+
+  /** AQE-final plan text of an ALREADY-MATERIALIZED DataFrame (the
+    * caller must have run an action first, so tests that also assert
+    * on rows execute the query exactly once). */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    val finalPlan: SparkPlan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
@@ -66,10 +72,7 @@ class PlanShapeSpec extends SparkTestBase {
     // AQE-final plan and the row-count assertion.
     val df = SparkEntry.queries("q51c_knn_filtered")(spark, sf)
     val rows = df.collect()
-    val p = (df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }).toString
+    val p = finalPlanOf(df)
     assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"),
       s"label pre-filter not pushed to the scan:\n$p")
     assert(rows.length == 5 * 10, "pre-filter must still yield k results per query")

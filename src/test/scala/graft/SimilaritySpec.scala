@@ -176,14 +176,16 @@ class SimilaritySpec extends SparkTestBase {
     // component's minimum id
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a", "b")
-    val got = operators.TextPipeline.ccLabels(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labelDf = operators.TextPipeline.ccLabels(edges)
+    val got = labelDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labelDf.unpersist()
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
     // and q114's clusters agree with a transitive closure of its own
-    // pair list computed independently on the driver
-    val pairs = SparkEntry.queries("q63_ngram_jaccard")(spark, sf)
-      .filter(col("jaccard") >= 0.5)
+    // pair list computed independently on the driver — filtered on the
+    // same RAW ratio q114 thresholds (the q63 output rounds it)
+    val pairs = operators.TextPipeline.ngramJaccardPairs(spark, sf)
+      .filter(col("j") >= 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
@@ -202,6 +204,12 @@ class SimilaritySpec extends SparkTestBase {
     // empty edge list → empty labels, no crash
     assert(operators.TextPipeline.ccLabels(
       Seq.empty[(Long, Long)].toDF("a", "b")).count() === 0L)
+    // a chain longer than the round cap must fail LOUDLY, never return
+    // a partial (wrong) closure
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      operators.TextPipeline.ccLabels(chain, maxIter = 3)
+    }
   }
 
   test("stored IVF index probes only the selected lists (partition pruning)") {
