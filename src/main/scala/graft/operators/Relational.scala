@@ -375,6 +375,23 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_nd_part"))
   }
 
+  /** Mergeable-sketch percentiles ≙ the reference's quantile sketch
+    * family (TDigest / reservoir samplers,
+    * `/root/reference/dbms/src/AggregateFunctions/QuantileTDigest.h`,
+    * `AggregateFunctionQuantile.cpp`) — the 100 TB path where q28's
+    * exact percentile needs the full per-group value set: the sketch
+    * combines map-side and merges across partitions at fixed size.
+    * Approx values are algorithm-specific → rows-only, with the exact
+    * percentile alongside; the error contract lives in ContractsSpec. */
+  val q116ApproxPercentile: QueryDef = QueryDef.noOracle("q116_approx_percentile") { (s, d) =>
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
+  }
+
   /** group_concat ≙ `AggregateFunctionGroupConcat.h` (ordered,
     * separator, distinct variant via groupUniqArray). */
   val q21GroupConcat: QueryDef = QueryDef(
@@ -474,6 +491,7 @@ object Relational {
     q7JoinRight, q8JoinSemi, q9JoinAnti, q10JoinNullAwareAnti,
     q11JoinLeftOuterSemi, q12JoinCross, q13Union, q14Intersect, q15Except,
     q16Rollup, q17Cube, q18GroupingSets, q19DistinctAgg, q20ApproxDistinct,
+    q116ApproxPercentile,
     q21GroupConcat, q22GroupConcatOrdered, q22bGroupConcatMaxLen, q23Cte,
     q24FirstMinMax)
 }

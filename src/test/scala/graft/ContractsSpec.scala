@@ -61,6 +61,19 @@ class ContractsSpec extends SparkTestBase {
       s"approx p50 $approx vs exact $exact")
   }
 
+  test("q116 grouped approx percentiles track exact per group") {
+    val rows = SparkEntry.queries("q116_approx_percentile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a50, a95) = (r.getDouble(1), r.getDouble(2))
+      val (e50, e95) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(a50 - e50) / e50 < 0.02,
+        s"${r.getString(0)}: p50 approx $a50 vs exact $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.02,
+        s"${r.getString(0)}: p95 approx $a95 vs exact $e95")
+    }
+  }
+
   test("rand(seed) contract: [0,1) range, seed-deterministic, roughly uniform") {
     // ≙ the reference's rand (DAGUtils.cpp) — value contract only, no
     // cross-engine oracle possible for a PRNG
