@@ -19,6 +19,8 @@ object SparkEntry {
       functions.OrderedConcat.all ++
       operators.Windows.all ++ operators.Similarity.all ++
       operators.TextPipeline.all ++ operators.InvertedText.all ++
+      operators.TemporalJoins.all ++ operators.Curation.all ++
+      functions.BigIntSum.all ++
       streaming.Ingest.all ++
       operators.Multimodal.all
 

@@ -1,0 +1,69 @@
+package graft.functions
+
+import java.math.BigInteger
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Arbitrary-precision integer SUM over a digit-string column — the
+  * escape hatch past Spark's Decimal(38) ceiling. The reference is
+  * likewise capped (Decimal256 unsupported through its type mapping,
+  * `/root/reference/dbms/src/TiDB/Schema/TypeMapping.cpp:472-478`), so
+  * this goes beyond both engines: partial buffers are `BigInteger`
+  * byte arrays, merged associatively like any built-in sum — map-side
+  * partial aggregation and arbitrary merge order stay exact at any
+  * precision. Empty input finishes as NULL, mirroring SQL SUM.
+  */
+object BigIntSumAgg extends Aggregator[String, Array[Byte], String] {
+  private def toBig(b: Array[Byte]): BigInteger =
+    if (b == null || b.isEmpty) null else new BigInteger(b)
+
+  override def zero: Array[Byte] = Array.emptyByteArray
+  override def reduce(b: Array[Byte], a: String): Array[Byte] =
+    if (a == null) b
+    else {
+      val cur = toBig(b)
+      val add = new BigInteger(a)
+      (if (cur == null) add else cur.add(add)).toByteArray
+    }
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    val x = toBig(b1); val y = toBig(b2)
+    if (x == null) b2 else if (y == null) b1 else x.add(y).toByteArray
+  }
+  override def finish(r: Array[Byte]): String = {
+    val x = toBig(r); if (x == null) null else x.toString
+  }
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+}
+
+object BigIntSum {
+  /** Exact 39-digit total: each row contributes a ~34-digit value
+    * (built as a digit string — the per-row value already exceeds what
+    * a DOUBLE holds exactly), and the sf0.01 total (~1.14e38) exceeds
+    * Decimal(38)'s max of 10^38-1, where Spark's native decimal SUM
+    * overflows. The DuckDB oracle computes the same sum in HUGEINT
+    * (int128, max ~1.7e38) and renders it as a string. The ORACLE is
+    * therefore only valid at the driver's sf0.01 gate — at sf0.1 the
+    * true total (~1.14e39) exceeds int128 and DuckDB itself overflows;
+    * the Spark side keeps going at any scale (the contract test proves
+    * a 42-digit sum merged across partitions).
+    */
+  val q118BigintSum: QueryDef = QueryDef(
+    "q118_bigint_sum",
+    """SELECT CAST(SUM(CAST(l_partkey % 1000 + 1400 AS HUGEINT)
+      |    * CAST('1000000000000000000000000000000' AS HUGEINT)) AS VARCHAR)
+      |    AS big_total,
+      |  COUNT(*) AS n
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val bigSum = udaf(BigIntSumAgg, Encoders.STRING)
+    Tables.lineitem(s, d)
+      .select(concat((col("l_partkey") % 1000 + 1400).cast("string"),
+        lit("0" * 30)).as("v"))
+      .agg(bigSum(col("v")).as("big_total"), count(lit(1)).as("n"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q118BigintSum)
+}
