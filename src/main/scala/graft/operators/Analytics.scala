@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+import Exact._
+
+/** Behavioral / reshaping analytics: pivot, ordered-funnel matching,
+  * and cohort retention. These are the event-analytics shapes OLAP
+  * users run daily; the reference serves them through the same
+  * executors already covered (agg + window), so the point here is the
+  * Spark-native formulation that keeps each at one or two shuffles.
+  */
+object Analytics {
+
+  /** Pivot: quantities cross-tabulated returnflag × linestatus, lowered
+    * to conditional aggregation over the known value list. Spark's
+    * native `RelationalGroupedDataset.pivot` plans TWO shuffles (a
+    * (key, pivot-col) pre-aggregate, then a `pivotfirst` re-aggregate
+    * on the key); with the value list known, per-value `sum(CASE...)`
+    * is the same result in ONE partial+final aggregate — the lowering
+    * a 100 TB plan wants, and what the oracle states directly.
+    */
+  val q122Pivot: QueryDef = QueryDef(
+    "q122_pivot",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |      THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE) AS qty_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |      THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE) AS qty_o
+      |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+    def slice(v: String) =
+      sum(when(col("l_linestatus") === v,
+        col("l_quantity").cast("decimal(30,2)"))).cast("double")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(slice("F").as("qty_f"), slice("O").as("qty_o"))
+  }
+
+  /** Ordered funnel: purchases completing a view -> click -> purchase
+    * chain where each step follows its predecessor within one day.
+    * One hash exchange on user_id and ONE partitioned sort serve both
+    * chained running-max windows (same partitioning + ordering), so
+    * the whole sequence match costs a single shuffle — no self-joins,
+    * which at 100 TB would each re-shuffle the event log.
+    */
+  val q123Funnel: QueryDef = QueryDef(
+    "q123_funnel",
+    """WITH w1 AS (SELECT user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'view' THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_type
+      |       ROWS UNBOUNDED PRECEDING) AS last_view
+      |  FROM events),
+      |w2 AS (SELECT *, CASE WHEN event_type = 'click'
+      |      AND last_view >= ts - INTERVAL 1 DAY THEN ts END AS qts
+      |  FROM w1),
+      |w3 AS (SELECT *, max(qts) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_type
+      |     ROWS UNBOUNDED PRECEDING) AS last_qclick
+      |  FROM w2)
+      |SELECT user_id, COUNT(*) AS funnels
+      |FROM w3 WHERE event_type = 'purchase'
+      |  AND last_qclick >= ts - INTERVAL 1 DAY
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val day = expr("INTERVAL 1 DAY")
+    Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("qts",
+        when(col("event_type") === "click" &&
+          col("last_view") >= col("ts") - day, col("ts")))
+      .withColumn("last_qclick", max(col("qts")).over(w))
+      .where(col("event_type") === "purchase" &&
+        col("last_qclick") >= col("ts") - day)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("funnels"))
+  }
+
+  /** Cohort retention: users bucketed by first-activity week, counted
+    * per (cohort_week, week_offset) cell. Two shuffles on user_id (the
+    * first-activity aggregate, then the event-to-cohort join — same
+    * key, so at scale the exchange is reusable/co-partitioned), then
+    * the small cell aggregate. Week math is pure integer arithmetic on
+    * dates — bit-deterministic in both engines.
+    */
+  val q124CohortRetention: QueryDef = QueryDef(
+    "q124_cohort_retention",
+    """WITH f AS (SELECT user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) // 7
+      |      AS BIGINT) AS cohort_week
+      |  FROM events GROUP BY 1)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7
+      |    AS BIGINT) - cohort_week AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    // floor division matches DuckDB's `//`; day counts are small ints,
+    // so the intermediate double division is exact
+    def week(ts: org.apache.spark.sql.Column) =
+      floor(datediff(to_date(ts), lit("2024-01-01")) / 7).cast("long")
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), week(col("first_ts")).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (week(col("ts")) - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention)
+}
