@@ -78,7 +78,7 @@ object Analytics {
         col("last_qclick") >= col("ts") - day)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("funnels"))
-  }
+  }.copy(headline = true) // tracks the chained-window sequence-match cost
 
   /** Cohort retention: users bucketed by first-activity week, counted
     * per (cohort_week, week_offset) cell. Two shuffles on user_id (the

@@ -24,15 +24,17 @@ import Exact._
   */
 object TemporalJoins {
 
-  /** As-of join: for every purchase event, the most recent click by the
-    * same user at or before the purchase timestamp, plus the gap in
-    * microseconds. Implemented as union + tagged ordering + running
-    * window, so the whole query is ONE hash exchange on user_id and a
-    * partitioned sort — at 100 TB both sides shuffle once on the key
-    * and nothing else moves. Right-side rows sort before left-side rows
-    * at equal ts (side 0 < 1), giving `click_ts <= purchase_ts`
-    * inclusive semantics; ties among clicks are harmless because the
-    * surfaced value is the (shared) timestamp itself.
+  /** As-of join, both directions: for every purchase event, the most
+    * recent click by the same user at or before the purchase timestamp
+    * (backward, inclusive), the earliest click strictly after it
+    * (forward), and the backward gap in microseconds. Implemented as
+    * union + tagged ordering + two frames over one window sort, so the
+    * whole query is ONE hash exchange on user_id and ONE partitioned
+    * sort — at 100 TB both sides shuffle once on the key and nothing
+    * else moves. Right-side rows sort before left-side rows at equal ts
+    * (side 0 < 1), giving `click_ts <= purchase_ts` inclusive backward
+    * semantics; ties among clicks are harmless because the surfaced
+    * value is the (shared) timestamp itself.
     */
   val q120AsofJoin: QueryDef = QueryDef(
     "q120_asof_join",
@@ -40,9 +42,12 @@ object TemporalJoins {
       |  SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
       |    (SELECT max(c.ts) FROM events c
       |     WHERE c.event_type = 'click' AND c.user_id = p.user_id
-      |       AND c.ts <= p.ts) AS click_ts
+      |       AND c.ts <= p.ts) AS click_ts,
+      |    (SELECT min(c.ts) FROM events c
+      |     WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |       AND c.ts > p.ts) AS next_click_ts
       |  FROM events p WHERE p.event_type = 'purchase')
-      |SELECT event_id, user_id, purchase_ts, click_ts,
+      |SELECT event_id, user_id, purchase_ts, click_ts, next_click_ts,
       |  epoch_us(purchase_ts) - epoch_us(click_ts) AS gap_us
       |FROM m""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
@@ -51,15 +56,20 @@ object TemporalJoins {
         lit(null).cast("long").as("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+    val wBack = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward direction is STRICT (> purchase_ts): clicks tied at the
+    // purchase instant sort before it (side 0 < 1), so the following
+    // frame can't see them — mirrored by the oracle's `c.ts > p.ts`
+    val wFwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     clicks.unionByName(purchases)
       .withColumn("click_ts",
-        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(wBack))
+      .withColumn("next_click_ts",
+        min(when(col("side") === 0, col("ts"))).over(wFwd))
       .where(col("side") === 1)
       .select(col("event_id"), col("user_id"),
-        col("ts").as("purchase_ts"), col("click_ts"),
+        col("ts").as("purchase_ts"), col("click_ts"), col("next_click_ts"),
         (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
   }
 

@@ -34,13 +34,15 @@ class TemporalJoinSpec extends SparkTestBase {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts").as("cts"))
     val naive = purchases
-      .join(clicks, col("pu") === col("cu") && col("cts") <= col("pts"), "left")
+      .join(clicks, col("pu") === col("cu"), "left")
       .groupBy(col("event_id"))
-      .agg(max(col("cts")).as("click_ts"))
+      .agg(max(when(col("cts") <= col("pts"), col("cts"))).as("click_ts"),
+        min(when(col("cts") > col("pts"), col("cts"))).as("next_click_ts"))
     val got = SparkEntry.queries("q120_asof_join")(spark, sf)
-      .select(col("event_id"), col("click_ts"))
+      .select(col("event_id"), col("click_ts"), col("next_click_ts"))
     assert(got.join(naive, Seq("event_id"))
-      .filter(!(got("click_ts") <=> naive("click_ts"))).isEmpty,
+      .filter(!(got("click_ts") <=> naive("click_ts")) ||
+        !(got("next_click_ts") <=> naive("next_click_ts"))).isEmpty,
       "as-of result diverges from naive inequality join")
     assert(got.count() == naive.count())
   }
