@@ -177,6 +177,70 @@ object MySqlCompat {
     concat_ws(":", transform(split(ip, ":"), g =>
       coalesce(nullif(regexp_replace(lower(g), "^0+", ""), lit("")), lit("0"))))
 
+  /** MySQL ROUND(x, frac) with a NON-CONSTANT frac column. The
+    * reference evaluates frac per row
+    * (`/root/reference/dbms/src/Functions/FunctionsRound.h`, exercised
+    * by `tests/fullstack-test/expr/round_with_frac.test`), while
+    * Spark's `round` requires a foldable scale — and DuckDB's decimal
+    * round has the same restriction. Lowered to a bounded conditional
+    * ladder over the type's meaningful frac range
+    * [-(precision-scale), scale-1]: each branch is a constant-scale
+    * `round` (codegen'd, MySQL's half-away-from-zero = HALF_UP decimal
+    * semantics), frac >= scale returns x unchanged, frac below the
+    * range yields 0, and a NULL x or frac propagates NULL. Branch
+    * count is bounded by the decimal precision (<= 38), so the ladder
+    * stays a flat whole-stage-codegen expression — per-row work, no
+    * shuffle implications at any scale. */
+  def mysql_round_frac(x: Column, frac: Column,
+      precision: Int, scale: Int): Column = {
+    // MySQL widens ROUND's decimal result by one integer digit
+    // (round(99999.9999, -1) = 100000 escapes DECIMAL(9,4)); mirror
+    // that, capped at Spark's 38.
+    val t = org.apache.spark.sql.types
+      .DecimalType(math.min(38, precision + 1), scale)
+    val xc = x.cast(t)
+    val top = when(xc.isNull || frac.isNull, lit(null).cast(t))
+      .when(frac >= scale, xc)
+    val ladder = (-(precision - scale) to (scale - 1)).reverse
+      .foldLeft(top) { (acc, k) =>
+        acc.when(frac === k, round(xc, k).cast(t))
+      }
+    ladder.otherwise(lit(java.math.BigDecimal.ZERO).cast(t))
+  }
+
+  /** Per-row-frac rounding over lineitem: frac = l_linenumber - 3
+    * spans [-2, 4] across the scale boundary of DECIMAL(30,2). The
+    * oracle writes the same bounded ladder as an explicit CASE (DuckDB
+    * accepts only constant decimal round precision). Totals are exact
+    * decimal sums surfaced as doubles. */
+  val q125RoundFrac: QueryDef = QueryDef(
+    "q125_round_frac",
+    """SELECT l_linenumber - 3 AS frac,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CASE
+      |    WHEN l_linenumber - 3 = -2
+      |      THEN CAST(round(CAST(l_extendedprice AS DECIMAL(30,2)),
+      |                      CAST(-2 AS INTEGER)) AS DECIMAL(30,2))
+      |    WHEN l_linenumber - 3 = -1
+      |      THEN CAST(round(CAST(l_extendedprice AS DECIMAL(30,2)),
+      |                      CAST(-1 AS INTEGER)) AS DECIMAL(30,2))
+      |    WHEN l_linenumber - 3 = 0
+      |      THEN CAST(round(CAST(l_extendedprice AS DECIMAL(30,2)),
+      |                      CAST(0 AS INTEGER)) AS DECIMAL(30,2))
+      |    WHEN l_linenumber - 3 = 1
+      |      THEN CAST(round(CAST(l_extendedprice AS DECIMAL(30,2)),
+      |                      CAST(1 AS INTEGER)) AS DECIMAL(30,2))
+      |    ELSE CAST(l_extendedprice AS DECIMAL(30,2))
+      |  END) AS DOUBLE) AS total_rounded
+      |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy((col("l_linenumber") - 3).as("frac"))
+      .agg(count(lit(1)).as("n"),
+        sum(mysql_round_frac(col("l_extendedprice"),
+          col("l_linenumber") - 3, 30, 2)).cast("double")
+          .as("total_rounded"))
+  }
+
   val q38Inet: QueryDef = QueryDef(
     "q38_inet_fns",
     """SELECT c_custkey, ip,

@@ -284,4 +284,53 @@ class FullstackParitySpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
     assert(got.toSet === Set((0, 1, 1, 0), (1, 0, 0, 1)))
   }
+
+  test("round_with_frac.test: variable-frac decimal round, folded sum verbatim") {
+    // expr/round_with_frac.test test.t rows: -66..31 plus the int64
+    // extremes as FRAC values against a decimal(36,18) constant; the
+    // reference's expected folded sum is verbatim below. Extremes prove
+    // the out-of-range branches: frac >= scale -> x unchanged, frac
+    // below -(p-s) -> 0.
+    val fracs = ((-66 to 31).map(_.toLong) ++
+      Seq(Long.MaxValue, Long.MinValue)).toDF("i")
+    val x = lit("123456789123456789.123456789123456789")
+      .cast(org.apache.spark.sql.types.DecimalType(36, 18))
+    val got = fracs
+      .agg(sum(mysql_round_frac(x, col("i"), 38, 18)).as("s"))
+      .head().getDecimal(0)
+    assert(got.toPlainString == "6145515733034404630.923293528812182425",
+      s"folded variable-frac sum diverges: $got")
+    // round(NULL, i) stays NULL for every frac
+    val nullSum = fracs
+      .agg(sum(mysql_round_frac(lit(null), col("i"), 38, 18)))
+      .head()
+    assert(nullSum.isNullAt(0))
+  }
+
+  test("round_with_frac.test: d9 decimal(9,4) constant-frac matrix verbatim") {
+    // expr/round_with_frac.test d9 rows and the (-1, 0, 1) expected
+    // columns — MySQL rounds decimals half AWAY from zero (25 @ -1 ->
+    // 30, 0.25 @ 1 -> 0.3), which is HALF_UP on both engines.
+    val rows = Seq(
+      ("0", 0.0, 0.0, 0.0), ("0.25", 0.0, 0.0, 0.3),
+      ("-0.25", 0.0, 0.0, -0.3), ("0.0499", 0.0, 0.0, 0.0),
+      ("0.05", 0.0, 0.0, 0.1), ("-0.0499", 0.0, 0.0, 0.0),
+      ("-0.05", 0.0, 0.0, -0.1), ("49999.9999", 50000.0, 50000.0, 50000.0),
+      ("50000", 50000.0, 50000.0, 50000.0),
+      ("-49999.9999", -50000.0, -50000.0, -50000.0),
+      ("-50000", -50000.0, -50000.0, -50000.0),
+      ("99999.9999", 100000.0, 100000.0, 100000.0),
+      ("-99999.9999", -100000.0, -100000.0, -100000.0),
+      ("25", 30.0, 25.0, 25.0), ("-25", -30.0, -25.0, -25.0))
+    val df = rows.map(_._1).toDF("a")
+      .select(col("a").cast(org.apache.spark.sql.types.DecimalType(9, 4)))
+    def rf(k: Int) = mysql_round_frac(col("a"), lit(k), 9, 4).cast("double")
+    val got = df.select(col("a").cast("string"), rf(-1), rf(0), rf(1))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val expected = rows.map { case (a, m1, z, p1) =>
+      (new java.math.BigDecimal(a).setScale(4).toPlainString, m1, z, p1)
+    }
+    assert(got.toSeq.sortBy(_._1) === expected.sortBy(_._1))
+  }
 }
