@@ -208,6 +208,35 @@ object MySqlCompat {
     ladder.otherwise(lit(java.math.BigDecimal.ZERO).cast(t))
   }
 
+  /** MySQL TRUNCATE(x, d) over doubles with a per-row digit count —
+    * truncation toward zero at digit d
+    * (`/root/reference/dbms/src/Functions/FunctionsRound.h` TiDBTruncate,
+    * `tests/fullstack-test/expr/tidb_truncate.test`). Spark has no
+    * two-arg numeric truncate at all. Pure double arithmetic (floor of
+    * a scaled magnitude, sign re-applied), so the same formula is
+    * expressible in the DuckDB oracle and IEEE ops keep both engines
+    * bit-identical. Boundary semantics follow the reference: once the
+    * scaled magnitude reaches 2^53 the double carries no digits below
+    * 10^-d, so the value returns unchanged (this also covers |x|·10^d
+    * overflowing — huge x or d > 308, e.g. the transcript's
+    * 1.79e308 @ 2 row — and keeps Spark's LONG-typed `floor` in
+    * range); a magnitude scaling below 1 truncates to 0 (d <= -309
+    * included). NULL x or d propagates NULL. */
+  def mysql_truncate(x: Column, d: Column): Column = {
+    val y = abs(x.cast("double"))
+    val p = pow(lit(10.0), d.cast("double"))
+    val q = pow(lit(10.0), -d.cast("double"))
+    val twoP53 = lit(9007199254740992.0)
+    val mag = when(y === 0.0, lit(0.0))
+      .when(d >= 0,
+        when(y * p >= twoP53, y).otherwise(floor(y * p) / p))
+      .when(y / q < 1.0, lit(0.0))
+      .when(y / q >= twoP53, y)
+      .otherwise(floor(y / q) * q)
+    when(x.isNull || d.isNull, lit(null).cast("double"))
+      .otherwise(signum(x.cast("double")) * mag)
+  }
+
   /** Per-row-frac rounding over lineitem: frac = l_linenumber - 3
     * spans [-2, 4] across the scale boundary of DECIMAL(30,2). The
     * oracle writes the same bounded ladder as an explicit CASE (DuckDB
@@ -239,6 +268,36 @@ object MySqlCompat {
         sum(mysql_round_frac(col("l_extendedprice"),
           col("l_linenumber") - 3, 30, 2)).cast("double")
           .as("total_rounded"))
+  }
+
+  /** Per-row-digit truncation over lineitem through `mysql_truncate`;
+    * the oracle states the identical guarded formula, so both engines
+    * run the same IEEE ops. Totals are exact decimal sums surfaced as
+    * doubles. */
+  val q126TruncateFrac: QueryDef = QueryDef(
+    "q126_truncate_frac",
+    """WITH b AS (
+      |  SELECT l_linenumber - 3 AS d, l_extendedprice AS x,
+      |    abs(l_extendedprice) AS y,
+      |    power(10.0, l_linenumber - 3) AS p,
+      |    power(10.0, -(l_linenumber - 3)) AS q
+      |  FROM lineitem)
+      |SELECT d, COUNT(*) AS n,
+      |  CAST(SUM(CAST(sign(x) * (CASE
+      |      WHEN y = 0 THEN 0
+      |      WHEN d >= 0 THEN CASE WHEN y * p >= 9007199254740992.0
+      |        THEN y ELSE floor(y * p) / p END
+      |      WHEN y / q < 1 THEN 0
+      |      WHEN y / q >= 9007199254740992.0 THEN y
+      |      ELSE floor(y / q) * q END) AS DECIMAL(30,6))) AS DOUBLE)
+      |    AS total_trunc
+      |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy((col("l_linenumber") - 3).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(mysql_truncate(col("l_extendedprice"), col("l_linenumber") - 3)
+          .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("total_trunc"))
   }
 
   val q38Inet: QueryDef = QueryDef(

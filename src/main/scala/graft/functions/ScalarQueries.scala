@@ -248,5 +248,6 @@ object ScalarQueries {
 
   val all: Seq[QueryDef] = Seq(
     q30Strings, q31Math, q32Dates, q33Conditional, q34Json, q35LikeRegexp,
-    q36Casts, q37BitOps, MySqlCompat.q38Inet, MySqlCompat.q125RoundFrac)
+    q36Casts, q37BitOps, MySqlCompat.q38Inet, MySqlCompat.q125RoundFrac,
+    MySqlCompat.q126TruncateFrac)
 }

@@ -333,4 +333,37 @@ class FullstackParitySpec extends SparkTestBase {
     }
     assert(got.toSeq.sortBy(_._1) === expected.sortBy(_._1))
   }
+
+  test("tidb_truncate.test: t1 double rows and t2 string rows verbatim") {
+    // expr/tidb_truncate.test t1: (c1 double, c2 digits) -> expected,
+    // including the max-double identity row, ±huge digit counts, and
+    // the NULL row
+    val t1 = Seq[(Option[Double], Long, Option[Double])](
+      (Some(-1.23), 0L, Some(-1.0)), (Some(1.58), 0L, Some(1.0)),
+      (Some(1.298), 1L, Some(1.2)), (Some(123.2), -1L, Some(120.0)),
+      (Some(123.2), 100L, Some(123.2)), (Some(123.2), -100L, Some(0.0)),
+      (Some(1.7976931348623157e308), 2L, Some(1.7976931348623157e308)),
+      (None, 2L, None),
+      (Some(1.1), 400L, Some(1.1)), (Some(1.1), -400L, Some(0.0)),
+      (Some(0.0), 400L, Some(0.0)), (Some(0.0), -400L, Some(0.0)),
+      (Some(1.1), 3L, Some(1.1)), (Some(0.0), 3L, Some(0.0)),
+      (Some(99.99), 1L, Some(99.9)), (Some(99.99), -1L, Some(90.0)),
+      (Some(-99.99), 1L, Some(-99.9)), (Some(-99.99), -1L, Some(-90.0)),
+      (Some(0.0001), 3L, Some(0.0)), (Some(0.0001), -3L, Some(0.0)))
+    val got1 = t1.map { case (c1, c2, _) => (c1, c2) }.toDF("c1", "c2")
+      .select(mysql_truncate(col("c1"), col("c2"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got1.toSeq === t1.map(_._3), "t1 double truncation diverges")
+
+    // t2: string inputs cast through double, same digit semantics
+    val t2 = Seq(
+      ("-1.23", 0L, -1.0), ("-1.23", 1L, -1.2), ("-11.23", -1L, -10.0),
+      ("1.58", 0L, 1.0), ("1.58", 1L, 1.5), ("11.58", -1L, 10.0),
+      ("23.298", -1L, 20.0), ("23.298", -100L, 0.0),
+      ("23.298", 100L, 23.298))
+    val got2 = t2.map { case (c1, c2, _) => (c1, c2) }.toDF("c1", "c2")
+      .select(mysql_truncate(col("c1"), col("c2"))).collect()
+      .map(_.getDouble(0))
+    assert(got2.toSeq === t2.map(_._3), "t2 string truncation diverges")
+  }
 }
