@@ -73,6 +73,114 @@ object MySqlCompat {
   def mysql_greatest(cols: Column*): Column =
     when(cols.map(_.isNull).reduce(_ || _), lit(null)).otherwise(greatest(cols: _*))
 
+  /** STRCMP(a, b): -1/0/1 under binary collation, NULL when either
+    * side is NULL (`tests/fullstack-test/expr/strcmp.test`; reference
+    * sig ≙ `dbms/src/Functions/FunctionsStringSearch.h`). */
+  def mysql_strcmp(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast("int"))
+      .when(a < b, lit(-1)).when(a === b, lit(0)).otherwise(lit(1))
+
+  /** MySQL LPAD/RPAD with per-row length/pad COLUMNS
+    * (`tests/fullstack-test/expr/pad.test`): negative length → NULL;
+    * length <= char_length(str) truncates keeping the LEFT prefix for
+    * BOTH directions; an empty pad that is actually needed → NULL;
+    * counts are characters, not bytes. Spark's built-ins return ""
+    * for negative length and pad with "" silently, so the guards
+    * restore reference semantics. */
+  private def mysqlPad(fn: String)(str: Column, len: Column, pad: Column): Column = {
+    val s = str.cast("string"); val n = len.cast("int"); val p = pad.cast("string")
+    when(s.isNull || n.isNull || p.isNull || n < 0, lit(null).cast("string"))
+      .when(n <= length(s), substring(s, lit(1), n))
+      .when(length(p) === 0, lit(null).cast("string"))
+      .otherwise(call_function(fn, s, n, p))
+  }
+  def mysql_lpad(str: Column, len: Column, pad: Column): Column =
+    mysqlPad("lpad")(str, len, pad)
+  def mysql_rpad(str: Column, len: Column, pad: Column): Column =
+    mysqlPad("rpad")(str, len, pad)
+
+  /** MySQL SUBSTRING_INDEX with column args. Spark's built-in matches
+    * MySQL for single-char delimiters but scans OVERLAPPING matches
+    * for multi-char ones (substring_index('www......pingcap....com',
+    * '..', 2) = 'www.' vs MySQL's 'www..' — the scan must advance
+    * past the whole delimiter, `tests/fullstack-test/expr/
+    * substring_index.test`). Rebuilt on a non-overlapping literal
+    * split (\\Q..\\E-quoted regex): count n keeps the first n parts
+    * (last |n| for negative), the whole string when fewer parts
+    * exist, '' for n = 0 or an empty delimiter. */
+  def mysql_substring_index(str: Column, delim: Column, count: Column): Column = {
+    val parts = call_function("split", str,
+      concat(lit("\\Q"), delim, lit("\\E")), lit(-1))
+    val n = count.cast("int")
+    val sz = size(parts)
+    when(str.isNull || delim.isNull || n.isNull, lit(null).cast("string"))
+      .when(length(delim) === 0 || n === 0, lit(""))
+      .when(n > 0, when(sz <= n, str)
+        .otherwise(call_function("array_join", slice(parts, lit(1), n), delim)))
+      .otherwise(when(sz <= -n, str)
+        .otherwise(call_function("array_join", slice(parts, n, -n), delim)))
+  }
+
+  /** MySQL day-number calendar (calc_daynr): day 366 = 0001-01-01 in
+    * the proleptic Gregorian calendar Spark 3+ shares, so the mapping
+    * is a constant offset — 1970-01-01 = day 719528
+    * (`tests/fullstack-test/expr/from_days.test`, reference impl ≙
+    * `dbms/src/Functions/FunctionsDateTime.h` via DAGUtils). */
+  private val EpochDayNr = 719528L
+
+  /** TO_DAYS; NULL propagates (and the caller maps zero-dates to NULL
+    * before calling, as MySQL's TO_DAYS('0000-00-00') warns→NULL). */
+  def mysql_to_days(d: Column): Column =
+    (datediff(d.cast("date"), to_date(lit("1970-01-01"))) + EpochDayNr).cast("long")
+
+  /** FROM_DAYS rendered as a string so the zero-date sentinel is
+    * representable: n <= 365 → '0000-00-00' (MySQL), n past
+    * 9999-12-31 (daynr 3652424) → NULL (the reference's MPP-mode
+    * range clamp — the transcript's two modes differ here; we mirror
+    * the MPP column), else yyyy-MM-dd. */
+  def mysql_from_days_str(n: Column): Column = {
+    val nn = n.cast("long")
+    when(nn.isNull || nn > 3652424L, lit(null).cast("string"))
+      .when(nn <= 365L, lit("0000-00-00"))
+      .otherwise(date_format(
+        date_add(to_date(lit("1970-01-01")), (nn - EpochDayNr).cast("int")),
+        "yyyy-MM-dd"))
+  }
+
+  /** TO_SECONDS: seconds since year 0 = to_days·86400 + time-of-day
+    * (`tests/fullstack-test/expr/to_seconds.test`). */
+  def mysql_to_seconds(ts: Column): Column =
+    mysql_to_days(ts.cast("date")) * 86400L +
+      hour(ts) * 3600L + minute(ts) * 60L + second(ts)
+
+  /** MySQL bit shifts act on UNSIGNED 64-bit values: counts >= 64
+    * yield 0 (Java masks the count to 6 bits instead) and results
+    * display unsigned (`tests/fullstack-test/expr/bitshift_operator
+    * .test`). DECIMAL(21,0) result via [[mysql_cast_unsigned]]; the
+    * long's two's-complement bits ARE the unsigned bits, so << wraps
+    * mod 2^64 and >> is the logical (unsigned) right shift. */
+  def mysql_shl(a: Column, n: Column): Column = {
+    val v = a.cast("long"); val k = n.cast("long")
+    mysql_cast_unsigned(
+      when(v.isNull || k.isNull, lit(null).cast("long"))
+        .when(k >= 64L || k < 0L, lit(0L))
+        .otherwise(call_function("shiftleft", v, k.cast("int"))))
+  }
+  def mysql_shr(a: Column, n: Column): Column = {
+    val v = a.cast("long"); val k = n.cast("long")
+    mysql_cast_unsigned(
+      when(v.isNull || k.isNull, lit(null).cast("long"))
+        .when(k >= 64L || k < 0L, lit(0L))
+        .otherwise(call_function("shiftrightunsigned", v, k.cast("int"))))
+  }
+
+  /** IS TRUE / IS FALSE: NULL is neither — both return 0, never NULL
+    * (`tests/fullstack-test/expr/is_true_false.test`). */
+  def mysql_istrue(c: Column): Column =
+    when(c.isNotNull && c =!= 0, lit(1)).otherwise(lit(0))
+  def mysql_isfalse(c: Column): Column =
+    when(c.isNotNull && c === 0, lit(1)).otherwise(lit(0))
+
   /** Case-insensitive collation key (≙ the normalize-key approach for
     * the reference's *_general_ci / *_unicode_ci collations, SURVEY
     * §7.4.2 — exact ICU weight tables out of scope). */
@@ -325,5 +433,105 @@ object MySqlCompat {
         inet_aton(col("ip")).as("aton"),
         inet_ntoa(inet_aton(col("ip"))).as("ntoa_rt"),
         is_ipv4(col("ip")).as("is4"))
+  }
+
+  /** String-function tail over part: STRCMP, SUBSTRING_INDEX with
+    * positive/negative counts (the oracle reconstructs the
+    * non-overlapping split+slice semantics), and the guarded
+    * LPAD/RPAD (truncate-left + pad branches both exercised: len
+    * 0..29 straddles char_length(p_brand) = 7..9). Per-row,
+    * codegen'd — no shuffle, scale-free. */
+  val q127StringFns: QueryDef = QueryDef(
+    "q127_mysql_string_fns",
+    """SELECT p_partkey,
+      |  CASE WHEN p_brand < 'Brand#' || CAST(p_partkey % 25 AS VARCHAR) THEN -1
+      |       WHEN p_brand = 'Brand#' || CAST(p_partkey % 25 AS VARCHAR) THEN 0
+      |       ELSE 1 END AS cmp,
+      |  array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ' ')
+      |    AS head2,
+      |  array_to_string(list_slice(string_split(p_name, ' '), -1, -1), ' ')
+      |    AS tail1,
+      |  CASE WHEN p_partkey % 30 <= length(p_brand)
+      |       THEN substr(p_brand, 1, p_partkey % 30)
+      |       ELSE lpad(p_brand, CAST(p_partkey % 30 AS INT), '*') END AS lp,
+      |  CASE WHEN p_partkey % 30 <= length(p_brand)
+      |       THEN substr(p_brand, 1, p_partkey % 30)
+      |       ELSE rpad(p_brand, CAST(p_partkey % 30 AS INT), '*') END AS rp
+      |FROM part""".stripMargin) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      mysql_strcmp(col("p_brand"),
+        concat(lit("Brand#"), (col("p_partkey") % 25).cast("string"))).as("cmp"),
+      mysql_substring_index(col("p_name"), lit(" "), lit(2)).as("head2"),
+      mysql_substring_index(col("p_name"), lit(" "), lit(-1)).as("tail1"),
+      mysql_lpad(col("p_brand"), col("p_partkey") % 30, lit("*")).as("lp"),
+      mysql_rpad(col("p_brand"), col("p_partkey") % 30, lit("*")).as("rp"))
+  }
+
+  /** Day-number calendar over orders: TO_DAYS, the FROM_DAYS round
+    * trip, the zero-date + beyond-9999 clamp branches, and TO_SECONDS
+    * over a per-row timestamp (time-of-day = o_orderkey % 86400 s).
+    * The oracle states the calendar identities directly (day offset
+    * from 1970-01-01, dn·86400 + tod). Per-row — scale-free. */
+  val q128DayNumbers: QueryDef = QueryDef(
+    "q128_mysql_day_numbers",
+    """WITH t AS (SELECT o_orderkey, o_orderdate,
+      |    datediff('day', DATE '1970-01-01', o_orderdate) + 719528 AS dn
+      |  FROM orders)
+      |SELECT o_orderkey, dn,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS rt,
+      |  CASE WHEN dn % 3000 <= 365 THEN '0000-00-00'
+      |       ELSE strftime(DATE '1970-01-01' +
+      |                     CAST(dn % 3000 - 719528 AS INT), '%Y-%m-%d')
+      |  END AS small,
+      |  CAST(NULL AS VARCHAR) AS big,
+      |  dn * 86400 + o_orderkey % 86400 AS secs
+      |FROM t""".stripMargin) { (s, d) =>
+    val dn = mysql_to_days(col("o_orderdate"))
+    val ts = col("o_orderdate").cast("timestamp") +
+      make_dt_interval(lit(0), lit(0), lit(0), col("o_orderkey") % 86400)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), dn.as("dn"),
+      mysql_from_days_str(dn).as("rt"),
+      mysql_from_days_str(dn % 3000).as("small"),
+      mysql_from_days_str(dn + 3000000L).as("big"),
+      mysql_to_seconds(ts).as("secs"))
+  }
+
+  /** Unsigned-64 bit shifts + IS TRUE/IS FALSE over customer:
+    * a = c_custkey - 750 spans negative and positive, count
+    * c_custkey % 80 covers the >= 64 → 0 clamp. Shift results are
+    * digit strings (2^64-scale values exceed both BIGINT and exact
+    * doubles; the oracle computes them in HUGEINT via exact
+    * power-of-two doubles and renders VARCHAR). */
+  val q129BitshiftBool: QueryDef = QueryDef(
+    "q129_mysql_bitshift_bool",
+    """WITH t AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey - 750 < 0
+      |         THEN CAST(18446744073709551616 AS HUGEINT) + (c_custkey - 750)
+      |         ELSE CAST(c_custkey - 750 AS HUGEINT) END AS au,
+      |    c_custkey % 80 AS k,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |         ELSE c_custkey % 3 - 1 END AS b
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  CAST(CASE WHEN k >= 64 THEN 0
+      |       ELSE (au % CAST(power(2, 64 - k) AS HUGEINT))
+      |            * CAST(power(2, k) AS HUGEINT) END AS VARCHAR) AS shl,
+      |  CAST(CASE WHEN k >= 64 THEN 0
+      |       ELSE au // CAST(power(2, k) AS HUGEINT) END AS VARCHAR) AS shr,
+      |  CASE WHEN b IS NOT NULL AND b <> 0 THEN 1 ELSE 0 END AS bt,
+      |  CASE WHEN b IS NOT NULL AND b = 0 THEN 1 ELSE 0 END AS bf
+      |FROM t""".stripMargin) { (s, d) =>
+    val a = col("c_custkey") - 750
+    val k = col("c_custkey") % 80
+    val b = when(col("c_custkey") % 7 === 0, lit(null))
+      .otherwise(col("c_custkey") % 3 - 1)
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      mysql_shl(a, k).cast("string").as("shl"),
+      mysql_shr(a, k).cast("string").as("shr"),
+      mysql_istrue(b).as("bt"),
+      mysql_isfalse(b).as("bf"))
   }
 }

@@ -249,5 +249,6 @@ object ScalarQueries {
   val all: Seq[QueryDef] = Seq(
     q30Strings, q31Math, q32Dates, q33Conditional, q34Json, q35LikeRegexp,
     q36Casts, q37BitOps, MySqlCompat.q38Inet, MySqlCompat.q125RoundFrac,
-    MySqlCompat.q126TruncateFrac)
+    MySqlCompat.q126TruncateFrac, MySqlCompat.q127StringFns,
+    MySqlCompat.q128DayNumbers, MySqlCompat.q129BitshiftBool)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.QueryDef
@@ -271,6 +272,80 @@ object Coverage {
           |    > 3 * (SELECT SUM(cents) FROM o o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  /** Quantified subquery comparisons (`x > ALL(S)` / `x <> ANY(S)` /
+    * `x < ANY(S)`) — the reference executes these as decorrelated
+    * joins (TiDB rewrites ANY/ALL into min/max + count aggregates;
+    * fullstack `mpp/having.test` runs `value <> any(...)` on
+    * TiFlash). Spark SQL has no quantified-comparison syntax, so the
+    * Spark-first shape IS that rewrite: aggregate S once to
+    * {cnt, cnt_nonnull, min, max}, broadcast the 1-row result, and
+    * evaluate the three-valued CASE per row — no per-row subquery, no
+    * shuffle of the outer table, scale-free at any |outer|. */
+  private def subStats(s: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    s.agg(count(lit(1)).as("cnt"), count(col("v")).as("cnt_nn"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+
+  /** x > ALL: conjunction — FALSE beats UNKNOWN beats TRUE; empty → TRUE. */
+  def gtAll(x: Column, cnt: Column, cntNN: Column, mx: Column): Column =
+    when(cnt === 0, lit(true))
+      .when(x.isNull, lit(null).cast("boolean"))
+      .when(cntNN > 0 && x <= mx, lit(false))
+      .when(cntNN < cnt, lit(null).cast("boolean"))
+      .otherwise(lit(true))
+
+  /** x <> ANY: disjunction — TRUE beats UNKNOWN beats FALSE; empty → FALSE. */
+  def neAny(x: Column, cnt: Column, cntNN: Column, mn: Column, mx: Column): Column =
+    when(cnt === 0, lit(false))
+      .when(x.isNull, lit(null).cast("boolean"))
+      .when(cntNN > 0 && (x =!= mn || x =!= mx), lit(true))
+      .when(cntNN < cnt, lit(null).cast("boolean"))
+      .otherwise(lit(false))
+
+  /** x < ANY: TRUE iff x < max of the non-null values; empty → FALSE. */
+  def ltAny(x: Column, cnt: Column, cntNN: Column, mx: Column): Column =
+    when(cnt === 0, lit(false))
+      .when(x.isNull, lit(null).cast("boolean"))
+      .when(cntNN > 0 && x < mx, lit(true))
+      .when(cntNN < cnt, lit(null).cast("boolean"))
+      .otherwise(lit(false))
+
+  val q130QuantifiedAnyAll: QueryDef = QueryDef(
+    "q130_quantified_any_all",
+    """SELECT p_partkey,
+      |  p_retailprice > ALL (SELECT CASE WHEN s_suppkey % 10 = 0 THEN NULL
+      |                                   ELSE s_acctbal END
+      |                       FROM supplier WHERE s_nationkey = 3) AS gt_all,
+      |  p_retailprice <> ANY (SELECT CASE WHEN s_suppkey % 10 = 0 THEN NULL
+      |                                    ELSE s_acctbal END
+      |                        FROM supplier WHERE s_nationkey = 3) AS ne_any,
+      |  p_retailprice < ANY (SELECT CASE WHEN s_suppkey % 10 = 0 THEN NULL
+      |                                   ELSE s_acctbal END
+      |                       FROM supplier WHERE s_nationkey = 3) AS lt_any,
+      |  p_retailprice > ALL (SELECT s_acctbal FROM supplier
+      |                       WHERE s_nationkey = 99) AS gt_all_e,
+      |  p_retailprice <> ANY (SELECT s_acctbal FROM supplier
+      |                        WHERE s_nationkey = 99) AS ne_any_e
+      |FROM part""".stripMargin) { (s, d) =>
+    val subNulls = Tables.supplier(s, d).filter(col("s_nationkey") === 3)
+      .select(when(col("s_suppkey") % 10 === 0, lit(null))
+        .otherwise(col("s_acctbal")).as("v"))
+    val subEmpty = Tables.supplier(s, d).filter(col("s_nationkey") === 99)
+      .select(col("s_acctbal").as("v"))
+    val st1 = subStats(subNulls)
+    val st2 = subStats(subEmpty)
+      .select(col("cnt").as("cnt_e"), col("cnt_nn").as("cnt_nn_e"),
+        col("mn").as("mn_e"), col("mx").as("mx_e"))
+    val x = col("p_retailprice")
+    Tables.part(s, d)
+      .crossJoin(broadcast(st1)).crossJoin(broadcast(st2))
+      .select(col("p_partkey"),
+        gtAll(x, col("cnt"), col("cnt_nn"), col("mx")).as("gt_all"),
+        neAny(x, col("cnt"), col("cnt_nn"), col("mn"), col("mx")).as("ne_any"),
+        ltAny(x, col("cnt"), col("cnt_nn"), col("mx")).as("lt_any"),
+        gtAll(x, col("cnt_e"), col("cnt_nn_e"), col("mx_e")).as("gt_all_e"),
+        neAny(x, col("cnt_e"), col("cnt_nn_e"), col("mn_e"), col("mx_e")).as("ne_any_e"))
+  }
+
   /** Salted two-stage aggregation — the manual skew guard (SURVEY §4
     * "salting for skew"): stage 1 aggregates on (key, salt), stage 2
     * merges partials per key. Result must equal the direct aggregation,
@@ -430,5 +505,5 @@ object Coverage {
     q25AggKeyless, q26SortFull, q27MinMaxBy, q28StatAggs, q29DecimalArith,
     q46InExistence, q46bNullAwareSemiFlag, q49SaltedAgg, q55CiCollation,
     q56TidbDivide, q28bTopK, q96BitAggs, q97JsonAggs, q98DecimalOverflow,
-    q99CorrelatedScalar, q100ZeroDate)
+    q99CorrelatedScalar, q100ZeroDate, q130QuantifiedAnyAll)
 }

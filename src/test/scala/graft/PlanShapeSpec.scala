@@ -233,6 +233,16 @@ class PlanShapeSpec extends SparkTestBase {
       "q95 must not force-broadcast part")
   }
 
+  test("q130 quantified ANY/ALL is two 1-row broadcasts, no per-row subquery") {
+    // the TiDB-style rewrite: each quantified comparison collapses to a
+    // broadcast of a single aggregated row — the outer table is never
+    // shuffled and there is no join keyed on outer rows
+    val p = planString("q130_quantified_any_all")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length === 2,
+      s"expected exactly two 1-row broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"outer table must not shuffle:\n$p")
+  }
+
   test("q26 global rank is range-partitioned and matches a naive global sort") {
     import org.apache.spark.sql.catalyst.expressions.SortOrder
     import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
