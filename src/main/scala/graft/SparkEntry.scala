@@ -20,7 +20,7 @@ object SparkEntry {
       operators.Windows.all ++ operators.Similarity.all ++
       operators.TextPipeline.all ++ operators.InvertedText.all ++
       operators.TemporalJoins.all ++ operators.Curation.all ++
-      operators.Analytics.all ++
+      operators.Analytics.all ++ operators.Clustering.all ++
       functions.BigIntSum.all ++
       streaming.Ingest.all ++
       operators.Multimodal.all

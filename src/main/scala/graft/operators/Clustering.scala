@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Distributed Lloyd's k-means over an embedding column — the "train"
+  * step real IVF indexes run in front of list assignment (the repo's
+  * `Similarity.ivfCentroids` hash-samples; production IVF trains
+  * centroids first), and a standard curation primitive in its own
+  * right: cluster-then-process is how large corpora get topic-sliced
+  * and near-dup-pruned (SemDeDup-style) at 100 TB. Reference vector
+  * index posture: `/root/reference/dbms/src/Storages/DeltaMerge/Index/
+  * VectorIndex/Reader.h:34` (usearch HNSW — graph-based; k-means/IVF is
+  * the Spark-native scale path per SURVEY §7.4.7).
+  *
+  * Scale shape per iteration: assignment is a broadcast crossJoin whose
+  * N×k expansion collapses MAP-SIDE via min_by partial aggregation
+  * (only N 1-row results shuffle); the centroid update posexplodes to
+  * (cid, dim) pairs whose partial sums also combine map-side, so the
+  * update shuffle is k·dims rows per task — both stages are
+  * k-independent of corpus size in shuffle volume. Centroids stay
+  * broadcastable for any k ≤ ~10⁶ at 64 dims.
+  *
+  * Determinism bridge for the DuckDB oracle: coordinates are quantized
+  * to the 1e-6 grid up front (identical IEEE double multiply +
+  * half-away-from-zero round in both engines), so per-cluster means
+  * reduce to exact BIGINT sums divided by a count — no
+  * float-summation-order divergence — and distance comparisons fold
+  * identical doubles in ascending index order on both sides.
+  */
+object Clustering {
+  private val dims = 64
+
+  /** Ascending-index double fold of squared L2 distance (bit-identical
+    * to the oracle's list_reduce; doubles, so it composes with the
+    * quantized/averaged vectors the float-typed codegen vec_*
+    * expressions can't take). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val dd = x - y
+      dd * dd
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Quantize to the 1e-6 grid: round(x·1e6)/1e6 as double. */
+  def quantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000000.0) / 1000000.0).as("v"))
+
+  /** Deterministic hash-sampled init — same key as `ivfCentroids`. */
+  private def init(e: DataFrame, k: Int): DataFrame =
+    e.orderBy((col("vec_id") % 1000003L) * 2654435761L % 4294967296L,
+        col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** Nearest-centroid assignment; keeps the squared distance. */
+  def assign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("d", l2sq(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("d")), struct(col("d"), col("cid"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"),
+        col("best.cid").as("cid"), col("best.d").as("d"))
+
+  /** One Lloyd update: exact per-dimension mean of the quantized
+    * coordinates (BIGINT sums / count — no float-order sensitivity).
+    * Clusters that lose all members drop out, exactly as in the
+    * oracle's GROUP BY. */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg((sum(round(col("x") * 1000000.0).cast("long")).cast("double") /
+        (count(lit(1)) * 1000000.0)).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("cv"))
+
+  /** `iters` Lloyd updates from the hash-sampled init; returns the
+    * final assignment (vec_id, v, cid, d). */
+  def kmeans(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val q = quantized(e)
+    val cent = (0 until iters).foldLeft(init(q, k)) { (c, _) =>
+      update(assign(q, c))
+    }
+    assign(q, cent)
+  }
+
+  private def duckL2Sq(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |  (u,v) -> u+v)""".stripMargin
+
+  private def duckAssign(eRel: String, cRel: String): String =
+    s"""SELECT vec_id, v, cid, d FROM (
+       |  SELECT e.vec_id, e.v, c.cid, ${duckL2Sq("e.v", "c.cv")} AS d,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2Sq("e.v", "c.cv")}, c.cid) AS rn
+       |  FROM $eRel e CROSS JOIN $cRel c) WHERE rn = 1""".stripMargin
+
+  private def duckUpdate(aRel: String): String =
+    s"""SELECT cid, list(m ORDER BY i) AS cv FROM (
+       |  SELECT cid, i,
+       |    CAST(SUM(CAST(round(v[i+1] * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 1000000.0) AS m
+       |  FROM $aRel CROSS JOIN range($dims) t(i) GROUP BY cid, i)
+       |GROUP BY cid""".stripMargin
+
+  /** Two Lloyd iterations at k = 8 over the embeddings table; output is
+    * the final hard assignment with its distance. The oracle replays
+    * the identical iteration chain as CTEs. */
+  val q131Kmeans: QueryDef = QueryDef(
+    "q131_kmeans_embed",
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> round(CAST(x AS DOUBLE) * 1000000.0) / 1000000.0) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+       |       ORDER BY (vec_id % 1000003) * 2654435761 % 4294967296, vec_id
+       |       LIMIT 8),
+       |a0 AS (${duckAssign("e", "c0")}),
+       |c1 AS (${duckUpdate("a0")}),
+       |a1 AS (${duckAssign("e", "c1")}),
+       |c2 AS (${duckUpdate("a1")}),
+       |a2 AS (${duckAssign("e", "c2")})
+       |SELECT vec_id, cid, round(sqrt(d), 6) AS dist FROM a2""".stripMargin) {
+    (s, d) =>
+      kmeans(Tables.embeddings(s, d), k = 8, iters = 2)
+        .select(col("vec_id"), col("cid"),
+          round(sqrt(col("d")), 6).as("dist"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q131Kmeans)
+}
