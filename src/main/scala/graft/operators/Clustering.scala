@@ -81,14 +81,22 @@ object Clustering {
         s => s.getField("m")).as("cv"))
 
   /** `iters` Lloyd updates from the hash-sampled init; returns the
-    * final assignment (vec_id, v, cid, d). */
-  def kmeans(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    * trained centroids (cid, cv: array<double>). */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val q = quantized(e)
-    val cent = (0 until iters).foldLeft(init(q, k)) { (c, _) =>
-      update(assign(q, c))
-    }
-    assign(q, cent)
+    (0 until iters).foldLeft(init(q, k)) { (c, _) => update(assign(q, c)) }
   }
+
+  /** Trained centroids in the float-array shape `Similarity.ivfSearch`
+    * consumes — k-means IS the IVF train step. */
+  def kmeansCentroidsF(e: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansCentroids(e, k, iters)
+      .select(col("cid"), col("cv").cast("array<float>").as("cv"))
+
+  /** `iters` Lloyd updates from the hash-sampled init; returns the
+    * final assignment (vec_id, v, cid, d). */
+  def kmeans(e: DataFrame, k: Int, iters: Int): DataFrame =
+    assign(quantized(e), kmeansCentroids(e, k, iters))
 
   private def duckL2Sq(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),

@@ -506,8 +506,12 @@ object Similarity {
     * contract test (`SimilaritySpec`) sweeps probes against the q51
     * brute-force truth and repeats the sweep at nCentroids=64 (the
     * √N-rule scaling direction). */
-  def ivfSearch(e: DataFrame, nProbe: Int, k: Int = 10, nCentroids: Int = 32): DataFrame = {
-    val cent = ivfCentroids(e, nCentroids)
+  def ivfSearch(e: DataFrame, nProbe: Int, k: Int = 10, nCentroids: Int = 32,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // default coarse quantizer is the hash sample; callers can pass
+    // k-means-trained centroids (Clustering.kmeansCentroidsF) — the
+    // faiss-style IVF train step — for better list balance and recall
+    val cent = centroids.getOrElse(ivfCentroids(e, nCentroids))
     val assigned = ivfAssign(e, cent)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))

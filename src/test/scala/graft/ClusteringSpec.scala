@@ -35,6 +35,48 @@ class ClusteringSpec extends SparkTestBase {
     } finally a.unpersist()
   }
 
+  test("k-means-trained centroids as the IVF train step on clustered data") {
+    // same deterministic mixture fixture as the SimilaritySpec clustered
+    // sweep: 8 well-separated clusters + hash noise. Hash-SAMPLED
+    // centroids are arbitrary corpus points, so at k=8 their inverted
+    // lists split clusters; TRAINED centroids converge toward the true
+    // cluster centers and the single nearest list holds a query's whole
+    // neighborhood — the faiss IVF posture.
+    import spark.implicits._
+    val dims = 16; val nClusters = 8; val n = 2000
+    def noise(id: Long, j: Int): Float = {
+      val h = ((id * 31 + j + 1) * 2654435761L) & 0xFFFFFFFFL
+      (h / 4294967296.0 - 0.5).toFloat
+    }
+    val rows = (0L until n.toLong).map { id =>
+      val c = (id % nClusters).toInt
+      val emb = Array.tabulate(dims) { j =>
+        (if (j % nClusters == c) 10.0f else 0.0f) + noise(id, j)
+      }
+      (id, emb)
+    }
+    val e = rows.toDF("vec_id", "embedding").repartition(8)
+    def topIds(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(truth: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double =
+      truth.keys.toSeq.map { q =>
+        truth(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / truth(q).size
+      }.sum / truth.size
+    val truth = topIds(operators.Similarity.ivfSearch(e, nProbe = 32))
+    val trained = operators.Clustering.kmeansCentroidsF(e, k = 8, iters = 3)
+    val rTrained = recall(truth,
+      topIds(operators.Similarity.ivfSearch(e, nProbe = 1, nCentroids = 8,
+        centroids = Some(trained))))
+    val rSampled = recall(truth,
+      topIds(operators.Similarity.ivfSearch(e, nProbe = 1, nCentroids = 8)))
+    info(f"recall@10, probes=1, k=8: trained=$rTrained%.3f sampled=$rSampled%.3f")
+    assert(rTrained >= rSampled - 1e-9,
+      f"training must not hurt recall: trained $rTrained%.3f < sampled $rSampled%.3f")
+    assert(rTrained >= 0.9,
+      f"trained coarse quantizer should capture whole clusters: $rTrained%.3f")
+  }
+
   test("assignment plan: broadcast crossJoin collapsed by partial min_by, no sort-merge join") {
     val df = Clustering.kmeans(sources.Tables.embeddings(spark, sf), k = 8, iters = 1)
     df.collect()
