@@ -174,6 +174,30 @@ object MySqlCompat {
         .otherwise(call_function("shiftrightunsigned", v, k.cast("int"))))
   }
 
+  /** MySQL FORMAT(x, d): thousands separators + exactly d decimals
+    * (`tests/fullstack-test/expr/format.test`). Semantics mirrored:
+    * negative d clamps to 0; doubles round on their SHORTEST decimal
+    * rendering (format(12.1235e0, 3) = 12.124 even though the binary
+    * value is 12.12349999…, because the double→decimal cast goes
+    * through Double.toString in both MySQL and Spark), half away from
+    * zero. Per-row d is lowered to a bounded constant-scale ladder
+    * (like [[mysql_round_frac]]) so each branch pre-rounds HALF_UP
+    * before format_number's HALF_EVEN renderer sees it — the renderer
+    * then has nothing left to round. d > 18 zero-pads past the
+    * DECIMAL(38,18) scale. Locale argument unsupported (the
+    * transcript's en_US default only). */
+  def mysql_format(x: Column, d: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = x.cast("double").cast(DecimalType(38, 18))
+    val dd = greatest(d.cast("int"), lit(0))
+    val top = when(x.isNull || d.isNull, lit(null).cast("string"))
+    val ladder = (0 to 18).foldLeft(top) { (acc, k) =>
+      acc.when(dd === k, format_number(round(dec, k), k))
+    }
+    ladder.otherwise(concat(format_number(dec, 18),
+      call_function("repeat", lit("0"), dd - 18)))
+  }
+
   /** IS TRUE / IS FALSE: NULL is neither — both return 0, never NULL
     * (`tests/fullstack-test/expr/is_true_false.test`). */
   def mysql_istrue(c: Column): Column =
@@ -496,6 +520,35 @@ object MySqlCompat {
       mysql_from_days_str(dn % 3000).as("small"),
       mysql_from_days_str(dn + 3000000L).as("big"),
       mysql_to_seconds(ts).as("secs"))
+  }
+
+  /** FORMAT over lineitem prices with a per-row decimal count
+    * (d = l_linenumber - 2 spans the negative-clamp and 0..5). The
+    * oracle rebuilds MySQL's rendering from exact decimal parts:
+    * half-away-from-zero round at scale d (DuckDB decimal round),
+    * then fmt-style '{:,}' thousands grouping of the integer part. */
+  val q132MysqlFormat: QueryDef = QueryDef(
+    "q132_mysql_format",
+    """WITH b AS (SELECT l_orderkey, l_linenumber,
+      |    GREATEST(l_linenumber - 2, 0) AS d,
+      |    CAST(l_extendedprice AS DECIMAL(38,6)) AS x
+      |  FROM lineitem),
+      |r AS (SELECT l_orderkey, l_linenumber, d,
+      |    CASE d WHEN 0 THEN CAST(round(x, 0) AS VARCHAR)
+      |           WHEN 1 THEN CAST(round(x, 1) AS VARCHAR)
+      |           WHEN 2 THEN CAST(round(x, 2) AS VARCHAR)
+      |           WHEN 3 THEN CAST(round(x, 3) AS VARCHAR)
+      |           WHEN 4 THEN CAST(round(x, 4) AS VARCHAR)
+      |           ELSE CAST(round(x, 5) AS VARCHAR) END AS rs
+      |  FROM b)
+      |SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN d = 0 THEN format('{:,}', CAST(rs AS BIGINT))
+      |       ELSE format('{:,}', CAST(string_split(rs, '.')[1] AS BIGINT))
+      |            || '.' || string_split(rs, '.')[2] END AS fmt
+      |FROM r""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      mysql_format(col("l_extendedprice"), col("l_linenumber") - 2).as("fmt"))
   }
 
   /** Unsigned-64 bit shifts + IS TRUE/IS FALSE over customer:

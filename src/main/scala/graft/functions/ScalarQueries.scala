@@ -250,5 +250,6 @@ object ScalarQueries {
     q30Strings, q31Math, q32Dates, q33Conditional, q34Json, q35LikeRegexp,
     q36Casts, q37BitOps, MySqlCompat.q38Inet, MySqlCompat.q125RoundFrac,
     MySqlCompat.q126TruncateFrac, MySqlCompat.q127StringFns,
-    MySqlCompat.q128DayNumbers, MySqlCompat.q129BitshiftBool)
+    MySqlCompat.q128DayNumbers, MySqlCompat.q129BitshiftBool,
+    MySqlCompat.q132MysqlFormat)
 }

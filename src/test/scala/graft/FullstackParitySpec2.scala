@@ -228,6 +228,35 @@ class FullstackParitySpec2 extends SparkTestBase {
     assert(GT(None, Nil) === true)
   }
 
+  test("format.test: thousands separators, per-row d, float-vs-double rounding") {
+    // expr/format.test first table: the float row rounds to 12.123 at
+    // d=3 (binary float is 12.12349987…) while the DOUBLE and DECIMAL
+    // rows round to 12.124 (shortest rendering 12.1235, half up) —
+    // the transcript's float/double split reproduced exactly
+    val t = Seq((12.1235f, 12.1235d, BigDecimal("12.1235"), 1234, 5),
+      (12.1235f, 12.1235d, BigDecimal("12.1235"), 1234, 4),
+      (12.1235f, 12.1235d, BigDecimal("12.1235"), 1234, 3))
+      .toDF("a", "b", "c", "d", "e")
+    def strs(c: org.apache.spark.sql.Column): Seq[String] =
+      t.select(c).collect().map(_.getString(0)).toSeq
+    assert(strs(mysql_format($"a", $"e")) === Seq("12.12350", "12.1235", "12.123"))
+    assert(strs(mysql_format($"b", $"e")) === Seq("12.12350", "12.1235", "12.124"))
+    assert(strs(mysql_format($"c", $"e")) === Seq("12.12350", "12.1235", "12.124"))
+    assert(strs(mysql_format($"d", $"e"))
+      === Seq("1,234.00000", "1,234.0000", "1,234.000"))
+    // decimal(7,4) table: negative d clamps to 0; d past the stored
+    // scale zero-pads
+    val v = Seq(BigDecimal("999.9999")).toDF("value")
+    def one(d: Int): String =
+      v.select(mysql_format($"value", lit(d))).collect()(0).getString(0)
+    assert(one(-2) === "1,000")
+    assert(one(0) === "1,000")
+    assert(one(2) === "1,000.00")
+    assert(one(10) === "999.9999000000")
+    assert(one(20) === "999.999900000000000000" + "00")
+    assert(v.select(mysql_format($"value", lit(null))).collect()(0).isNullAt(0))
+  }
+
   test("is_true_false.test: NULL is neither true nor false (0, not NULL)") {
     // expr/is_true_false.test t1 rows over int/float/double/decimal
     val t1 = Seq(
