@@ -258,6 +258,50 @@ object MySqlCompat {
   def str_to_datetime_mysql(c: Column, fmt: String): Column =
     to_timestamp(c, mysqlPatternToJvm(fmt))
 
+  /** MySQL STR_TO_DATE is whitespace-lax: any run of spaces in input
+    * or format matches, spaces around punctuation separators are
+    * skipped, single-digit numeric fields parse, and trailing
+    * unmatched input is ignored with a warning
+    * (`tests/fullstack-test/expr/str_to_date.test` — '31 /May/2016
+    * 12: 34:56.' parses). JVM formatters are strict, so this
+    * normalizer canonicalizes the input first: trim + collapse
+    * whitespace, drop spaces adjacent to separators, zero-pad
+    * single-digit fields. A documented lax-scanner subset sufficient
+    * for the reference's matrix (not a full MySQL scanner). */
+  def mysql_datetime_normalize(c: Column): Column = {
+    val collapsed = regexp_replace(trim(c), "\\s+", " ")
+    val noSepSpace = regexp_replace(collapsed, "\\s*([/:.,-])\\s*", "$1")
+    // '.' is a valid RIGHT boundary (seconds before a fraction: '7.803'
+    // → '07.803') but not a LEFT one — a lone digit after a dot is a
+    // fraction digit ('56.9' must stay .9, not .09)
+    regexp_replace(noSepSpace, "(?<=^|[/: -])(\\d)(?=[/:. -]|$)", "0$1")
+  }
+
+  /** Lax STR_TO_DATE returning a timestamp; handles a trailing `.%f`
+    * fraction of 0-6 digits (including the bare trailing dot MySQL
+    * tolerates) by parsing it separately and re-adding microseconds. */
+  def mysql_str_to_datetime_lax(c: Column, fmt: String): Column = {
+    val cleanFmt = fmt.trim.replaceAll("\\s+", " ")
+      .replaceAll("\\s*([/:.,-])\\s*", "$1")
+    val s0 = mysql_datetime_normalize(c)
+    if (cleanFmt.endsWith(".%f")) {
+      val pat = mysqlPatternToJvm(cleanFmt.dropRight(3))
+      val main = regexp_extract(s0, "^([^.]*)", 1)
+      val micros = rpad(regexp_extract(s0, "\\.(\\d*)$", 1), 6, "0").cast("long")
+      try_to_timestamp(main, lit(pat)) +
+        make_dt_interval(lit(0), lit(0), lit(0),
+          micros.cast(org.apache.spark.sql.types.DecimalType(18, 6)) / lit(1000000))
+    } else {
+      // trailing unmatched '.' is ignored, as MySQL does (warning)
+      try_to_timestamp(regexp_replace(s0, "\\.$", ""),
+        lit(mysqlPatternToJvm(cleanFmt)))
+    }
+  }
+
+  /** Lax STR_TO_DATE returning a date. */
+  def mysql_str_to_date_lax(c: Column, fmt: String): Column =
+    mysql_str_to_datetime_lax(c, fmt).cast("date")
+
   /** GET_FORMAT literal table — the reference's FULL type×locale matrix
     * (`Functions/FunctionsConversion.h:1869-1911`, sig map
     * `DAGUtils.cpp:553`); returns MySQL-token patterns consumable by
@@ -549,6 +593,38 @@ object MySqlCompat {
     Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
       mysql_format(col("l_extendedprice"), col("l_linenumber") - 2).as("fmt"))
+  }
+
+  /** Lax STR_TO_DATE round trip over orders: a deliberately messy
+    * rendering (single-digit days, spaces around separators, partial
+    * fraction digits) built from o_orderdate must parse back to the
+    * original. The oracle states the identity directly from
+    * o_orderdate, so the driver compare proves the lax scanner inverts
+    * the messy encoding. Per-row, codegen'd regex — scale-free. */
+  val q133LaxParse: QueryDef = QueryDef(
+    "q133_mysql_lax_parse",
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+      |  strftime(o_orderdate, '%Y-%m-%d') || ' ' ||
+      |    lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(o_orderkey * 7 % 60 AS VARCHAR), 2, '0') || '.' ||
+      |    rpad(CAST(o_orderkey % 997 AS VARCHAR), 6, '0') AS ts
+      |FROM orders""".stripMargin) { (s, d) =>
+    val od = col("o_orderdate")
+    val messyDate = concat(lit(" "), dayofmonth(od), lit("/ "),
+      date_format(od, "MMM"), lit(" /"), year(od), lit(" "))
+    val messyTs = concat(messyDate, lit(" "),
+      (col("o_orderkey") % 24), lit(" : "),
+      (col("o_orderkey") % 60), lit(":"),
+      (col("o_orderkey") * 7 % 60), lit("."),
+      (col("o_orderkey") % 997).cast("string"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_format(mysql_str_to_date_lax(messyDate, "%d/%b/%Y "),
+        "yyyy-MM-dd").as("d"),
+      date_format(mysql_str_to_datetime_lax(messyTs, "%d/%b/%Y %H:%i:%S.%f"),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
   }
 
   /** Unsigned-64 bit shifts + IS TRUE/IS FALSE over customer:

@@ -228,6 +228,44 @@ class FullstackParitySpec2 extends SparkTestBase {
     assert(GT(None, Nil) === true)
   }
 
+  test("str_to_date.test: whitespace-lax parsing, fractions, zero-date components") {
+    def strs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    // suite 2: '%d/%b/%Y  %H:%i:%S.%f' — stray spaces inside the time,
+    // bare trailing dot, partial fraction digits (microsecond-padded)
+    val s2 = Seq("31/May /2016 12: 34:56.1234", "30/Apr/2016 12:34:56.",
+      "30/Apr/2016 12:34:56.9").toDF("a")
+    assert(strs(s2.select(date_format(
+      mysql_str_to_datetime_lax($"a", "%d/%b/%Y  %H:%i:%S.%f"),
+      "yyyy-MM-dd HH:mm:ss.SSSSSS"))).sorted === Seq(
+      "2016-04-30 12:34:56.000000", "2016-04-30 12:34:56.900000",
+      "2016-05-31 12:34:56.123400"))
+    // suite 3: no %f in the format — the trailing '.' is unmatched
+    // input MySQL ignores with a warning
+    val s3 = Seq("31 /May/2016 12: 34:56.", "30/Apr/2016 12:34:56").toDF("a")
+    assert(strs(s3.select(date_format(
+      mysql_str_to_datetime_lax($"a", " %d/%b/%Y  %H:%i:%S"),
+      "yyyy-MM-dd HH:mm:ss"))).sorted === Seq(
+      "2016-04-30 12:34:56", "2016-05-31 12:34:56"))
+    // suite 4: single-digit day, spaces around separators, trailing
+    // format/input whitespace
+    val s4 = Seq("31/May/2016", "30/ Apr/ 2016 ", " 1/Apr/2016 ").toDF("a")
+    assert(strs(s4.select(date_format(
+      mysql_str_to_date_lax($"a", "%d/%b/%Y "), "yyyy-MM-dd"))).sorted
+      === Seq("2016-04-01", "2016-04-30", "2016-05-31"))
+    // suite 1: zero month/day components survive as the q100-style
+    // string sentinel ('0/0/2012' → '2012-00-00'); unparseable input
+    // falls back to the all-zeros date, as the transcript's IFNULL does
+    val s1 = Seq("00/00/0000", "13/05/2019", "0/0/2012", "abc").toDF("a")
+    val n = mysql_datetime_normalize($"a")
+    val parts = split(n, "/")
+    val zeroDate = when(n.rlike("^\\d{2}/\\d{2}/\\d{4}$"),
+      concat_ws("-", element_at(parts, 3), element_at(parts, 2),
+        element_at(parts, 1))).otherwise(lit("0000-00-00"))
+    assert(strs(s1.select(zeroDate)).sorted === Seq(
+      "0000-00-00", "0000-00-00", "2012-00-00", "2019-05-13"))
+  }
+
   test("format.test: thousands separators, per-row d, float-vs-double rounding") {
     // expr/format.test first table: the float row rounds to 12.123 at
     // d=3 (binary float is 12.12349987…) while the DOUBLE and DECIMAL
