@@ -143,5 +143,8 @@ object Clustering {
           round(sqrt(col("d")), 6).as("dist"))
   }
 
-  val all: Seq[QueryDef] = Seq(q131Kmeans)
+  val all: Seq[QueryDef] =
+    // headline: the iterative broadcast-train shape (3 corpus passes +
+    // 2 centroid updates) no other bench query represents
+    Seq(q131Kmeans.copy(headline = true))
 }

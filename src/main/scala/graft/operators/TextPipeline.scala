@@ -725,10 +725,45 @@ object TextPipeline {
       .limit(20)
   }
 
+  /** Compression-ratio quality signal: deflate(level 6) length over
+    * raw UTF-8 length. Highly repetitive/boilerplate text compresses
+    * far below natural prose, making the ratio the cheap one-pass
+    * repetition filter large corpus curations run alongside the
+    * token-level signals (q115) — RefinedWeb/MassiveText-style.
+    * Per-row byte codec in mapPartitions (the justified imperative
+    * shape, like the BMP/PPM codecs in `Multimodal`); one Deflater
+    * per partition, reset per row — no shuffle at all, scale-free.
+    * zlib output is deterministic for a fixed level but not
+    * ANSI-SQL-expressible → rows-only, ground-truth contract in
+    * `ContractsSpec` (prose vs repetition separation, determinism). */
+  val q134CompressRatio: QueryDef =
+    QueryDef.noOracle("q134_compress_ratio") { (s, d) =>
+      import s.implicits._
+      val enc = docs(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val defl = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](8192)
+          it.map { case (id, text) =>
+            val bytes = (if (text == null) "" else text).getBytes("UTF-8")
+            defl.reset()
+            defl.setInput(bytes)
+            defl.finish()
+            var total = 0L
+            while (!defl.finished()) total += defl.deflate(buf)
+            (id, bytes.length.toLong, total)
+          }
+        }
+      enc.toDF("doc_id", "raw_len", "deflate_len")
+        .select(col("doc_id"), col("raw_len"), col("deflate_len"),
+          round(col("deflate_len").cast("double") /
+            greatest(col("raw_len"), lit(1L)).cast("double"), 6).as("ratio"))
+    }
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
     q85StratifiedSample, q86TrainTestSplit, q87RedactPii, q88UrlParse,
-    q114DedupClusters, q115Repetition)
+    q114DedupClusters, q115Repetition, q134CompressRatio)
 }

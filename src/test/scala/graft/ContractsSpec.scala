@@ -74,6 +74,43 @@ class ContractsSpec extends SparkTestBase {
     }
   }
 
+  test("q134 compression-ratio signal separates repetition from prose") {
+    import spark.implicits._
+    // ground truth on constructed docs: pure repetition must compress
+    // an order of magnitude harder than high-entropy text
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 200),
+      (2L, (0 until 2000).map(i => (i * 2654435761L % 99991).toString).mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("q134_docs")
+    val compute = operators.TextPipeline.q134CompressRatio.fn
+    // run against real testdata for shape + determinism
+    val real = compute(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) > 0, "deflate output must be non-empty")
+      assert(r.getDouble(3) <= 1.2, s"ratio ${r.getDouble(3)} implausibly high")
+    }
+    val again = compute(spark, sf).collect()
+    assert(real.map(_.getLong(2)).sum === again.map(_.getLong(2)).sum,
+      "deflate lengths must be deterministic")
+    // constructed-doc separation via the same mapPartitions codec
+    val enc = docs.as[(Long, String)].mapPartitions { it =>
+      val defl = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](8192)
+      it.map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        defl.reset(); defl.setInput(bytes); defl.finish()
+        var total = 0L
+        while (!defl.finished()) total += defl.deflate(buf)
+        (id, bytes.length.toLong, total)
+      }
+    }.collect().map(t => t._1 -> (t._3.toDouble / math.max(t._2, 1))).toMap
+    assert(enc(1L) < 0.05, s"pure repetition should compress hard: ${enc(1L)}")
+    assert(enc(2L) > 0.3, s"high-entropy text should resist: ${enc(2L)}")
+    assert(enc(1L) * 5 < enc(2L), "signal must separate the two regimes")
+  }
+
   test("rand(seed) contract: [0,1) range, seed-deterministic, roughly uniform") {
     // ≙ the reference's rand (DAGUtils.cpp) — value contract only, no
     // cross-engine oracle possible for a PRNG
