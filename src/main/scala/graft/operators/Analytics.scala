@@ -113,5 +113,54 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
-  val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention)
+  /** sequenceMatch / sequenceCount ≙ the reference's registered
+    * ClickHouse-heritage sequence aggregates (SURVEY §2.4 "registered,
+    * unexposed": `AggregateFunctionSequenceMatch` — match a pattern of
+    * conditions against a user's time-ordered event stream). Spark-
+    * first realization: ONE user_id groupBy collects the time-ordered
+    * event-code string (V/C/P/S/E), and patterns evaluate as plain
+    * regexes over it — both engines run identical leftmost matching.
+    * Per-user sequences are bounded by retention in practice; for
+    * unbounded streams the windowed funnel (q123) is the scale path.
+    * The collected string is ALSO the driver-hashed output, so the
+    * whole ordered aggregation is oracle-verified byte-for-byte. */
+  val q135SequenceMatch: QueryDef = QueryDef(
+    "q135_sequence_match",
+    """WITH e AS (SELECT user_id, ts, event_id,
+      |    CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+      |         WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+      |         ELSE 'E' END AS code
+      |  FROM events)
+      |SELECT user_id,
+      |  string_agg(code, '' ORDER BY ts, event_id) AS seq,
+      |  regexp_matches(string_agg(code, '' ORDER BY ts, event_id),
+      |                 'V.*C.*P') AS m_funnel,
+      |  regexp_matches(string_agg(code, '' ORDER BY ts, event_id),
+      |                 'P[^P]*E[^P]*$') AS m_err_after_last_p,
+      |  length(string_agg(code, '' ORDER BY ts, event_id))
+      |    - length(replace(string_agg(code, '' ORDER BY ts, event_id),
+      |                     'P', '')) AS n_purchases
+      |FROM e GROUP BY user_id""".stripMargin) { (s, d) =>
+    val code = when(col("event_type") === "view", "V")
+      .when(col("event_type") === "click", "C")
+      .when(col("event_type") === "purchase", "P")
+      .when(col("event_type") === "signup", "S")
+      .otherwise("E")
+    val seq = concat_ws("",
+      transform(
+        array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("t"), col("event_id"), code.as("code")))),
+        s => s.getField("code")))
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(seq.as("seq"))
+      .select(col("user_id"), col("seq"),
+        col("seq").rlike("V.*C.*P").as("m_funnel"),
+        col("seq").rlike("P[^P]*E[^P]*$").as("m_err_after_last_p"),
+        (length(col("seq")) -
+          length(regexp_replace(col("seq"), "P", ""))).as("n_purchases"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q122Pivot, q123Funnel, q124CohortRetention, q135SequenceMatch)
 }
