@@ -161,6 +161,55 @@ object Analytics {
           length(regexp_replace(col("seq"), "P", ""))).as("n_purchases"))
   }
 
-  val all: Seq[QueryDef] =
-    Seq(q122Pivot, q123Funnel, q124CohortRetention, q135SequenceMatch)
+  /** maxIntersections ≙ the reference's registered
+    * `AggregateFunctionMaxIntersections` (peak number of overlapping
+    * intervals — "peak concurrency"). Spark-first sweep line: each
+    * interval [ts, ts + value minutes) emits a +1 start and a -1 end
+    * boundary; a running sum over boundaries ordered by (t, delta)
+    * — ends before starts at the same instant, half-open semantics —
+    * is the live-interval count, and its per-group max + earliest
+    * peak time are ordinary aggregates. ONE shuffle on the group key;
+    * boundaries are 2 rows per event with map-side generation. The
+    * per-group window partitions on event_type here; a single global
+    * sweep at 100 TB would ride `ScalableSort`'s range-partitioned
+    * running-sum pattern instead. */
+  val q136MaxIntersections: QueryDef = QueryDef(
+    "q136_max_intersections",
+    """WITH iv AS (SELECT event_type, ts AS s,
+      |    ts + CAST(GREATEST(CAST(trunc(value) AS INT), 1) AS BIGINT)
+      |         * INTERVAL 1 MINUTE AS e
+      |  FROM events),
+      |pts AS (
+      |  SELECT event_type, s AS t, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT event_type, e AS t, -1 AS delta FROM iv),
+      |sweep AS (SELECT event_type, t, delta,
+      |    SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+      |                     ROWS UNBOUNDED PRECEDING) AS live
+      |  FROM pts),
+      |sw2 AS (SELECT *, MAX(live) OVER (PARTITION BY event_type) AS ml
+      |  FROM sweep)
+      |SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak,
+      |  MIN(CASE WHEN live = ml THEN t END) AS peak_at
+      |FROM sw2 GROUP BY event_type""".stripMargin) { (s, d) =>
+    val iv = Tables.events(s, d).select(
+      col("event_type"), col("ts").as("s"),
+      (col("ts") + expr("INTERVAL 1 MINUTE") *
+        greatest(col("value").cast("int"), lit(1))).as("e"))
+    val pts = iv.select(col("event_type"), col("s").as("t"), lit(1).as("delta"))
+      .unionAll(iv.select(col("event_type"), col("e").as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // earliest instant attaining the peak, via an unordered max window
+    // sharing the ordered window's exchange — deterministic under ties
+    // (several instants can sit at peak concurrency)
+    pts.withColumn("live", sum(col("delta")).over(w))
+      .withColumn("ml", max(col("live")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("live")).as("peak"),
+        min(when(col("live") === col("ml"), col("t"))).as("peak_at"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
+    q135SequenceMatch, q136MaxIntersections)
 }
