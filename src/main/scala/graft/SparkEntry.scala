@@ -21,7 +21,7 @@ object SparkEntry {
       operators.TextPipeline.all ++ operators.InvertedText.all ++
       operators.TemporalJoins.all ++ operators.Curation.all ++
       operators.Analytics.all ++ operators.Clustering.all ++
-      functions.BigIntSum.all ++
+      functions.BigIntSum.all ++ functions.ApproxTopK.all ++
       streaming.Ingest.all ++
       operators.Multimodal.all
 

@@ -111,6 +111,45 @@ class ContractsSpec extends SparkTestBase {
     assert(enc(1L) * 5 < enc(2L), "signal must separate the two regimes")
   }
 
+  test("q137 Misra-Gries sketch honors the space-saving guarantees") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val cap = functions.ApproxTopK.defaultCap
+    def sketchOf(tokens: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val mg = udaf(new functions.MisraGriesAgg(cap), org.apache.spark.sql.Encoders.STRING)
+      val s = tokens.agg(mg(col("tok"))).collect()(0).getString(0)
+      if (s.isEmpty) Map.empty
+      else s.split(";").map { e =>
+        val i = e.lastIndexOf(':'); e.substring(0, i) -> e.substring(i + 1).toLong
+      }.toMap
+    }
+    // constructed skew: 'hh' is 30% of the stream, the rest unique —
+    // far above N/(cap+1), so MG MUST report it, with bounded error
+    val n = 10000
+    val skewed = ((0 until (n * 3 / 10)).map(_ => "hh") ++
+      (0 until (n * 7 / 10)).map(i => s"u$i")).toDF("tok").repartition(8)
+    val sk = sketchOf(skewed)
+    val trueHH = (n * 3 / 10).toLong
+    assert(sk.contains("hh"), s"guaranteed heavy hitter missing from $sk")
+    assert(sk("hh") <= trueHH, "MG estimates never exceed the true count")
+    assert(trueHH - sk("hh") <= n.toLong / (cap + 1),
+      s"error ${trueHH - sk("hh")} beyond the N/(cap+1) bound")
+    // real corpus: every reported estimate obeys est <= true <= est + N/(cap+1)
+    val toks = sources.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val total = toks.count()
+    val exact = toks.groupBy(col("tok")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rsk = sketchOf(toks)
+    assert(rsk.nonEmpty)
+    rsk.foreach { case (t, est) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(est <= tru, s"$t: estimate $est above true $tru")
+      assert(tru - est <= total / (cap + 1),
+        s"$t: error ${tru - est} beyond bound ${total / (cap + 1)}")
+    }
+  }
+
   test("rand(seed) contract: [0,1) range, seed-deterministic, roughly uniform") {
     // ≙ the reference's rand (DAGUtils.cpp) — value contract only, no
     // cross-engine oracle possible for a PRNG
