@@ -19,4 +19,27 @@ class EngineSpec extends SparkTestBase {
         |GROUP BY n_name""".stripMargin)
     assert(joined.count() === 25)
   }
+
+  test("execution summaries analog: observed metrics report per-stage counts") {
+    // ≙ the reference streaming per-executor execution summaries back
+    // to TiDB (`dbms/src/Flash/Statistics/ExecutionSummaryCollector.h`)
+    // — operator-level row counts collected DURING execution. Spark's
+    // CollectMetrics (`df.observe`) is the native analog: accumulator-
+    // backed aggregates at any plan point, zero extra passes.
+    import org.apache.spark.sql.functions._
+    val df = sources.Tables.lineitem(spark, sf)
+      .observe("scan", count(lit(1)).as("rows_scanned"))
+      .filter(col("l_quantity") > 25)
+      .observe("filtered", count(lit(1)).as("rows_out"),
+        sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("qty_out"))
+    // collect() runs THIS dataset's execution (count() would derive a
+    // new aggregated plan whose metrics land elsewhere)
+    val out = df.collect().length.toLong
+    val m = df.queryExecution.observedMetrics
+    assert(m("scan").getAs[Long]("rows_scanned") > out,
+      "scan-level summary must see pre-filter rows")
+    assert(m("filtered").getAs[Long]("rows_out") === out,
+      "post-filter summary must equal the query's own count")
+    assert(m("filtered").getAs[Double]("qty_out") > 25.0 * out)
+  }
 }
