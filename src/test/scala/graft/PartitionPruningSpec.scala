@@ -98,6 +98,61 @@ class PartitionPruningSpec extends SparkTestBase {
       s"scan emitted $emitted of $total rows — row-group stats not skipping")
   }
 
+  test("z-order write layout skips row groups on BOTH filter columns") {
+    // ≙ the reference's per-pack min-max rough-set index
+    // (/root/reference/dbms/src/Storages/DeltaMerge/Index/MinMaxIndex.h:31):
+    // stats exist for every column, but only prune when the layout
+    // clusters the filtered column. Its PK-sorted packs are tight on the
+    // handle column alone; sorting the write by an interleaved-bit
+    // (Morton) key keeps row-group min/max tight on BOTH dimensions, so
+    // a selective predicate on either column skips most groups.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.sources.Layout
+    val total = 200000L
+    // deterministic pseudo-random 8-bit coordinates, independent of id order
+    val points = spark.range(0, total).select(
+      col("id"),
+      pmod(hash(col("id")), lit(256)).as("x"),
+      pmod(hash(col("id") + 1000000L), lit(256)).as("y"))
+
+    def writeSorted(sortKey: org.apache.spark.sql.Column): String = {
+      val dir = Files.createTempDirectory("graft-zorder").toString + "/t"
+      points.orderBy(sortKey).coalesce(1)
+        .write.option("parquet.block.size", 32 * 1024) // many small row groups
+        .mode("overwrite").parquet(dir)
+      dir
+    }
+    def scanEmitted(dir: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val q = spark.read.parquet(dir).filter(pred)
+      val matched = q.collect().length.toLong // collect: metrics belong to THIS plan
+      val executed = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val scan = executed.collectLeaves().collectFirst { case f: FileSourceScanExec => f }.get
+      (scan.metrics("numOutputRows").value, matched)
+    }
+
+    val xSorted = writeSorted(col("x"))
+    val zSorted = writeSorted(Layout.zorderKey(col("x"), col("y")))
+    val onX = col("x").between(96, 111)   // 16/256 of the x domain
+    val onY = col("y").between(160, 175)  // 16/256 of the y domain
+
+    // single-column sort: tight on its own column, blind on the other
+    val (xsX, mx) = scanEmitted(xSorted, onX)
+    val (xsY, my) = scanEmitted(xSorted, onY)
+    assert(xsX < total / 10, s"x-sorted layout should skip on x: emitted $xsX of $total")
+    assert(xsY > total / 2, s"x-sorted layout cannot skip on y: emitted only $xsY of $total")
+
+    // z-order sort: selective on both dimensions from ONE sort order
+    val (zX, mzx) = scanEmitted(zSorted, onX)
+    val (zY, mzy) = scanEmitted(zSorted, onY)
+    assert(zX < total / 4, s"z-order layout should skip on x: emitted $zX of $total")
+    assert(zY < total / 4, s"z-order layout should skip on y: emitted $zY of $total")
+    // layouts never change answers, only decode volume
+    assert(mzx === mx && mzy === my)
+  }
+
   test("multi-path and glob reads (remote/disaggregated read posture)") {
     // ≙ the reference's remote read of S3-backed segments
     // (Storages/DeltaMerge/Remote/): the query layer reads whatever
