@@ -44,18 +44,18 @@ object BigIntSum {
     * (built as a digit string — the per-row value already exceeds what
     * a DOUBLE holds exactly), and the sf0.01 total (~1.14e38) exceeds
     * Decimal(38)'s max of 10^38-1, where Spark's native decimal SUM
-    * overflows. The DuckDB oracle computes the same sum in HUGEINT
-    * (int128, max ~1.7e38) and renders it as a string. The ORACLE is
-    * therefore only valid at the driver's sf0.01 gate — at sf0.1 the
-    * true total (~1.14e39) exceeds int128 and DuckDB itself overflows;
-    * the Spark side keeps going at any scale (the contract test proves
-    * a 42-digit sum merged across partitions).
+    * overflows. The Spark side sums true BigIntegers; the DuckDB
+    * oracle exploits the fixture's construction (every value is
+    * k * 10^30) to compute the identical digit string within int64 —
+    * SUM(k) followed by the 30 zeros — so the oracle stays exact at
+    * ANY scale factor instead of hitting DuckDB's int128 ceiling at
+    * sf0.1 (the contract test separately proves a 42-digit sum merged
+    * across partitions with interacting carries).
     */
   val q118BigintSum: QueryDef = QueryDef(
     "q118_bigint_sum",
-    """SELECT CAST(SUM(CAST(l_partkey % 1000 + 1400 AS HUGEINT)
-      |    * CAST('1000000000000000000000000000000' AS HUGEINT)) AS VARCHAR)
-      |    AS big_total,
+    """SELECT CAST(SUM(l_partkey % 1000 + 1400) AS VARCHAR)
+      |    || repeat('0', 30) AS big_total,
       |  COUNT(*) AS n
       |FROM lineitem""".stripMargin) { (s, d) =>
     val bigSum = udaf(BigIntSumAgg, Encoders.STRING)

@@ -78,5 +78,109 @@ object Curation {
         expr("(10000 * sd6) div tot6").as("quota"))
   }
 
-  val all: Seq[QueryDef] = Seq(q117Decontaminate, q119DomainMixture)
+  /** Sequence packing: concatenate each shard's token stream in doc_id
+    * order and cut it every `B` tokens — how pretraining batches are
+    * built from a tokenized corpus (documents straddle cut points; the
+    * attention mask handles the seams). The running sum that places
+    * each document is the one inherently sequential step of packing, so
+    * it is sharded: a window partitioned by `doc_id % 32` packs every
+    * shard independently and in parallel. At 100 TB the shard count
+    * scales with the cluster (thousands, keyed by the corpus layout) —
+    * per-shard work stays bounded and no global ordering or
+    * single-partition window exists anywhere. All arithmetic is
+    * integer (token counts, floor division), so the result is
+    * bit-deterministic across engines and partitionings.
+    */
+  val q138SequencePack: QueryDef = QueryDef(
+    "q138_sequence_pack",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 32 AS shard,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS tok
+      |  FROM documents),
+      |p AS (
+      |  SELECT shard, tok,
+      |    SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |                   ROWS UNBOUNDED PRECEDING) AS end_sum
+      |  FROM t)
+      |SELECT shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |  CAST((MAX(end_sum) + 511) // 512 AS BIGINT) AS n_packs,
+      |  CAST(SUM(CASE WHEN tok > 0
+      |       AND (end_sum - tok) // 512 <> (end_sum - 1) // 512
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+      |  CAST(MAX(end_sum) - ((MAX(end_sum) + 511) // 512 - 1) * 512
+      |       AS BIGINT) AS tail_tokens
+      |FROM p GROUP BY shard""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"),
+      (col("doc_id") % 32).as("shard"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+        .cast("long").as("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    toks.withColumn("end_sum", sum(col("tok")).over(w))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        expr("(max(end_sum) + 511) div 512").as("n_packs"),
+        sum(when(col("tok") > 0 &&
+            expr("(end_sum - tok) div 512") =!= expr("(end_sum - 1) div 512"), 1L)
+          .otherwise(0L)).as("n_straddle"),
+        expr("max(end_sum) - ((max(end_sum) + 511) div 512 - 1) * 512")
+          .as("tail_tokens"))
+  }
+
+  /** N-gram decontamination: flag corpus documents sharing any 13-token
+    * gram with a held-out benchmark item — the industry-standard
+    * overlap rule (verbatim-substring flagging is q117; the n-gram form
+    * is robust to whitespace/formatting drift around the overlap).
+    * Scale shape: the benchmark side is bounded (an eval suite), so its
+    * exploded grams broadcast; the corpus side is one scan + explode
+    * (linear in token count, the unavoidable cost) with NO corpus
+    * shuffle — only the matched (bench_id, doc_id) pairs, a tiny
+    * fraction, reach the final aggregation exchange. In production the
+    * gram would be xxhash64-packed to 8 bytes before the join; the
+    * string form here keeps the oracle exact.
+    */
+  val q139NgramDecontaminate: QueryDef = QueryDef(
+    "q139_ngram_decontaminate",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT doc_id AS bench_id,
+      |    array_to_string(list_slice(w, i, i + 12), ' ') AS gram
+      |  FROM t, UNNEST(range(1, len(w) - 11)) AS u(i)
+      |  WHERE doc_id % 41 = 0 AND len(w) >= 13),
+      |cg AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(w, i, i + 12), ' ') AS gram
+      |  FROM t, UNNEST(range(1, len(w) - 11)) AS u(i)
+      |  WHERE len(w) >= 13)
+      |SELECT bench_id,
+      |  COUNT(DISTINCT doc_id) AS n_contaminated,
+      |  COUNT(DISTINCT gram) AS n_grams_hit
+      |FROM bg JOIN cg USING (gram)
+      |GROUP BY bench_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 13) // sequence() below needs a non-empty range
+    val grams = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 12), i -> concat_ws(' ', slice(w, i, 13)))"))
+          .as("gram"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") % 41 === 0)
+      .withColumnRenamed("doc_id", "bench_id")
+    grams.join(broadcast(bench), "gram")
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+        countDistinct(col("gram")).as("n_grams_hit"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
+      q139NgramDecontaminate)
 }
