@@ -142,7 +142,18 @@ class PlanShapeSpec extends SparkTestBase {
       // PQ/ADC: encode groupBy + ADC groupBy + rank window; codebook and
       // lookup tables broadcast, raw vectors never reshuffled
       assert(shuffles("q56_ann_pq") <= 3)
+      // sequence packing: ONE shard exchange serves both the running-sum
+      // window and the per-shard aggregate (same key — no re-shuffle)
+      assert(shuffles("q138_sequence_pack") <= 1)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q139 n-gram decontamination broadcasts the bench grams (no corpus-gram shuffle join)") {
+    val df = SparkEntry.queries("q139_ngram_decontaminate")(spark, sf)
+    df.collect()
+    val p = finalPlanOf(df)
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams must never shuffle for the join:\n$p")
   }
 
   test("q54 embed near-dup has no pair join — pairs expand from capped buckets") {
