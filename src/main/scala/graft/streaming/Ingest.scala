@@ -99,6 +99,35 @@ object Ingest {
         .write.mode("append").partitionBy("cid").parquet(indexPath)
     }
 
+  /** Incremental FULL-TEXT index maintenance, same delta-merge posture
+    * as `streamIndexIngest` but for the inverted index: each micro-batch
+    * builds postings over its OWN documents only and appends them as an
+    * immutable SEGMENT, partitioned by a term-hash bucket. Existing
+    * segment files are never rewritten; a term probe partition-prunes to
+    * the term's bucket and read-side `mergePostingsSegments` unions the
+    * per-segment lists (the Lucene segment model — offline compaction
+    * folds segments together, exactly like the reference building
+    * storage indexes during delta-merge rather than rebuilding,
+    * `DeltaMergeStore_InternalBg.cpp`). Ingest cost per batch is
+    * O(batch tokens), never O(corpus). */
+  def streamPostingsIngest(spark: SparkSession, inputDir: String,
+      indexPath: String, buckets: Int = 16): Unit =
+    runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { batch =>
+      graft.operators.InvertedText.buildPostings(batch)
+        .withColumn("tbucket", pmod(abs(hash(col("term"))), lit(buckets)))
+        .write.mode("append").partitionBy("tbucket").parquet(indexPath)
+    }
+
+  /** Read-side merge of postings segments: per term, concatenate the
+    * per-segment sorted lists and re-sort (each segment is disjoint in
+    * doc_id, so this is a k-way list merge), summing document
+    * frequency. Equals a from-scratch `buildPostings` over the full
+    * corpus. */
+  def mergePostingsSegments(segments: DataFrame): DataFrame =
+    segments.groupBy(col("term"))
+      .agg(sort_array(flatten(collect_list(col("postings")))).as("postings"),
+        sum(col("df")).as("df"))
+
   // ------------------------------------------------------------ queries
   /** MVCC snapshot as a verifiable query (read_ts fixed). */
   val q70MvccSnapshot: QueryDef = QueryDef(

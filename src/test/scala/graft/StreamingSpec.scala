@@ -282,4 +282,49 @@ class StreamingSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("cid"),
       s"probe over the streamed index must partition-prune on cid:\n$plan")
   }
+
+  test("incremental postings maintenance: streamed docs searchable without rebuild") {
+    import graft.operators.InvertedText
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-inc-post")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/index"
+    def indexFiles(): Set[String] = {
+      val d = new java.io.File(idx)
+      if (!d.exists) Set.empty
+      else {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+        walk(d).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+      }
+    }
+    // batch 1: half the corpus becomes the first postings segment
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in)
+    Ingest.streamPostingsIngest(spark, in, idx)
+    val files1 = indexFiles()
+    assert(files1.nonEmpty)
+    // batch 2 arrives: a second immutable segment, batch-1 files untouched
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(in)
+    Ingest.streamPostingsIngest(spark, in, idx)
+    assert(files1.subsetOf(indexFiles()),
+      "incremental ingest must not rewrite existing segments")
+    // read-side segment merge equals a from-scratch postings build
+    def key(df: org.apache.spark.sql.DataFrame): Map[String, (Seq[Long], Long)] =
+      df.collect().map(r =>
+        r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val merged = key(Ingest.mergePostingsSegments(
+      spark.read.parquet(idx)).select(col("term"), col("postings"), col("df")))
+    val direct = key(InvertedText.buildPostings(docs)
+      .select(col("term"), col("postings"), col("df")))
+    assert(merged === direct && merged.nonEmpty,
+      "merged segments must equal the batch-built postings")
+    // a term probe partition-prunes to the term's hash bucket
+    val probe = spark.read.parquet(idx)
+      .filter(col("tbucket") === pmod(abs(hash(lit("hash"))), lit(16)) &&
+        col("term") === "hash")
+    assert(probe.collect().nonEmpty)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tbucket"),
+      s"term probe must partition-prune on tbucket:\n$plan")
+  }
 }
