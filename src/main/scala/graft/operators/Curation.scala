@@ -180,7 +180,67 @@ object Curation {
         countDistinct(col("gram")).as("n_grams_hit"))
   }
 
+  /** Weighted per-class sampling: select `quota` docs per language with
+    * probability increasing in document length — the importance-weighted
+    * variant of q85's uniform stratified sample. Priority key is
+    * `hash_uniform / weight` (smallest wins): the Efraimidis–Spirakis
+    * priority shape with the exponential transform replaced by an exact
+    * rational, so every key is one IEEE-correctly-rounded division of
+    * integers — bit-identical across engines and partitionings (the
+    * q119 determinism rule: no libm transcendentals in ordering keys).
+    * Scale shape mirrors q85's tree top-k: phase-0 bounded per-partition
+    * heaps (full scan parallelism, ≤ quota survivors per class per
+    * split), then re-rank only the survivors. */
+  val q140WeightedSample: QueryDef = QueryDef(
+    "q140_weighted_sample",
+    """WITH h AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST((doc_id % 1000003) * 2654435761 % 4294967296 AS DOUBLE)
+      |      / n_chars AS k
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, n_chars,
+      |        row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+      |      FROM h)
+      |SELECT doc_id, lang, n_chars, rn FROM r WHERE rn <= 5""".stripMargin) {
+    (s, d) =>
+    import s.implicits._
+    val quota = 5
+    val fixedParts = 32
+    val hv = (col("doc_id") % 1000003L) * 2654435761L % 4294967296L
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (hv.cast("double") / col("n_chars")).as("k"))
+      .as[(Long, String, Long, Double)]
+    // phase 0: per-scan-partition bounded top-quota heap per class
+    val survivors = base.mapPartitions { it =>
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      val heaps = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.PriorityQueue[((Double, Long), Long)]]
+      val heapOrd = Ordering.by[((Double, Long), Long), (Double, Long)](_._1)(ord)
+      it.foreach { case (docId, lang, nChars, k) =>
+        val pq = heaps.getOrElseUpdate(lang,
+          scala.collection.mutable.PriorityQueue.empty(heapOrd))
+        if (pq.size < quota) pq.enqueue(((k, docId), nChars))
+        else if (ord.lt((k, docId), pq.head._1)) { pq.dequeue(); pq.enqueue(((k, docId), nChars)) }
+      }
+      heaps.iterator.flatMap { case (lang, pq) =>
+        pq.iterator.map { case ((k, docId), nChars) => (docId, lang, nChars, k) }
+      }
+    }.toDF("doc_id", "lang", "n_chars", "k")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), spark_partition_id()).orderBy(col("k"), col("doc_id"))
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))
+    survivors
+      .repartition(fixedParts, col("doc_id")) // survivors only — tiny
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= quota)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= quota)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rn"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
-      q139NgramDecontaminate)
+      q139NgramDecontaminate, q140WeightedSample)
 }

@@ -310,7 +310,46 @@ object Ingest {
     sessionAgg(Tables.events(s, d))
   }
 
+  /** Snapshot DIFF between two read timestamps — the CDC view an HTAP
+    * replica answers ("what changed between my last read and now"):
+    * per pk, classify added / deleted / updated / unchanged from the
+    * newest surviving version at each ts. Both snapshots shuffle on the
+    * same pk, so the full-outer join is co-partitioned — one exchange
+    * per side serves the window AND the join; high-cardinality pk keeps
+    * every stage scalable. */
+  val q141MvccDiff: QueryDef = QueryDef(
+    "q141_mvcc_diff",
+    """WITH v AS (
+      |  SELECT user_id, event_id AS version, (event_type = 'error') AS delmark
+      |  FROM events),
+      |s1 AS (SELECT user_id, version FROM (
+      |    SELECT user_id, version, delmark,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY version DESC) AS rn
+      |    FROM v WHERE version <= 5000) WHERE rn = 1 AND NOT delmark),
+      |s2 AS (SELECT user_id, version FROM (
+      |    SELECT user_id, version, delmark,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY version DESC) AS rn
+      |    FROM v WHERE version <= 8000) WHERE rn = 1 AND NOT delmark)
+      |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+      |  s1.version AS v1, s2.version AS v2,
+      |  CASE WHEN s1.user_id IS NULL THEN 'added'
+      |       WHEN s2.user_id IS NULL THEN 'deleted'
+      |       WHEN s1.version = s2.version THEN 'unchanged'
+      |       ELSE 'updated' END AS change
+      |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id""".stripMargin) {
+    (s, d) =>
+    val v = versioned(Tables.events(s, d))
+    val a = snapshot(v, 5000L).select(col("user_id"), col("version").as("v1"))
+    val b = snapshot(v, 8000L).select(col("user_id"), col("version").as("v2"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("v1"), col("v2"),
+        when(col("v1").isNull, "added")
+          .when(col("v2").isNull, "deleted")
+          .when(col("v1") === col("v2"), "unchanged")
+          .otherwise("updated").as("change"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q70MvccSnapshot, q71FastScan, q72EventWindowAgg, q73Sessionize,
-    q74SessionWindow)
+    q74SessionWindow, q141MvccDiff)
 }
