@@ -290,6 +290,32 @@ object Relational {
         .except(ord(s, d).filter(col("o_totalprice") > 350000).select(col("o_custkey").as("k")))
   }
 
+  /** INTERSECT ALL — multiset semantics (min multiplicity per key),
+    * the bag form TiDB decomposes via counted semi joins. Spark plans
+    * `intersectAll` as a count-compare aggregate, one shuffle per side. */
+  val q14bIntersectAll: QueryDef = QueryDef(
+    "q14b_intersect_all",
+    """SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45
+      |INTERSECT ALL
+      |SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'""".stripMargin) {
+    (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_quantity") > 45).select(col("l_partkey").as("k"))
+        .intersectAll(li.filter(col("l_returnflag") === "A").select(col("l_partkey").as("k")))
+  }
+
+  /** EXCEPT ALL — multiset difference (multiplicity subtraction). */
+  val q15bExceptAll: QueryDef = QueryDef(
+    "q15b_except_all",
+    """SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45
+      |EXCEPT ALL
+      |SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'""".stripMargin) {
+    (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_quantity") > 45).select(col("l_partkey").as("k"))
+        .exceptAll(li.filter(col("l_returnflag") === "A").select(col("l_partkey").as("k")))
+  }
+
   // ---------------------------------------------------------------- Expand
   /** Rollup ≙ reference Expand/Expand2 executor
     * (`Interpreters/Expand2.h:25-61`) — row replication per grouping
@@ -490,6 +516,7 @@ object Relational {
     q1Agg, q2FilterProject, q3TopN, q4Limit, q5JoinInner, q6JoinLeft,
     q7JoinRight, q8JoinSemi, q9JoinAnti, q10JoinNullAwareAnti,
     q11JoinLeftOuterSemi, q12JoinCross, q13Union, q14Intersect, q15Except,
+    q14bIntersectAll, q15bExceptAll,
     q16Rollup, q17Cube, q18GroupingSets, q19DistinctAgg, q20ApproxDistinct,
     q116ApproxPercentile,
     q21GroupConcat, q22GroupConcatOrdered, q22bGroupConcatMaxLen, q23Cte,
