@@ -148,5 +148,45 @@ object InvertedText {
       .limit(10)
   }
 
-  val all: Seq[QueryDef] = Seq(q75FulltextAnd, q76PostingLists, q75bBm25)
+  /** Positional postings: term → sorted (doc_id, pos) occurrences —
+    * the index layout phrase and proximity queries need (the
+    * with-positions variant of `buildPostings`; same one-groupBy build,
+    * same term-keyed pruning at probe time). */
+  def buildPositionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokens).as(Seq("pos", "term")))
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("postings"),
+        count(lit(1)).as("tf_total"))
+
+  /** Exact-phrase search over positional postings: occurrences where
+    * `second` appears at `first`'s position + 1. Only the two probed
+    * terms' posting rows are read (term filter prunes the stored
+    * index); the adjacency self-join runs over those postings alone —
+    * cost ∝ posting sizes, never corpus size. */
+  def searchPhrase(postings: DataFrame, first: String, second: String): DataFrame = {
+    val a = postings.filter(col("term") === first)
+      .select(explode(col("postings")).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.pos").as("pa"))
+    val b = postings.filter(col("term") === second)
+      .select(explode(col("postings")).as("e"))
+      .select(col("e.doc_id").as("doc_b"), col("e.pos").as("pb"))
+    a.join(b, col("doc_id") === col("doc_b") && col("pb") === col("pa") + 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Phrase query "hash join" through the positional index. */
+  val q142PhraseSearch: QueryDef = QueryDef(
+    "q142_phrase_search",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |p AS (SELECT doc_id, w[i] AS term, i AS pos
+      |      FROM t, UNNEST(range(1, len(w) + 1)) AS u(i))
+      |SELECT a.doc_id, COUNT(*) AS n_occurrences
+      |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |WHERE a.term = 'hash' AND b.term = 'join'
+      |GROUP BY a.doc_id""".stripMargin) { (s, d) =>
+    searchPhrase(buildPositionalPostings(Tables.documents(s, d)), "hash", "join")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q75FulltextAnd, q76PostingLists, q75bBm25, q142PhraseSearch)
 }
