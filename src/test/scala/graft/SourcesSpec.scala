@@ -49,4 +49,35 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)"),
       s"expected pushed filter in ORC scan:\n$plan")
   }
+
+  test("parquet compression codecs round-trip identically; zstd compresses text") {
+    // ≙ the reference's per-column compression codecs (ClickHouse
+    // heritage, CompressedStream settings): the storage codec is a
+    // layout choice that must never change query results, only bytes
+    // on disk. documents.text is compressible prose — zstd must beat
+    // an uncompressed write by a wide margin.
+    val base = Files.createTempDirectory("graft-codec").toString
+    val docs = Tables.documents(spark, sf).orderBy(col("doc_id")).coalesce(1)
+    def sizeOf(dir: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    val expected = docs.count()
+    val sizes = Seq("uncompressed", "snappy", "zstd").map { codec =>
+      val dir = s"$base/$codec"
+      docs.write.option("compression", codec).mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() === expected, s"$codec round-trip lost rows")
+      assert(back.agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+        .crc32(col("text")))).first().getLong(0) ===
+        docs.agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .crc32(col("text")))).first().getLong(0),
+        s"$codec round-trip changed content")
+      codec -> sizeOf(dir)
+    }.toMap
+    assert(sizes("zstd") < sizes("uncompressed") / 2,
+      s"zstd should halve prose: $sizes")
+    assert(sizes("snappy") < sizes("uncompressed"), s"snappy should compress: $sizes")
+  }
 }
