@@ -324,6 +324,25 @@ object ScalarQueries4 {
           MySqlCompat.getFormat("DATE", "ISO")).as("iso_via_getformat"))
   }
 
+  /** Timezone conversion ≙ the reference's ConvertTimeZoneFromUTC /
+    * ConvertTimeZoneToUTC pair behind MySQL CONVERT_TZ
+    * (`/root/reference/dbms/src/Functions/FunctionsDateTime.h:2325,2411`):
+    * named-zone shifts both directions, incl. a DST zone (JVM and
+    * DuckDB-ICU agree on the tzdata rules for these instants). */
+  val q32dConvertTz: QueryDef = QueryDef(
+    "q32d_convert_tz",
+    """SELECT event_id,
+      |  (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ny,
+      |  (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo' AS tokyo,
+      |  (ts AT TIME ZONE 'Asia/Kolkata') AT TIME ZONE 'UTC' AS from_kolkata
+      |FROM events WHERE event_id % 37 = 0""".stripMargin) { (s, d) =>
+    Tables.events(s, d).filter(col("event_id") % 37 === 0)
+      .select(col("event_id"),
+        from_utc_timestamp(col("ts"), "America/New_York").as("ny"),
+        from_utc_timestamp(col("ts"), "Asia/Tokyo").as("tokyo"),
+        to_utc_timestamp(col("ts"), "Asia/Kolkata").as("from_kolkata"))
+  }
+
   /** IPv6 family ≙ tiDBIsIPv6 / tiDBIPv6StringToNum / tiDBIPv6NumToString
     * (`DAGUtils.cpp:452-461`) on synthesized full-form addresses;
     * documented subset: full-form parse, hex-rendered byte form. */
@@ -438,6 +457,6 @@ object ScalarQueries4 {
 
   val all: Seq[QueryDef] = Seq(
     q34bJsonTail, q32bMysqlDatefmt, q39bCrc32, q48bDuration, q59CollatedCi,
-    q59bCollatedAi, q105CollateOrderBy, q35bRegexpTail, q32cUnixtime, q38bIpv6,
-    q47bEnumSet, q34cJsonPaths)
+    q59bCollatedAi, q105CollateOrderBy, q35bRegexpTail, q32cUnixtime,
+    q32dConvertTz, q38bIpv6, q47bEnumSet, q34cJsonPaths)
 }

@@ -210,6 +210,30 @@ object Analytics {
         min(when(col("live") === col("ml"), col("t"))).as("peak_at"))
   }
 
+  /** UNPIVOT / melt — the inverse of q122's pivot: wide per-language
+    * aggregate columns back to (lang, metric, value) rows. Spark plans
+    * `unpivot` as an Expand (the same executor family as rollup/cube),
+    * so cost is rows × metrics with no extra shuffle beyond the
+    * aggregate's own. */
+  val q143Unpivot: QueryDef = QueryDef(
+    "q143_unpivot",
+    """WITH w AS (
+      |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |    CAST(MIN(n_chars) AS BIGINT) AS min_chars
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, name AS metric, value
+      |FROM (UNPIVOT w ON sum_chars, max_chars, min_chars
+      |      INTO NAME name VALUE value)""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("sum_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .unpivot(Array(col("lang")),
+        Array(col("sum_chars"), col("max_chars"), col("min_chars")),
+        "metric", "value")
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
-    q135SequenceMatch, q136MaxIntersections)
+    q135SequenceMatch, q136MaxIntersections, q143Unpivot)
 }

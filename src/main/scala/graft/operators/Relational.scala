@@ -290,6 +290,33 @@ object Relational {
         .except(ord(s, d).filter(col("o_totalprice") > 350000).select(col("o_custkey").as("k")))
   }
 
+  /** Full outer join — both-unmatched preservation (the reference's
+    * remaining outer-join kind; q6/q7 cover left/right). Keys from
+    * DISTINCT aggregates of each side so the join is 1:1 and the
+    * null-side classification is deterministic. */
+  val q6bJoinFull: QueryDef = QueryDef(
+    "q6b_join_full",
+    """WITH hi_cust AS (
+      |  SELECT c_custkey AS k, max(c_acctbal) AS bal
+      |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+      |big_ord AS (
+      |  SELECT o_custkey AS k, COUNT(*) AS n_big
+      |  FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+      |SELECT COALESCE(h.k, b.k) AS custkey, h.bal, b.n_big,
+      |  CASE WHEN h.k IS NULL THEN 'order_only'
+      |       WHEN b.k IS NULL THEN 'cust_only' ELSE 'both' END AS side
+      |FROM hi_cust h FULL OUTER JOIN big_ord b ON h.k = b.k""".stripMargin) {
+    (s, d) =>
+      val h = cust(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_custkey").as("k")).agg(max(col("c_acctbal")).as("bal"))
+      val b = ord(s, d).filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey").as("kb")).agg(count(lit(1)).as("n_big"))
+      h.join(b, col("k") === col("kb"), "full_outer")
+        .select(coalesce(col("k"), col("kb")).as("custkey"), col("bal"), col("n_big"),
+          when(col("k").isNull, "order_only")
+            .when(col("kb").isNull, "cust_only").otherwise("both").as("side"))
+  }
+
   /** INTERSECT ALL — multiset semantics (min multiplicity per key),
     * the bag form TiDB decomposes via counted semi joins. Spark plans
     * `intersectAll` as a count-compare aggregate, one shuffle per side. */
@@ -516,7 +543,7 @@ object Relational {
     q1Agg, q2FilterProject, q3TopN, q4Limit, q5JoinInner, q6JoinLeft,
     q7JoinRight, q8JoinSemi, q9JoinAnti, q10JoinNullAwareAnti,
     q11JoinLeftOuterSemi, q12JoinCross, q13Union, q14Intersect, q15Except,
-    q14bIntersectAll, q15bExceptAll,
+    q6bJoinFull, q14bIntersectAll, q15bExceptAll,
     q16Rollup, q17Cube, q18GroupingSets, q19DistinctAgg, q20ApproxDistinct,
     q116ApproxPercentile,
     q21GroupConcat, q22GroupConcatOrdered, q22bGroupConcatMaxLen, q23Cte,
