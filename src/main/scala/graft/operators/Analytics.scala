@@ -234,6 +234,28 @@ object Analytics {
         "metric", "value")
   }
 
+  /** Equi-width histogram — the distribution-summary aggregate shape
+    * of the reference's ClickHouse-heritage aggregate set
+    * (`/root/reference/dbms/src/AggregateFunctions/`, cf. the
+    * bucketing TiDB's ANALYZE histograms feed the optimizer): fixed
+    * [0, 1024) domain in 8 128-wide bins over n_chars, per language.
+    * Pure integer binning → bit-deterministic; one partial+final
+    * aggregate, bins clamp so no value escapes the domain. */
+  val q144Histogram: QueryDef = QueryDef(
+    "q144_histogram",
+    """SELECT lang,
+      |  LEAST(GREATEST(CAST(n_chars // 128 AS BIGINT), 0), 7) AS bin,
+      |  COUNT(*) AS n,
+      |  CAST(MIN(n_chars) AS BIGINT) AS lo,
+      |  CAST(MAX(n_chars) AS BIGINT) AS hi
+      |FROM documents GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"),
+        least(greatest(expr("n_chars div 128"), lit(0L)), lit(7L)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
-    q135SequenceMatch, q136MaxIntersections, q143Unpivot)
+    q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram)
 }
