@@ -256,6 +256,53 @@ object Analytics {
         min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
   }
 
+  /** Column profile — the stats-collection pass TiDB's ANALYZE pushes
+    * to the columnar replica to feed the optimizer (row count, null
+    * count, NDV, min/max per column; the reference serves these scans
+    * through the same coprocessor surface as queries). One scan, all
+    * aggregates in a single keyless partial+final pass, then the wide
+    * row unpivots to (col_name, metric, value) — the stats-table
+    * layout. Values lifted to BIGINT (prices in cents) so one typed
+    * value column carries every metric. */
+  val q145AnalyzeProfile: QueryDef = QueryDef(
+    "q145_analyze_profile",
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(o_custkey) AS custkey_nonnull,
+      |    COUNT(DISTINCT o_custkey) AS custkey_ndv,
+      |    CAST(MIN(o_custkey) AS BIGINT) AS custkey_min,
+      |    CAST(MAX(o_custkey) AS BIGINT) AS custkey_max,
+      |    COUNT(o_totalprice) AS price_nonnull,
+      |    COUNT(DISTINCT o_totalprice) AS price_ndv,
+      |    CAST(round(MIN(o_totalprice) * 100) AS BIGINT) AS price_min_cents,
+      |    CAST(round(MAX(o_totalprice) * 100) AS BIGINT) AS price_max_cents,
+      |    COUNT(DISTINCT o_orderstatus) AS status_ndv
+      |  FROM orders)
+      |SELECT name AS metric, value
+      |FROM (UNPIVOT a ON n, custkey_nonnull, custkey_ndv, custkey_min,
+      |      custkey_max, price_nonnull, price_ndv, price_min_cents,
+      |      price_max_cents, status_ndv INTO NAME name VALUE value)""".stripMargin) {
+    (s, d) =>
+    Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        countDistinct(col("o_custkey")).as("custkey_ndv"),
+        min(col("o_custkey")).as("custkey_min"),
+        max(col("o_custkey")).as("custkey_max"),
+        count(col("o_totalprice")).as("price_nonnull"),
+        countDistinct(col("o_totalprice")).as("price_ndv"),
+        round(min(col("o_totalprice")) * 100).cast("long").as("price_min_cents"),
+        round(max(col("o_totalprice")) * 100).cast("long").as("price_max_cents"),
+        countDistinct(col("o_orderstatus")).as("status_ndv"))
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("n"), col("custkey_nonnull"), col("custkey_ndv"),
+          col("custkey_min"), col("custkey_max"), col("price_nonnull"),
+          col("price_ndv"), col("price_min_cents"), col("price_max_cents"),
+          col("status_ndv")),
+        "metric", "value")
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
-    q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram)
+    q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
+    q145AnalyzeProfile)
 }
