@@ -240,7 +240,30 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("rn"))
   }
 
+  /** Overlapping document chunking — the RAG/embedding prep step:
+    * fixed 200-char windows at stride 150 (50-char overlap), each chunk
+    * carrying its (doc_id, offset) provenance. Pure per-row explode —
+    * no shuffle at all until a downstream consumer aggregates; output
+    * volume is len/stride × corpus, the inherent cost. Empty documents
+    * are filtered (a zero-length sequence bound is the documented Spark
+    * `sequence()` crash class). */
+  val q146Chunking: QueryDef = QueryDef(
+    "q146_chunking",
+    """SELECT doc_id, s AS chunk_start,
+      |  substr(text, s, 200) AS chunk,
+      |  CAST(length(substr(text, s, 200)) AS BIGINT) AS chunk_len
+      |FROM documents, UNNEST(range(1, length(text) + 1, 150)) AS u(s)
+      |WHERE length(text) > 0""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text), 150)")).as("chunk_start"))
+      .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+        expr("substr(text, chunk_start, 200)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
-      q139NgramDecontaminate, q140WeightedSample)
+      q139NgramDecontaminate, q140WeightedSample, q146Chunking)
 }

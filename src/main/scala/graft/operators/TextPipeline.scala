@@ -463,6 +463,37 @@ object TextPipeline {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Dedup representative selection — the keep/drop half of dedup: per
+    * normalized-text group, keep the LONGEST variant (quality proxy),
+    * tiebreak lowest doc_id; report what was dropped. The rank window
+    * partitions on the normalized hash — high-cardinality (≈ one group
+    * per distinct document), so it scales as an ordinary hash shuffle;
+    * groups are duplicate-cluster-sized, never corpus-sized. */
+  val q147DedupRepresentative: QueryDef = QueryDef(
+    "q147_dedup_representative",
+    """WITH g AS (
+      |  SELECT doc_id, n_chars,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+      |    row_number() OVER (
+      |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT h,
+      |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+      |  CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS rep_chars,
+      |  COUNT(*) - 1 AS n_dropped
+      |FROM g GROUP BY h""".stripMargin) { (s, d) =>
+    val h = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("n_chars").desc, col("doc_id"))
+    docs(s, d).select(col("doc_id"), col("n_chars"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("h"))
+      .agg(min(when(col("rn") === 1, col("doc_id"))).as("rep_doc"),
+        min(when(col("rn") === 1, col("n_chars"))).as("rep_chars"),
+        (count(lit(1)) - 1).as("n_dropped"))
+  }
+
   /** Edit-distance near-dup on blocked candidate pairs (levenshtein is
     * identical in both engines); blocked by (length-bucket, first token)
     * — content-derived, so bucket population tracks actual similarity
@@ -765,5 +796,6 @@ object TextPipeline {
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
     q85StratifiedSample, q86TrainTestSplit, q87RedactPii, q88UrlParse,
-    q114DedupClusters, q115Repetition, q134CompressRatio)
+    q114DedupClusters, q115Repetition, q134CompressRatio,
+    q147DedupRepresentative)
 }
