@@ -145,6 +145,10 @@ class PlanShapeSpec extends SparkTestBase {
       // sequence packing: ONE shard exchange serves both the running-sum
       // window and the per-shard aggregate (same key — no re-shuffle)
       assert(shuffles("q138_sequence_pack") <= 1)
+      // chunking: pure per-row explode — NO shuffle at all
+      assert(shuffles("q146_chunking") === 0)
+      // dedup representative: one hash exchange serves rank + group agg
+      assert(shuffles("q147_dedup_representative") <= 1)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
