@@ -24,6 +24,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.mergeSchema", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
+      // This box stalls under host CPU-credit throttling (documented in
+      // docs/BENCH_NOTES.md): a multi-second freeze can miss enough
+      // executor→driver heartbeats that local-mode Spark kills the JVM
+      // with exit 56 mid-suite. Heartbeats are liveness probes, not
+      // progress — widen the tolerance so a throttle burst cannot kill
+      // a correctness run. (A real cluster tunes the same knobs for
+      // GC/preemption pauses.)
+      .config("spark.executor.heartbeatInterval", "20s")
+      .config("spark.executor.heartbeat.maxFailures", "1000")
+      .config("spark.network.timeout", "600s")
       // FAIR scheduling ≙ the reference's resource groups
       // (docs/design/2023-09-21-tiflash-resource-control.md): concurrent
       // workloads in equal-weight pools share the cluster ~equally
