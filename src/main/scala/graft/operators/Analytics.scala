@@ -302,7 +302,59 @@ object Analytics {
         "metric", "value")
   }
 
+  /** Moving median — exact `percentile` as a WINDOW aggregate over a
+    * 5-row sliding frame (the robust-smoothing shape; mean-based
+    * smoothing is q43's frame family). Window partitions on user_id —
+    * high-cardinality — and the exact median of a ≤5-element frame is
+    * engine-identical (both take the lower-interpolated midpoint of a
+    * sorted quintet of integers lifted to double). */
+  val q148MovingMedian: QueryDef = QueryDef(
+    "q148_moving_median",
+    """SELECT user_id, event_id,
+      |  median(value * 1.0) OVER (
+      |    PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+      |FROM events WHERE user_id % 17 = 0""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-4, 0)
+    Tables.events(s, d).filter(col("user_id") % 17 === 0)
+      .select(col("user_id"), col("event_id"),
+        expr("percentile(value * 1.0, 0.5)").over(w).as("med5"))
+  }
+
+  /** MAD outlier flagging — the robust data-cleaning pass (median ±
+    * k·MAD survives the heavy tails that mean/stddev filters do not):
+    * per-language exact median of n_chars, then median absolute
+    * deviation, then flag docs beyond 3·MAD. Two tiny per-class
+    * aggregates broadcast back onto the corpus scan — the corpus never
+    * shuffles. Exact percentile on integer-derived doubles is
+    * engine-identical. */
+  val q149MadOutliers: QueryDef = QueryDef(
+    "q149_mad_outliers",
+    """WITH m AS (
+      |  SELECT lang, median(CAST(n_chars AS DOUBLE)) AS med
+      |  FROM documents GROUP BY lang),
+      |d AS (
+      |  SELECT t.lang, median(abs(CAST(t.n_chars AS DOUBLE) - m.med)) AS mad
+      |  FROM documents t JOIN m ON t.lang = m.lang GROUP BY t.lang),
+      |j AS (
+      |  SELECT t.doc_id, t.lang, t.n_chars, m.med, d.mad
+      |  FROM documents t JOIN m ON t.lang = m.lang JOIN d ON t.lang = d.lang)
+      |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, med, mad,
+      |  (abs(n_chars - med) > 3 * mad) AS is_outlier
+      |FROM j""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val med = docs.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars * 1.0, 0.5)").as("med"))
+    val mad = docs.join(broadcast(med), "lang")
+      .groupBy(col("lang"))
+      .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+    docs.join(broadcast(med), "lang").join(broadcast(mad), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("med"), col("mad"),
+        (abs(col("n_chars") - col("med")) > col("mad") * 3).as("is_outlier"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
-    q145AnalyzeProfile)
+    q145AnalyzeProfile, q148MovingMedian, q149MadOutliers)
 }
