@@ -283,6 +283,98 @@ class StreamingSpec extends SparkTestBase {
       s"probe over the streamed index must partition-prune on cid:\n$plan")
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows flush as the watermark passes") {
+    // outer stream-stream join adds the state-expiry contract: a click
+    // with no error inside its 30-minute window may only emit its
+    // null-extended row once the watermark proves no match can still
+    // arrive. Matched rows must equal the batch inner join; every
+    // emitted null row must be a true batch non-match; and every click
+    // older than (max ts - watermark - window) must have been flushed.
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-stream-ssoj")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val evAll = Tables.events(spark, sf)
+    // time-split halves: run 1 ingests the old half and leaves its
+    // watermark (split - 1h) in the checkpoint; run 2 ingests the new
+    // half, so run-1 state older than that watermark must evict
+    val bounds = evAll.agg(min(col("ts")), max(col("ts"))).first()
+    val minMs = bounds.getTimestamp(0).getTime
+    val maxMs = bounds.getTimestamp(1).getTime
+    val splitMs = minMs + (maxMs - minMs) / 2
+    val split = new java.sql.Timestamp(splitMs)
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(in.toString).schema
+      def mkStream() = spark.readStream.schema(schema).parquet(in.toString)
+      val clicks = mkStream().filter(col("event_type") =!= "error")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val errs = mkStream().filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+          col("ts").as("err_ts"))
+        .withWatermark("err_ts", "1 hour")
+      val joined = clicks.join(errs,
+        expr("c_user = e_user AND err_ts >= click_ts AND err_ts <= click_ts + interval 30 minutes"),
+        "left_outer")
+      val q = joined.select(col("c_user"), col("click_id"), col("err_id"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // the streamed input carries real timestamps (Tables.load already
+    // converted ns→µs), so no stream-side prep is needed. Each half is
+    // dropped into `in/` as a single flat file (the source does not
+    // recurse into subdirectories).
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = base.resolve(s"tmp-$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, in.resolve(name))
+    }
+    addFile(evAll.filter(col("ts") <= split), "old.parquet")
+    runOnce()
+    addFile(evAll.filter(col("ts") > split), "new.parquet")
+    runOnce()
+    val out = spark.read.parquet(sink).collect()
+    val matched = out.filter(!_.isNullAt(2)).map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nulls = out.filter(_.isNullAt(2)).map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Tables.events(spark, sf)
+    val bc = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val be = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    val cond =
+      expr("c_user = e_user AND err_ts >= click_ts AND err_ts <= click_ts + interval 30 minutes")
+    val batchInner = bc.join(be, cond)
+      .select(col("c_user"), col("click_id"), col("err_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matched === batchInner && matched.nonEmpty,
+      "matched outer-join rows must equal the batch inner join")
+    val batchUnmatched = bc.join(be, cond, "left_anti")
+      .select(col("c_user"), col("click_id"), col("click_ts")).collect()
+    val unmatchedKeys = batchUnmatched.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nulls.subsetOf(unmatchedKeys),
+      "every emitted null row must be a true batch non-match")
+    // flush completeness: run 2 executes with run 1's checkpointed
+    // watermark (split - 1h), so any unmatched click whose 30-minute
+    // window closed before that watermark must have emitted its null
+    // row (1-minute margin for boundary semantics)
+    val flushCutoff = splitMs - 3600 * 1000L - 30 * 60 * 1000L - 60 * 1000L
+    val mustFlush = batchUnmatched.filter { r =>
+      r.getTimestamp(2).getTime < flushCutoff
+    }.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mustFlush.subsetOf(nulls),
+      s"${(mustFlush -- nulls).size} provably-expired clicks never flushed")
+    assert(nulls.nonEmpty, "no null-extended rows emitted at all")
+  }
+
   test("incremental postings maintenance: streamed docs searchable without rebuild") {
     import graft.operators.InvertedText
     val docs = Tables.documents(spark, sf)
