@@ -354,7 +354,58 @@ object Analytics {
         (abs(col("n_chars") - col("med")) > col("mad") * 3).as("is_outlier"))
   }
 
+  /** Benford first-digit audit — the classic data-forensics check
+    * (natural multiplicative quantities follow log10(1+1/d)): observed
+    * first-digit counts of o_totalprice vs the expected distribution in
+    * integer ppm. One aggregate; digit extraction is pure string math. */
+  val q150Benford: QueryDef = QueryDef(
+    "q150_benford",
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(trunc(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |t AS (SELECT COUNT(*) AS n FROM d)
+      |SELECT digit, COUNT(*) AS observed,
+      |  CAST(COUNT(*) * 1000000 // MAX(t.n) AS BIGINT) AS observed_ppm,
+      |  CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT) AS benford_ppm
+      |FROM d, t GROUP BY digit""".stripMargin) { (s, d) =>
+    val digits = Tables.orders(s, d).filter(col("o_totalprice") >= 1)
+      .select(substring(col("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val total = digits.agg(count(lit(1)).as("n"))
+    digits.join(broadcast(total))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("observed"),
+        expr("count(1) * 1000000 div max(n)").as("observed_ppm"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")) * 1000000).cast("long")
+          .as("benford_ppm"))
+  }
+
+  /** Ratio-to-report — percent-of-total within a group as a window over
+    * the aggregate (the reporting staple): each status-priority cell's
+    * share of its priority's revenue, exact integer ppm. The window
+    * runs over the AGGREGATED cells (|priorities| × |statuses| rows),
+    * never the fact table. */
+  val q151RatioToReport: QueryDef = QueryDef(
+    "q151_ratio_to_report",
+    """WITH a AS (
+      |  SELECT o_orderpriority, o_orderstatus,
+      |    CAST(SUM(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority, o_orderstatus, cents,
+      |  CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY o_orderpriority)
+      |       AS BIGINT) AS share_ppm
+      |FROM a""".stripMargin) { (s, d) =>
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(sum((col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+    cells.withColumn("tot", sum(col("cents")).over(w))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("cents"),
+        expr("cents * 1000000 div tot").as("share_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
-    q145AnalyzeProfile, q148MovingMedian, q149MadOutliers)
+    q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
+    q151RatioToReport)
 }
