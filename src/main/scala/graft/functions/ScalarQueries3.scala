@@ -86,5 +86,44 @@ object ScalarQueries3 {
           count(col("pr")).over(w).as("n_big"))
   }
 
-  val all: Seq[QueryDef] = Seq(q31bTrig, q30bStringNulls, q42bIgnoreNulls)
+  /** Geo family ≙ the reference's registered geo functions
+    * (`/root/reference/dbms/src/Functions/FunctionsGeo.cpp:254-259`:
+    * greatCircleDistance, pointInEllipses, pointInPolygon). Coordinates
+    * derive from customer keys (dyadic-rational lat/lon, so all
+    * arithmetic below is IEEE-exact); the great-circle haversine is the
+    * only libm composition and rounds to 6 dp (composed-ulp error
+    * ~1e-12 km, far inside the grain — the q31b trig-parity rule). The
+    * polygon is a convex diamond, so containment is pure arithmetic —
+    * the general-polygon case is a ray-casting fold over a broadcast
+    * vertex list, same shape. */
+  val q152Geo: QueryDef = QueryDef(
+    "q152_geo",
+    """WITH p AS (SELECT c_custkey,
+      |    CAST(c_custkey % 120 AS DOUBLE) - 60 + 0.25 AS lat,
+      |    CAST((c_custkey * 7) % 360 AS DOUBLE) - 180 + 0.25 AS lon
+      |  FROM customer WHERE c_custkey % 13 = 0)
+      |SELECT c_custkey, lat, lon,
+      |  round(12742 * asin(sqrt(
+      |    pow(sin(radians(lat - 48.8566) / 2), 2) +
+      |    cos(radians(48.8566)) * cos(radians(lat)) *
+      |    pow(sin(radians(lon - 2.3522) / 2), 2))), 6) AS gc_km_paris,
+      |  (abs(lat) + abs(lon) / 2 <= 45) AS in_diamond,
+      |  (pow((lat - 10) / 30, 2) + pow((lon - 20) / 60, 2) <= 1
+      |   OR pow((lat + 15) / 20, 2) + pow((lon + 40) / 50, 2) <= 1) AS in_ellipses
+      |FROM p""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_custkey") % 13 === 0)
+      .selectExpr("c_custkey",
+        "CAST(c_custkey % 120 AS DOUBLE) - 60 + 0.25 AS lat",
+        "CAST((c_custkey * 7) % 360 AS DOUBLE) - 180 + 0.25 AS lon")
+      .selectExpr("c_custkey", "lat", "lon",
+        """round(12742 * asin(sqrt(
+          |  pow(sin(radians(lat - 48.8566) / 2), 2) +
+          |  cos(radians(48.8566)) * cos(radians(lat)) *
+          |  pow(sin(radians(lon - 2.3522) / 2), 2))), 6) AS gc_km_paris""".stripMargin,
+        "(abs(lat) + abs(lon) / 2 <= 45) AS in_diamond",
+        """(pow((lat - 10) / 30, 2) + pow((lon - 20) / 60, 2) <= 1
+          | OR pow((lat + 15) / 20, 2) + pow((lon + 40) / 50, 2) <= 1) AS in_ellipses""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(q31bTrig, q30bStringNulls, q42bIgnoreNulls, q152Geo)
 }
