@@ -24,6 +24,7 @@ object Engine {
   def attach(spark: SparkSession, dataDir: String): SparkSession = {
     operators.Relational.views(spark, dataDir)
     functions.VectorFunctions.register(spark)
+    functions.SipHash.register(spark)
     spark
   }
 }

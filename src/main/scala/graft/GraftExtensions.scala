@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => VecL2Norm(es.head)))
     e.injectFunction((FunctionIdentifier("json_depth"), info("json_depth"),
       (es: Seq[Expression]) => JsonDepth(es.head)))
+    e.injectFunction((FunctionIdentifier("sip_hash64"), info("sip_hash64"),
+      (es: Seq[Expression]) => SipHash64Expr(es.head)))
   }
 }
