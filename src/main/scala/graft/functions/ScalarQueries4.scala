@@ -127,6 +127,23 @@ object ScalarQueries4 {
     * a precomputed expected-value table: CRC-32 is a fixed public
     * checksum (IEEE 802.3 polynomial), constants computed independently
     * with zlib over the 25 nation names. */
+  /** Cryptographic hash family ≙ the reference's registered MD5 /
+    * halfMD5 / SHA256 (`FunctionsHashing.cpp:25-29`; sipHash64 is the
+    * custom-Expression half, `SipHashSpec`). halfMD5 here keeps its
+    * semantic content — the first 64 bits of the MD5 — rendered as hex
+    * (both engines lack a hex→int64 cast worth normalizing over). */
+  val q39cCryptoHash: QueryDef = QueryDef(
+    "q39c_crypto_hash",
+    """SELECT doc_id, md5(text) AS h_md5,
+      |  substr(md5(text), 1, 16) AS h_half_md5,
+      |  sha256(text) AS h_sha256
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), md5(col("text")).as("h_md5"),
+        substring(md5(col("text")), 1, 16).as("h_half_md5"),
+        sha2(col("text"), 256).as("h_sha256"))
+  }
+
   val q39bCrc32: QueryDef = QueryDef(
     "q39b_crc32",
     """SELECT n_nationkey, n_name, CAST(crcv AS BIGINT) AS crc
@@ -456,7 +473,7 @@ object ScalarQueries4 {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q34bJsonTail, q32bMysqlDatefmt, q39bCrc32, q48bDuration, q59CollatedCi,
+    q34bJsonTail, q32bMysqlDatefmt, q39bCrc32, q39cCryptoHash, q48bDuration, q59CollatedCi,
     q59bCollatedAi, q105CollateOrderBy, q35bRegexpTail, q32cUnixtime,
     q32dConvertTz, q38bIpv6, q47bEnumSet, q34cJsonPaths)
 }
