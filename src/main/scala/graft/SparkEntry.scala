@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TpchShapes.all ++
       functions.ScalarQueries.all ++ functions.ScalarQueries2.all ++
       functions.ScalarQueries3.all ++ functions.ScalarQueries4.all ++
+      functions.ScalarQueries5.all ++
       functions.OrderedConcat.all ++
       operators.Windows.all ++ operators.Similarity.all ++
       operators.TextPipeline.all ++ operators.InvertedText.all ++

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Round-5 closing tail of the reference's scalar pushdown list
+  * (`/root/reference/dbms/src/Flash/Coprocessor/DAGUtils.cpp`): the
+  * bit-inspection and MySQL string-construction signatures that no
+  * earlier query family exercised, plus the AES crypto pair.
+  *
+  *  - BitCount / Bin / HexIntArg / BitLength (`DAGUtils.cpp` Bin/
+  *    BitCount/HexIntArg/BitLength rows; `dbms/src/Functions/
+  *    FunctionsCoding.h`) — q37 proved and/or/xor/not/shifts; these are
+  *    the remaining radix-rendering + popcount signatures.
+  *  - Elt / Space / Locate2Args (`DAGUtils.cpp` Elt/Space/Locate rows;
+  *    `dbms/src/Functions/FunctionsString.cpp`) — q30 proved the
+  *    instr/repeat/replace family; ELT is the 1-based list selector
+  *    (NULL out of range), SPACE the n-blank constructor.
+  *  - AesEncrypt / AesDecrypt (+IV) (`DAGUtils.cpp:306-307` aes rows,
+  *    `dbms/src/Functions/FunctionsCrypto.cpp` analog) — proven by
+  *    decrypt∘encrypt identity (oracled: the oracle just projects the
+  *    plaintext), the PKCS#7 ciphertext-length law (oracle-computable
+  *    from byte length), and the public NIST all-zero AES-128-ECB
+  *    vector in `CryptoSpec`.
+  *
+  * All expressions are built-in Catalyst codegen expressions (via
+  * `expr(...)` where the Scala DSL lacks a wrapper) — no UDFs.
+  */
+object ScalarQueries5 {
+
+  /** Bit-inspection + string-construction tail over orders. ELT index
+    * cycles 1..4 with 4 out of range on purpose (MySQL returns NULL). */
+  val q153BitStringTail: QueryDef = QueryDef(
+    "q153_bit_string_tail",
+    """SELECT o_orderkey,
+      |  CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INTEGER) AS pop,
+      |  bin(o_orderkey) AS b2,
+      |  hex(o_orderkey) AS b16,
+      |  CAST(bit_length(o_orderpriority) AS INTEGER) AS blen,
+      |  CASE CAST(1 + o_orderkey % 4 AS INTEGER)
+      |    WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta' WHEN 3 THEN 'gamma'
+      |  END AS pick,
+      |  '[' || repeat(' ', CAST(o_orderkey % 4 AS INTEGER)) || ']' AS pad,
+      |  CAST(position('E' IN o_orderpriority) AS INTEGER) AS loc
+      |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") % 13 === 0)
+      .select(
+        col("o_orderkey"),
+        expr("bit_count(o_orderkey)").as("pop"),
+        bin(col("o_orderkey")).as("b2"),
+        hex(col("o_orderkey")).as("b16"),
+        expr("bit_length(o_orderpriority)").as("blen"),
+        // MySQL ELT returns NULL out of range; Spark's ANSI elt throws,
+        // so the range guard restores the MySQL contract (index 4 -> NULL).
+        expr("case when 1 + o_orderkey % 4 <= 3 then " +
+          "elt(cast(1 + o_orderkey % 4 as int), 'alpha', 'beta', 'gamma') end")
+          .as("pick"),
+        concat(lit("["), expr("space(cast(o_orderkey % 4 as int))"), lit("]"))
+          .as("pad"),
+        locate("E", col("o_orderpriority")).as("loc"))
+  }
+
+  /** AES round-trip: ECB and CBC(random IV, prepended by Spark and
+    * parsed back by decrypt) both invert to the plaintext; ECB PKCS#7
+    * padding fixes ciphertext length at (⌊bytes/16⌋+1)·16. The oracle
+    * cannot run AES (DuckDB has none) but CAN assert all three laws:
+    * identity projects the plaintext, the length law is byte math.
+    * Known-answer vector + determinism/mode contracts in `CryptoSpec`. */
+  val q154AesRoundtrip: QueryDef = QueryDef(
+    "q154_aes_roundtrip",
+    """SELECT doc_id,
+      |  text AS rt_ecb,
+      |  text AS rt_cbc,
+      |  (strlen(text) // 16 + 1) * 16 AS ct_len_ecb
+      |FROM documents WHERE doc_id % 11 = 0""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") % 11 === 0)
+      .select(
+        col("doc_id"),
+        expr("cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB'), " +
+          "'0123456789abcdef', 'ECB') as string)").as("rt_ecb"),
+        expr("cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'CBC'), " +
+          "'0123456789abcdef', 'CBC') as string)").as("rt_cbc"),
+        length(expr("aes_encrypt(text, '0123456789abcdef', 'ECB')"))
+          .cast("long").as("ct_len_ecb"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q153BitStringTail, q154AesRoundtrip)
+}
