@@ -290,7 +290,98 @@ object Multimodal {
         .toDF("doc_id", "width", "height", "channels", "px_bytes")
   }
 
+  /** REAL codec for the audio modality: canonical 44-byte RIFF/WAVE PCM
+    * header + little-endian 16-bit mono samples. Serialization and parse
+    * are both genuine byte arithmetic (magic checks, LE16/LE32 fields),
+    * completing the image (PPM/BMP) + audio codec set. */
+  def makeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putAscii(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putAscii(0, "RIFF"); putLe32(4, 36 + dataLen); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16) // PCM fmt chunk size
+    putLe16(20, 1) // audio format 1 = PCM
+    putLe16(22, 1) // mono
+    putLe32(24, sampleRate)
+    putLe32(28, sampleRate * 2) // byte rate = sr * block align
+    putLe16(32, 2) // block align (1 ch × 16 bit)
+    putLe16(34, 16) // bits per sample
+    putAscii(36, "data"); putLe32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { putLe16(44 + 2 * i, samples(i) & 0xffff); i += 1 }
+    out
+  }
+
+  /** Parses the header (magic + field checks) and decodes every sample. */
+  def wavDecode(id: Long, payload: Array[Byte]): (Int, Array[Short]) = {
+    def ascii(off: Int, len: Int) = new String(payload, off, len, "US-ASCII")
+    def le32(off: Int): Int =
+      (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8) |
+        ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    require(payload.length >= 44 && ascii(0, 4) == "RIFF" &&
+      ascii(8, 4) == "WAVE" && ascii(12, 4) == "fmt " && ascii(36, 4) == "data",
+      s"doc $id: not a PCM WAV payload")
+    require(le16(20) == 1 && le16(34) == 16, s"doc $id: not 16-bit PCM")
+    val dataLen = le32(40)
+    require(payload.length == 44 + dataLen, s"doc $id: truncated data chunk")
+    val samples = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < samples.length) { samples(i) = le16(44 + 2 * i).toShort; i += 1 }
+    (le32(24), samples)
+  }
+
+  /** Audio decode + feature extraction: sample rate family picked per
+    * doc, a deterministic integer waveform s_i = ((doc_id·31 + i·17) mod
+    * 2003) − 1001, encode → full byte-level parse → duration and
+    * sum-of-|amplitude|. `sum_abs` only matches if every sample survives
+    * the LE16 round trip bit-exactly, so the oracle (which recomputes
+    * the waveform arithmetically over `range(n)`) checks the codec, not
+    * just the header. */
+  val q155MultimodalWav: QueryDef = QueryDef(
+    "q155_multimodal_wav",
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8000
+      |       WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+      |  CAST(100 + length(text) % 400 AS BIGINT) AS n_samples,
+      |  CAST((100 + length(text) % 400) * 1000000 //
+      |    (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8000
+      |          WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_us,
+      |  CAST((SELECT sum(abs((doc_id * 31 + t.g * 17) % 2003 - 1001))
+      |        FROM (SELECT unnest(range(0, 500)) AS g) t
+      |        WHERE t.g < 100 + length(text) % 400) AS BIGINT) AS sum_abs
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin) { (s, d) =>
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), length(col("text")).as("tlen"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, tlen) =>
+          val sr = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+          val n = 100 + tlen % 400
+          val wave = Array.tabulate[Short](n)(i =>
+            ((id * 31 + i.toLong * 17) % 2003 - 1001).toShort)
+          val (srOut, decoded) = wavDecode(id, makeWav(sr, wave)) // encode → real parse
+          var sumAbs = 0L
+          decoded.foreach(v => sumAbs += math.abs(v.toLong))
+          (id, srOut, decoded.length.toLong,
+            decoded.length.toLong * 1000000L / srOut, sumAbs)
+        }
+      }
+      .toDF("doc_id", "sr", "n_samples", "duration_us", "sum_abs")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q80MultimodalMeta, q81MultimodalDecode, q82MultimodalResize,
-    q83MultimodalFrames, q84MultimodalBmp)
+    q83MultimodalFrames, q84MultimodalBmp, q155MultimodalWav)
 }

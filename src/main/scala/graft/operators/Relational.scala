@@ -428,6 +428,27 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_nd_part"))
   }
 
+  /** Exportable/mergeable distinct-count sketch ≙ the reference's
+    * `uniqRawRes` two-phase posture (`AggregateFunctionUniq.cpp:191`):
+    * the PARTIAL sketch is itself a first-class value (DataSketches HLL
+    * binary) that can be stored per group and union-merged later — the
+    * canonical 100 TB architecture where per-day/per-shard sketches are
+    * pre-aggregated once and rolled up at query time without rescanning.
+    * Sketch bytes are algorithm-specific → rows-only; the merge-equals-
+    * direct and error contracts live in `ContractsSpec`. */
+  val q156HllSketch: QueryDef = QueryDef.noOracle("q156_hll_sketch") { (s, d) =>
+    val perGroup = li(s, d).groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), 14).as("sk"),
+        countDistinct(col("l_partkey")).as("exact_nd"))
+    // roll-up WITHOUT touching lineitem again: union the stored sketches
+    val global = perGroup.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("global_est"))
+    perGroup
+      .select(col("l_returnflag"),
+        hll_sketch_estimate(col("sk")).as("group_est"), col("exact_nd"))
+      .crossJoin(broadcast(global))
+  }
+
   /** Mergeable-sketch percentiles ≙ the reference's quantile sketch
     * family (TDigest / reservoir samplers,
     * `/root/reference/dbms/src/AggregateFunctions/QuantileTDigest.h`,
@@ -545,7 +566,7 @@ object Relational {
     q11JoinLeftOuterSemi, q12JoinCross, q13Union, q14Intersect, q15Except,
     q6bJoinFull, q14bIntersectAll, q15bExceptAll,
     q16Rollup, q17Cube, q18GroupingSets, q19DistinctAgg, q20ApproxDistinct,
-    q116ApproxPercentile,
+    q116ApproxPercentile, q156HllSketch,
     q21GroupConcat, q22GroupConcatOrdered, q22bGroupConcatMaxLen, q23Cte,
     q24FirstMinMax)
 }

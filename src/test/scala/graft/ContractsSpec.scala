@@ -49,6 +49,28 @@ class ContractsSpec extends SparkTestBase {
       s"approx $approx vs exact $exact beyond tolerance")
   }
 
+  test("q156 HLL sketch: partial-union == direct sketch; estimates near exact") {
+    // The mergeability law that makes stored sketches a valid 100 TB
+    // rollup: unioning per-group partials must estimate the SAME value
+    // as sketching the whole column directly (register-wise max is
+    // order- and partition-invariant), and both must sit within the
+    // lgK=14 error envelope of the exact distinct count.
+    val li = Tables.lineitem(spark, sf)
+    val perGroup = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), 14).as("sk"))
+    val merged = perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), 14)).as("est"))
+      .head().getLong(0)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    assert(merged === direct,
+      s"union of partial sketches ($merged) must equal the direct sketch ($direct)")
+    assert(math.abs(direct - exact).toDouble / exact < 0.05,
+      s"estimate $direct vs exact $exact out of the error envelope")
+  }
+
   test("percentile_approx brackets the exact percentile") {
     val li = Tables.lineitem(spark, sf)
     val r = li.agg(

@@ -47,6 +47,24 @@ class CryptoSpec extends SparkTestBase {
     assert(r.getString(2) === "payload")
   }
 
+  test("CBC with an explicit IV matches an independent openssl ciphertext") {
+    // AesEncryptIV analog: aes_encrypt(..., iv) must be deterministic and
+    // byte-identical to `openssl enc -aes-128-cbc -K 3031..66 -iv 0001..0f`
+    // over the same 16-byte plaintext (PKCS padding on both sides). Spark
+    // emits [iv][ciphertext]; the suffix after the 16-byte IV is compared.
+    val r = spark.sql(
+      """SELECT lower(substr(hex(aes_encrypt('payload-16bytes!',
+        |  '0123456789abcdef', 'CBC', 'DEFAULT',
+        |  unhex('000102030405060708090A0B0C0D0E0F'))), 33)) AS ct,
+        |cast(aes_decrypt(aes_encrypt('payload-16bytes!',
+        |  '0123456789abcdef', 'CBC', 'DEFAULT',
+        |  unhex('000102030405060708090A0B0C0D0E0F')),
+        |  '0123456789abcdef', 'CBC') as string) AS rt""".stripMargin).head()
+    assert(r.getString(0) ===
+      "dc584f316230b0c6c625a66f1706f287ed70156ab322002d8496cdd2707f3de4")
+    assert(r.getString(1) === "payload-16bytes!")
+  }
+
   test("GCM try_aes_decrypt rejects a wrong key with NULL, not garbage") {
     val r = spark.sql(
       """SELECT
