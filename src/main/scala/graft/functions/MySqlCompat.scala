@@ -198,6 +198,24 @@ object MySqlCompat {
       call_function("repeat", lit("0"), dd - 18)))
   }
 
+  /** MySQL ELT(n, s1..sk): NULL or out-of-range n → NULL
+    * (`tests/fullstack-test/expr/elt.test`). Spark's ANSI elt throws on
+    * out-of-range, so the range guard restores the MySQL contract. */
+  def mysql_elt(n: Column, args: Column*): Column = {
+    val idx = n.cast("int")
+    when(idx.between(1, args.length),
+      call_function("elt", (idx +: args): _*))
+  }
+
+  /** MySQL SPACE(n): '' for n ≤ 0, NULL for NULL or n past the 16 MiB
+    * max_allowed_packet cap (`tests/fullstack-test/expr/space.test`
+    * 16777217 → NULL row). */
+  def mysql_space(n: Column): Column = {
+    val k = n.cast("long")
+    when(k <= 16777216L,
+      call_function("space", greatest(k, lit(0L)).cast("int")))
+  }
+
   /** IS TRUE / IS FALSE: NULL is neither — both return 0, never NULL
     * (`tests/fullstack-test/expr/is_true_false.test`). */
   def mysql_istrue(c: Column): Column =
