@@ -20,6 +20,7 @@ object SparkEntry {
       functions.OrderedConcat.all ++
       operators.Windows.all ++ operators.Similarity.all ++
       operators.TextPipeline.all ++ operators.InvertedText.all ++
+      operators.Tokenizer.all ++
       operators.TemporalJoins.all ++ operators.Curation.all ++
       operators.Analytics.all ++ operators.Clustering.all ++
       functions.BigIntSum.all ++ functions.ApproxTopK.all ++

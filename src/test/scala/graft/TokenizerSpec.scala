@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Tokenizer
+
+/** Ground-truth contract for distributed BPE training (q157 is
+  * rows-only — the iterative argmax is not oracle-expressible): the
+  * PUBLIC reference corpus from the BPE paper (Sennrich et al. 2016,
+  * §3.2: low×5, lower×2, newest×6, widest×3) with merges hand-computed
+  * below, plus the greedy-apply law and partition invariance.
+  *
+  * Hand derivation (counts are exact integer sums):
+  *   initial pairs: (e,s)=9 (6 newest + 3 widest), (s,t)=9, (w,e)=8,
+  *   (l,o)=7, (o,w)=7, (n,e)=6, (e,w)=6, (w,i)=3, (i,d)=3, (d,e)=3,
+  *   (e,r)=2 → tie (e,s)/(s,t) broken lexicographically → merge 0 =
+  *   (e,s). Then (es,t)=9 wins; then (l,o)=7 beats (o,w)=7 on the
+  *   tiebreak; then (lo,w)=7; then the 6-tie (e,w)/(n,e)/(w,est)
+  *   resolves to (e,w); then (ew,est)=6 ties (n,ew)=6 and 'ew' < 'n'.
+  */
+class TokenizerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def paperCorpus = {
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+  }
+
+  test("BPE paper corpus: first six merges match the hand computation") {
+    val merges = Tokenizer.bpeTrain(paperCorpus, numMerges = 6)
+      .map { case (_, l, r, c) => (l, r, c) }
+    assert(merges === Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L),
+      ("lo", "w", 7L), ("e", "w", 6L), ("ew", "est", 6L)))
+  }
+
+  test("greedy apply: a just-formed merge does not cascade (aaa -> [aa, a])") {
+    val df = Seq("aaa", "aaaa", "aba").toDF("word")
+      .withColumn("toks", Tokenizer.charSplit($"word"))
+      .withColumn("merged", Tokenizer.applyMerge("toks", "a", "a"))
+    val got = df.select("merged").collect().map(_.getSeq[String](0).toList).toList
+    assert(got === List(List("aa", "a"), List("aa", "aa"), List("a", "b", "a")))
+  }
+
+  test("training is invariant to partition count (exact integer argmax)") {
+    val p1 = Tokenizer.bpeTrain(paperCorpus.repartition(1), 4)
+    val p7 = Tokenizer.bpeTrain(paperCorpus.repartition(7), 4)
+    assert(p1 === p7)
+  }
+
+  test("merge exhaustion stops early instead of looping") {
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    // "ab" supports exactly one merge; asking for 5 must return 1.
+    val merges = Tokenizer.bpeTrain(tiny, numMerges = 5)
+    assert(merges === Seq((0, "a", "b", 1L)))
+  }
+}
