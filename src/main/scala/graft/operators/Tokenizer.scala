@@ -92,6 +92,42 @@ object Tokenizer {
     merges.result()
   }
 
+  /** Applies a trained merge table in rank order (each merge one fold
+    * pass — the published apply algorithm). */
+  def encodeWords(words: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame =
+    merges.sortBy(_._1).foldLeft(words) { case (df, (_, l, r, _)) =>
+      df.withColumn("toks", applyMerge("toks", l, r))
+    }
+
+  /** BPE ENCODE over the corpus with the table trained on it — the
+    * apply half of the tokenizer loop. Scale shape: the merge chain
+    * runs on the DISTINCT-word table only; the corpus-sized side is a
+    * plain (doc_id, word) equi-join + one doc_id aggregate. Per-doc
+    * outputs: word/char/BPE-token counts and the chars-per-token
+    * compression in exact integer ppm. */
+  def bpeEncodeStats(docs: DataFrame, numMerges: Int): DataFrame = {
+    val merges = bpeTrain(docs, numMerges)
+    val docWords = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = encodeWords(
+      docWords.groupBy("word").agg(count(lit(1)).as("wcnt"))
+        .withColumn("toks", charSplit(col("word"))), merges)
+      .select(col("word"), size(col("toks")).as("ntoks"),
+        length(col("word")).as("nchars"))
+    docWords.join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nchars")).as("n_chars"),
+        sum(col("ntoks")).as("n_tokens"))
+      .withColumn("chars_per_token_ppm",
+        expr("n_chars * 1000000L div n_tokens"))
+  }
+
+  val q158BpeEncode: QueryDef = QueryDef.noOracle("q158_bpe_encode") { (s, d) =>
+    bpeEncodeStats(Tables.documents(s, d), numMerges = 8)
+  }
+
   /** Merge-table training over the documents corpus. The iterative
     * argmax chain is not ANSI-SQL-expressible -> rows-only; the
     * ground-truth contract (the BPE paper's low/lower/newest/widest
@@ -102,5 +138,5 @@ object Tokenizer {
       .toDF("rank", "left", "right", "freq")
   }
 
-  val all: Seq[QueryDef] = Seq(q157BpeTrain)
+  val all: Seq[QueryDef] = Seq(q157BpeTrain, q158BpeEncode)
 }

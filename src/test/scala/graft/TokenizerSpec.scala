@@ -49,6 +49,39 @@ class TokenizerSpec extends SparkTestBase {
     assert(p1 === p7)
   }
 
+  test("encode: held-out 'lowest' tokenizes to [low, est] — the canonical result") {
+    val merges = Tokenizer.bpeTrain(paperCorpus, numMerges = 6)
+    val words = Seq("lowest", "newer", "wide").toDF("word")
+      .withColumn("toks", Tokenizer.charSplit($"word"))
+    val got = Tokenizer.encodeWords(words, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("lowest") === List("low", "est"))
+    // newer: (e,s)/(es,t) no-op; (l,o) no-op; (e,w) -> n ew e r
+    assert(got("newer") === List("n", "ew", "e", "r"))
+    assert(got("wide") === List("w", "i", "d", "e"))
+  }
+
+  test("encode stats: counts and compression are exact integers") {
+    val stats = Tokenizer.bpeEncodeStats(paperCorpus, numMerges = 6)
+      .orderBy("doc_id").collect()
+    assert(stats.length === 16) // every doc has its one word
+    val byWord = paperCorpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    stats.foreach { r =>
+      val (id, nWords, nChars, nToks) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nWords === 1L)
+      assert(nChars === byWord(id).length.toLong)
+      // trained tokens: low->1, lower->3 (low,e,r), newest->2 (n,ewest —
+      // merge 6 fuses ew+est), widest->4 (w,i,d,est)
+      val expectToks = byWord(id) match {
+        case "low" => 1L; case "lower" => 3L; case "newest" => 2L
+        case "widest" => 4L
+      }
+      assert(nToks === expectToks, s"doc $id word ${byWord(id)}")
+      assert(r.getLong(4) === nChars * 1000000L / nToks)
+    }
+  }
+
   test("merge exhaustion stops early instead of looping") {
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
     // "ab" supports exactly one merge; asking for 5 must return 1.
