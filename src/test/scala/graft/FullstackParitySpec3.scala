@@ -60,6 +60,45 @@ class FullstackParitySpec3 extends SparkTestBase {
       null))
   }
 
+  test("hex_int.test: int/double/decimal/bigint hex with MySQL round-first") {
+    // expr/hex_int.test t rows verbatim: (a int, b double, c decimal(5,2),
+    // d bigint). MySQL hexes non-integers by rounding to BIGINT first
+    // (half away from zero), negatives as 64-bit two's complement.
+    val t = Seq(
+      (12345, Some(123.45), BigDecimal("123.45"), Long.MaxValue),
+      (12345, None, BigDecimal("-123.45"), Long.MaxValue))
+      .toDF("a", "b", "c", "d")
+    def hexNum(c: org.apache.spark.sql.Column) =
+      hex(round(c.cast("double")).cast("long"))
+    val got = t.select(hex($"a"), hexNum($"b"), hexNum($"c"), hex($"d"))
+      .collect().map(r => (0 to 3).map(i =>
+        if (r.isNullAt(i)) null else r.getString(i)).toList).toList
+    assert(got === List(
+      List("3039", "7B", "7B", "7FFFFFFFFFFFFFFF"),
+      List("3039", null, "FFFFFFFFFFFFFF85", "7FFFFFFFFFFFFFFF")))
+  }
+
+  test("hex_str.test: UTF-8 byte hex incl. CJK, emoji and ZWJ sequences") {
+    // expr/hex_str.test t rows + expected outputs verbatim
+    val rows = Seq(Some("www.pingcap.com"), Some("abcd"),
+      Some("测试测试测试测试abcd测试"), None, Some("さらに入"),
+      Some("测试测试测试测试abcd测试"), Some(""), Some("🍻"),
+      Some("🏴‍☠️"), Some("\t"), Some("\n"))
+    val got = strs(rows.toDF("a").select(hex($"a")))
+    assert(got === Seq(
+      "7777772E70696E676361702E636F6D",
+      "61626364",
+      "E6B58BE8AF95E6B58BE8AF95E6B58BE8AF95E6B58BE8AF9561626364E6B58BE8AF95",
+      null,
+      "E38195E38289E381ABE585A5",
+      "E6B58BE8AF95E6B58BE8AF95E6B58BE8AF95E6B58BE8AF9561626364E6B58BE8AF95",
+      "",
+      "F09F8DBB",
+      "F09F8FB4E2808DE298A0EFB88F",
+      "09",
+      "0A"))
+  }
+
   test("space.test: negatives clamp to '', 16 MiB packet cap -> NULL") {
     // expr/space.test t rows verbatim; length(space(a)) expected column
     val t = Seq(Some(-1), Some(0), None, Some(10), Some(16777216),
