@@ -437,16 +437,19 @@ object Relational {
     * Sketch bytes are algorithm-specific → rows-only; the merge-equals-
     * direct and error contracts live in `ContractsSpec`. */
   val q156HllSketch: QueryDef = QueryDef.noOracle("q156_hll_sketch") { (s, d) =>
-    val perGroup = li(s, d).groupBy(col("l_returnflag"))
+    import org.apache.spark.sql.expressions.Window
+    li(s, d).groupBy(col("l_returnflag"))
       .agg(hll_sketch_agg(col("l_partkey"), 14).as("sk"),
         countDistinct(col("l_partkey")).as("exact_nd"))
-    // roll-up WITHOUT touching lineitem again: union the stored sketches
-    val global = perGroup.agg(
-      hll_sketch_estimate(hll_union_agg(col("sk"))).as("global_est"))
-    perGroup
+      // roll-up WITHOUT rescanning lineitem: union the stored per-group
+      // sketches via a window over the (≤ #groups) aggregated rows —
+      // ONE fact scan total (plan-asserted in PlanShapeSpec).
+      .withColumn("global_est",
+        hll_sketch_estimate(
+          hll_union_agg(col("sk")).over(Window.partitionBy())))
       .select(col("l_returnflag"),
-        hll_sketch_estimate(col("sk")).as("group_est"), col("exact_nd"))
-      .crossJoin(broadcast(global))
+        hll_sketch_estimate(col("sk")).as("group_est"),
+        col("exact_nd"), col("global_est"))
   }
 
   /** Mergeable-sketch percentiles ≙ the reference's quantile sketch

@@ -152,6 +152,15 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q156 HLL rollup scans lineitem exactly once (sketch union, no rescan)") {
+    // the global estimate comes from unioning the per-group sketches
+    // over the ≤ #groups aggregated rows — a second fact scan in the
+    // plan would mean the rollup recomputed from raw data
+    val plan = planString("q156_hll_sketch")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected a single lineitem scan, got $scans:\n$plan")
+  }
+
   test("q139 n-gram decontamination broadcasts the bench grams (no corpus-gram shuffle join)") {
     val df = SparkEntry.queries("q139_ngram_decontaminate")(spark, sf)
     df.collect()
