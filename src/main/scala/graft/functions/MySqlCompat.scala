@@ -64,6 +64,65 @@ object MySqlCompat {
       .otherwise(v.cast(DecimalType(21, 0)))
   }
 
+  /** MySQL-lax string→double cast: parse the longest leading numeric
+    * prefix (optional sign, digits, fraction, exponent — '11xx' → 11,
+    * '+123.123-' → 123.123, '1.11.00' → 1.11), 0 when NO numeric
+    * prefix exists ('x1' → 0, NOT NULL — unlike the integer cast),
+    * and out-of-range exponents clamp to ±DBL_MAX instead of ±Inf
+    * ('1e649' → 1.7976931348623157e308)
+    * (`tests/fullstack-test/expr/cast_string_as_real.test`). A bare
+    * leading sign keeps its (signed) zero: '-0x01' → -0.0. */
+  def mysql_cast_real(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    val num = regexp_extract(s, "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?", 0)
+    val parsed = when(num === "",
+        when(s.startsWith("-"), lit(-0.0)).otherwise(lit(0.0)))
+      .otherwise(num.cast("double"))
+    when(c.isNull, lit(null).cast("double"))
+      .when(parsed === Double.PositiveInfinity, lit(Double.MaxValue))
+      .when(parsed === Double.NegativeInfinity, lit(Double.MinValue))
+      .otherwise(parsed)
+  }
+
+  /** MySQL cast→DECIMAL(p,s) overflow semantics: round half-away to s
+    * fractional digits, then SATURATE at the largest/smallest value the
+    * type holds (99.9999 → decimal(5,3) = 99.999, 127 → decimal(3,1) =
+    * 99.9) — Spark's cast nulls (or raises under ANSI) instead
+    * (`tests/fullstack-test/expr/cast_decimal_overflow.test`). p ≤ 38
+    * (the engine's documented decimal cap). */
+  def mysql_cast_decimal(c: Column, p: Int, s: Int): Column = {
+    require(p <= 38 && s <= p, s"decimal($p,$s) out of range")
+    import org.apache.spark.sql.types.DecimalType
+    val digits = "9" * (p - s) + (if (s > 0) "." + "9" * s else "")
+    val limit = lit(digits).cast(DecimalType(p, s))
+    // negative bound as its own literal: unary minus on a 38-digit
+    // decimal trips Spark's precision re-inference at the boundary
+    val negLimit = lit("-" + digits).cast(DecimalType(p, s))
+    val v = round(c.cast(DecimalType(38, math.min(s + 2, 37))), s)
+    when(v > limit, limit).when(v < negLimit, negLimit)
+      .otherwise(v).cast(DecimalType(p, s))
+  }
+
+  /** MySQL datetime/date→numeric form: yyyymmddhhmmss(.ffffff) /
+    * yyyymmdd as a DECIMAL(20,6), the value CAST(time AS SIGNED) and
+    * CAST(time AS DECIMAL) truncate/round from
+    * (`tests/fullstack-test/expr/cast_time_as_int.test`,
+    * `cast_decimal_overflow.test` datetime rows). */
+  def mysql_time_number(ts: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val whole = date_format(ts, "yyyyMMddHHmmss").cast(DecimalType(20, 6))
+    // date_part SECOND carries the fraction (8,6); second() is the int part
+    val frac = (date_part(lit("SECOND"), ts) - second(ts)).cast(DecimalType(20, 6))
+    whole + frac
+  }
+
+  /** MySQL DATE→numeric form: yyyymmdd (no time-of-day digits —
+    * CAST(DATE '2021-04-13' AS SIGNED) = 20210413). */
+  def mysql_date_number(d: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    date_format(d, "yyyyMMdd").cast(DecimalType(8, 0))
+  }
+
   /** MySQL least/greatest: NULL if ANY argument is NULL — Spark's
     * built-ins skip nulls instead
     * (`tests/fullstack-test/expr/least_greatest.test`). */
@@ -119,6 +178,35 @@ object MySqlCompat {
         .otherwise(call_function("array_join", slice(parts, lit(1), n), delim)))
       .otherwise(when(sz <= -n, str)
         .otherwise(call_function("array_join", slice(parts, n, -n), delim)))
+  }
+
+  /** MySQL SUBSTRING with column args: pos = 0 or |pos| > length → ''
+    * (Spark clamps an over-negative pos to the string start instead:
+    * substring('abc', -4, 3) = 'abc' vs MySQL's ''), len <= 0 → ''
+    * (`tests/fullstack-test/expr/substring_utf8.test`). Positions count
+    * characters, not bytes — the built-in already does for UTF-8. */
+  def mysql_substring(str: Column, pos: Column, len: Column): Column = {
+    val p = pos.cast("int")
+    val l = len.cast("int")
+    when(str.isNull || p.isNull || l.isNull, lit(null).cast("string"))
+      .when(p === 0 || l <= 0 || abs(p) > length(str), lit(""))
+      .otherwise(call_function("substring", str, p, l))
+  }
+
+  def mysql_substring(str: Column, pos: Column): Column =
+    mysql_substring(str, pos, lit(Int.MaxValue))
+
+  /** MySQL UNHEX: any non-hex character → NULL, odd length left-pads a
+    * '0' (HEX(UNHEX('A')) = '0A'), numeric args go through their string
+    * form, and the decoded bytes read back as a UTF-8 string
+    * (`tests/fullstack-test/expr/unhex.test` — multibyte and emoji
+    * payloads round-trip). Spark's unhex is lax about stray characters,
+    * so validity is checked explicitly. */
+  def mysql_unhex(c: Column): Column = {
+    val s = c.cast("string")
+    val padded = when(length(s) % 2 === 1, concat(lit("0"), s)).otherwise(s)
+    when(s.rlike("^[0-9a-fA-F]+$"), decode(unhex(padded), "UTF-8"))
+      .otherwise(lit(null).cast("string"))
   }
 
   /** MySQL day-number calendar (calc_daynr): day 366 = 0001-01-01 in
@@ -319,6 +407,16 @@ object MySqlCompat {
   /** Lax STR_TO_DATE returning a date. */
   def mysql_str_to_date_lax(c: Column, fmt: String): Column =
     mysql_str_to_datetime_lax(c, fmt).cast("date")
+
+  /** MySQL implicit string→date coercion under NO_ZERO_IN_DATE strict
+    * mode: single-digit month/day parse ('2000-2-10'), an optional time
+    * part is dropped, and anything else — '', '200', zero month or day
+    * ('2000-2-0') — is NULL (`tests/fullstack-test/expr/last_day.test`,
+    * `week_of_year.test`). try_to_timestamp rejects day 0 natively. */
+  def mysql_lax_date(c: Column): Column = {
+    val datePart = regexp_extract(trim(c), "^(\\d{1,4}-\\d{1,2}-\\d{1,2})", 1)
+    try_to_timestamp(datePart, lit("y-M-d")).cast("date")
+  }
 
   /** GET_FORMAT literal table — the reference's FULL type×locale matrix
     * (`Functions/FunctionsConversion.h:1869-1911`, sig map
