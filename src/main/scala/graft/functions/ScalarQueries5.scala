@@ -85,5 +85,39 @@ object ScalarQueries5 {
           .cast("long").as("ct_len_ecb"))
   }
 
-  val all: Seq[QueryDef] = Seq(q153BitStringTail, q154AesRoundtrip)
+  /** MySQL lax / saturating cast family ≙ the reference's
+    * castStringAsReal / castAsDecimal overflow / castTimeAsInt rows
+    * (`DAGUtils.cpp` cast signatures; semantics mirrored verbatim from
+    * `tests/fullstack-test/expr/cast_string_as_real.test`,
+    * `cast_decimal_overflow.test`, `cast_time_as_int.test` in
+    * `FullstackParitySpec4`): longest-numeric-prefix string→double
+    * (no prefix → 0, not NULL), round-then-SATURATE decimal casts,
+    * and the yyyymmdd(hhmmss) numeric forms of date/datetime. The
+    * oracle re-derives each with DuckDB regexp/least — every
+    * expression is per-row codegen, no shuffle. */
+  val q159LaxCasts: QueryDef = QueryDef(
+    "q159_lax_casts",
+    """SELECT o_orderkey,
+      |  COALESCE(TRY_CAST(regexp_extract(o_orderpriority || CAST(o_orderkey AS VARCHAR),
+      |    '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?', 0) AS DOUBLE), 0.0) AS lax_prio,
+      |  CAST(o_orderkey AS DOUBLE) AS lax_key,
+      |  CAST(0.0 AS DOUBLE) AS lax_status,
+      |  CAST(LEAST(CAST(o_orderkey AS DECIMAL(9,1)), 9999.9) AS DOUBLE) AS sat_key,
+      |  CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS dnum,
+      |  CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) * 1000000 AS tnum
+      |FROM orders""".stripMargin) { (s, d) =>
+    import graft.functions.MySqlCompat._
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      mysql_cast_real(concat(col("o_orderpriority"),
+        col("o_orderkey").cast("string"))).as("lax_prio"),
+      mysql_cast_real(concat(col("o_orderkey").cast("string"), lit("x7")))
+        .as("lax_key"),
+      mysql_cast_real(col("o_orderstatus")).as("lax_status"),
+      mysql_cast_decimal(col("o_orderkey"), 5, 1).cast("double").as("sat_key"),
+      mysql_date_number(col("o_orderdate")).cast("long").as("dnum"),
+      round(mysql_time_number(col("o_orderdate"))).cast("long").as("tnum"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q153BitStringTail, q154AesRoundtrip, q159LaxCasts)
 }
