@@ -116,6 +116,68 @@ object MySqlCompat {
     whole + frac
   }
 
+  /** [[mysql_lax_date]] plus the compact yyyyMMdd literal form and
+    * year-0 dates ('20220221', '0000-12-01' — proleptic year zero is a
+    * VALID MySQL date, `tests/fullstack-test/expr/datename_monthname
+    * .test`). */
+  def mysql_lax_date_compact(c: Column): Column = {
+    val s = trim(c)
+    coalesce(
+      try_to_timestamp(nullif(regexp_extract(s, "^(\\d{8})$", 1), lit("")),
+        lit("yyyyMMdd")).cast("date"),
+      mysql_lax_date(s))
+  }
+
+  /** MySQL DAYNAME: weekday name of a laxly-coerced date; any zero
+    * component (month or day) → NULL, year 0000 is valid. */
+  def mysql_dayname(c: Column): Column =
+    date_format(mysql_lax_date_compact(c), "EEEE")
+
+  /** MySQL MONTHNAME only needs a valid MONTH: a zero DAY still names
+    * the month ('0000-01-00' → January) while a zero month is NULL —
+    * so it parses the month field directly instead of coercing the
+    * whole value to a date. */
+  def mysql_monthname(c: Column): Column = {
+    val s = trim(c)
+    val m = coalesce(
+      nullif(regexp_extract(s, "^\\d{1,4}-(\\d{1,2})-\\d{1,2}$", 1), lit("")),
+      nullif(regexp_extract(s, "^\\d{4}(\\d{2})\\d{2}$", 1), lit(""))).cast("int")
+    when(m >= 1 && m <= 12, date_format(make_date(lit(2000), m, lit(1)), "MMMM"))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** MySQL ADDDATE(str, real): the real day count rounds HALF AWAY
+    * FROM ZERO first (1.2 → +1 day, 1.6 → +2, -1.6 → -2)
+    * (`tests/fullstack-test/expr/adddate_string_real.test`). */
+  def mysql_adddate_real(s: Column, days: Column): Column =
+    date_add(mysql_lax_date_compact(s), round(days).cast("int"))
+
+  /** MySQL SQRT of a negative → NULL (Spark's sqrt yields NaN, which
+    * then poisons sums — `tests/fullstack-test/expr/sqrt.test`). */
+  def mysql_sqrt(c: Column): Column =
+    when(c < 0, lit(null).cast("double")).otherwise(sqrt(c))
+
+  /** MySQL TRIM(remstr FROM str): strips the exact STRING remstr
+    * repeatedly from the chosen ends — Spark's trim treats the trim
+    * argument as a character SET instead (trim('x ' ...) would also eat
+    * lone spaces) (`tests/fullstack-test/expr/trim.test` — ' x' as a
+    * two-char unit). Regex-quoted, so remstr may contain
+    * metacharacters. */
+  def mysql_trim(remstr: Column, str: Column, mode: String = "BOTH"): Column = {
+    val quoted = concat(lit("\\Q"), remstr, lit("\\E"))
+    val lead = concat(lit("^(?:"), quoted, lit(")+"))
+    val trail = concat(lit("(?:"), quoted, lit(")+$"))
+    val afterLead =
+      if (mode == "TRAILING") str
+      else regexp_replace(str, lead, lit(""))
+    val result =
+      if (mode == "LEADING") afterLead
+      else regexp_replace(afterLead, trail, lit(""))
+    when(str.isNull || remstr.isNull, lit(null).cast("string"))
+      .when(length(remstr) === 0, str)
+      .otherwise(result)
+  }
+
   /** MySQL DATE→numeric form: yyyymmdd (no time-of-day digits —
     * CAST(DATE '2021-04-13' AS SIGNED) = 20210413). */
   def mysql_date_number(d: Column): Column = {
