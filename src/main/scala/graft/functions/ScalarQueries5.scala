@@ -119,5 +119,36 @@ object ScalarQueries5 {
       round(mysql_time_number(col("o_orderdate"))).cast("long").as("tnum"))
   }
 
-  val all: Seq[QueryDef] = Seq(q153BitStringTail, q154AesRoundtrip, q159LaxCasts)
+  /** MySQL date-name / string-trim / guarded-sqrt tail ≙ DayName /
+    * MonthName / AddDate(real) / Trim(remstr) / Sqrt signatures
+    * (`DAGUtils.cpp`; semantics mirrored verbatim in
+    * `FullstackParitySpec5` from `datename_monthname.test`,
+    * `adddate_string_real.test`, `trim.test`, `sqrt.test`): ADDDATE's
+    * real day count rounds half away from zero, TRIM strips an exact
+    * repeated string (not a char set), SQRT(neg) is NULL (not NaN).
+    * The oracle re-derives each: dayname/monthname natively, the trim
+    * via an anchored regexp, the sqrt via CASE. All per-row codegen. */
+  val q160DateStringTail: QueryDef = QueryDef(
+    "q160_date_string_tail",
+    """SELECT o_orderkey,
+      |  dayname(CAST(o_orderdate AS DATE)) AS dname,
+      |  monthname(CAST(o_orderdate AS DATE)) AS mname,
+      |  CAST(CAST(o_orderdate AS DATE) + to_days(CAST(round((o_orderkey % 13) / 7.0) AS INT)) AS DATE) AS adddate_real,
+      |  regexp_replace(o_orderpriority, '(ENT)+$', '') AS trim_ent,
+      |  CASE WHEN 5.0 - (o_orderkey % 10) < 0 THEN NULL
+      |       ELSE sqrt(5.0 - (o_orderkey % 10)) END AS guarded_sqrt
+      |FROM orders""".stripMargin) { (s, d) =>
+    import graft.functions.MySqlCompat._
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "EEEE").as("dname"),
+      date_format(col("o_orderdate"), "MMMM").as("mname"),
+      mysql_adddate_real(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        (col("o_orderkey") % 13) / lit(7.0)).as("adddate_real"),
+      mysql_trim(lit("ENT"), col("o_orderpriority"), "TRAILING").as("trim_ent"),
+      mysql_sqrt(lit(5.0) - (col("o_orderkey") % 10)).as("guarded_sqrt"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q153BitStringTail, q154AesRoundtrip, q159LaxCasts, q160DateStringTail)
 }
