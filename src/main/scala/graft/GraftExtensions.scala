@@ -38,5 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => JsonDepth(es.head)))
     e.injectFunction((FunctionIdentifier("sip_hash64"), info("sip_hash64"),
       (es: Seq[Expression]) => SipHash64Expr(es.head)))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
   }
 }

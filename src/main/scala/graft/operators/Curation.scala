@@ -263,7 +263,99 @@ object Curation {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
 
+  /** URL canonicalization — the web-corpus dedup key every
+    * CommonCrawl-style pipeline derives before exact dedup: lowercase
+    * scheme+host, strip `www.` and the default `:443` port, drop the
+    * fragment, remove `utm_*` tracking params, strip the trailing
+    * slash. The messy URL is synthesized deterministically per doc so
+    * both engines canonicalize the identical input. Per-row regexp
+    * codegen plus one window count per host — the canonical 100 TB
+    * shape (host is the natural shuffle key and is low-cardinality
+    * here; real crawls salt pathological hosts). */
+  val q161UrlCanonicalize: QueryDef = QueryDef(
+    "q161_url_canonicalize",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.Host' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    '.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR) ||
+      |    '/?id=' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '&utm_source=feed&utm_medium=x#frag' AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(regexp_extract(url, '^([^/]*//[^/]+)', 1)) ||
+      |        regexp_replace(regexp_replace(url, '#.*$', ''), '^[^/]*//[^/]+', ''),
+      |      '^(https?://)www\.', '\1'),
+      |      ':443(/|$)', '\1'),
+      |      'utm_[^&#]*&?', '', 'g'),
+      |      '[?&]$', ''),
+      |      '/$', '') AS canon_url
+      |  FROM raw)
+      |SELECT doc_id, canon_url,
+      |  regexp_extract(canon_url, '^https?://([^/:?]+)', 1) AS host,
+      |  count(*) OVER (PARTITION BY regexp_extract(canon_url, '^https?://([^/:?]+)', 1)) AS host_docs
+      |FROM canon""".stripMargin) { (s, d) =>
+    val url = concat(
+      lit("HTTPS://WWW.Host"), (col("doc_id") % 5).cast("string"),
+      lit(".Example.COM:443/Path/"), col("doc_id").cast("string"),
+      lit("/?id="), (col("doc_id") % 7).cast("string"),
+      lit("&utm_source=feed&utm_medium=x#frag"))
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([^/]*//[^/]+)", 1)),
+      regexp_replace(noFrag, "^[^/]*//[^/]+", ""))
+    val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(lowered, "^(https?://)www\\.", "$1"),
+      ":443(/|$)", "$1"),
+      "utm_[^&#]*&?", ""),
+      "[?&]$", ""),
+      "/$", "")
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("doc_id"), canon.as("canon_url"))
+      .withColumn("host", regexp_extract(col("canon_url"), "^https?://([^/:?]+)", 1))
+      .withColumn("host_docs",
+        count(lit(1)).over(Window.partitionBy(col("host"))))
+  }
+
+  /** Unicode NFC normalization + control-character scrub — the
+    * canonical-spelling pass that precedes exact dedup (decomposed
+    * 'e'+U+0301 and composed 'é' must hash identically). NFC is the
+    * custom codegen Expression [[graft.functions.NfcNormalize]]
+    * (Spark has no built-in); the oracle uses DuckDB's native
+    * nfc_normalize — two independent implementations of the Unicode
+    * algorithm agreeing is the verification. Per-row, zero shuffle. */
+  val q162UnicodeNormalize: QueryDef = QueryDef(
+    "q162_unicode_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(
+      |    nfc_normalize('Cafe' || chr(769) || '  na' || chr(776) || 'ive' ||
+      |      chr(7) || ' ' || substr(text, 1, 40)),
+      |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')) AS norm,
+      |  CAST(length('Cafe' || chr(769) || '  na' || chr(776) || 'ive' ||
+      |    chr(7) || ' ' || substr(text, 1, 40)) AS BIGINT) AS len_raw,
+      |  CAST(length(trim(regexp_replace(regexp_replace(
+      |    nfc_normalize('Cafe' || chr(769) || '  na' || chr(776) || 'ive' ||
+      |      chr(7) || ' ' || substr(text, 1, 40)),
+      |    '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS len_norm
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.functions.TextNormalize.nfc_normalize
+    // Spark's chr() is ASCII-mod-256 (chr(769) would be chr(1)!), so the
+    // combining marks are embedded as literals; the oracle's DuckDB
+    // chr() IS codepoint-based and builds the identical string.
+    val raw = concat(lit("Cafe\u0301  na\u0308ive\u0007 "),
+      expr("substr(text, 1, 40)"))
+    val norm = trim(regexp_replace(regexp_replace(
+      nfc_normalize(raw), "[\\x00-\\x1f\\x7f]", ""), " +", " "))
+    Tables.documents(s, d).select(
+      col("doc_id"), norm.as("norm"),
+      length(raw).cast("long").as("len_raw"),
+      length(norm).cast("long").as("len_norm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
-      q139NgramDecontaminate, q140WeightedSample, q146Chunking)
+      q139NgramDecontaminate, q140WeightedSample, q146Chunking,
+      q161UrlCanonicalize, q162UnicodeNormalize)
 }

@@ -42,4 +42,21 @@ class EngineSpec extends SparkTestBase {
       "post-filter summary must equal the query's own count")
     assert(m("filtered").getAs[Double]("qty_out") > 25.0 * out)
   }
+
+  test("nfc_normalize composes decomposed accents (codegen + SQL registration)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextNormalize.nfc_normalize
+    // decomposed e + U+0301 (2 codepoints) -> composed é (1 codepoint);
+    // already-composed and ASCII inputs are fixed points; NULL propagates
+    val t = Seq(Some("Café"), Some("Café"), Some("plain"), None)
+      .toDF("s")
+    val got = t.select(nfc_normalize($"s"), length(nfc_normalize($"s"))).collect()
+    assert(got.map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq ===
+      Seq("Café", "Café", "plain", null))
+    assert(got.filter(!_.isNullAt(1)).map(_.getInt(1)).toSeq === Seq(4, 4, 5))
+    // SQL-registered via GraftExtensions
+    assert(spark.sql("SELECT nfc_normalize('Café')").head().getString(0)
+      === "Café")
+  }
 }
