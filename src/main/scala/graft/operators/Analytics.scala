@@ -404,8 +404,39 @@ object Analytics {
         expr("cents * 1000000 div tot").as("share_ppm"))
   }
 
+  /** Linear-regression aggregate family (regr_slope / intercept / r2 /
+    * count / avgx / avgy) — the OLS-fit surface both engines implement
+    * natively; completes the bivariate-statistics coverage started by
+    * q28's corr/covar. y is scaled to ~1e1 (price/1000) so the
+    * double-summation-order divergence between engines (~1e-11
+    * relative) stays far below the round(6) grid; the raw
+    * sxx/syy/sxy sums are deliberately omitted — at 1e13 magnitude no
+    * fixed rounding makes two float summation orders hash-equal.
+    * One partial+final aggregate, three groups: the canonical map-side
+    * combine shape. */
+  val q165RegrAggs: QueryDef = QueryDef(
+    "q165_regr_aggs",
+    """SELECT l_returnflag,
+      |  regr_count(l_extendedprice / 1000.0, l_quantity) AS n,
+      |  round(regr_slope(l_extendedprice / 1000.0, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice / 1000.0, l_quantity), 6) AS icept,
+      |  round(regr_r2(l_extendedprice / 1000.0, l_quantity), 6) AS r2,
+      |  round(regr_avgx(l_extendedprice / 1000.0, l_quantity), 6) AS ax,
+      |  round(regr_avgy(l_extendedprice / 1000.0, l_quantity), 6) AS ay
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val y = col("l_extendedprice") / 1000.0
+    val x = col("l_quantity")
+    Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      regr_count(y, x).as("n"),
+      round(regr_slope(y, x), 6).as("slope"),
+      round(regr_intercept(y, x), 6).as("icept"),
+      round(regr_r2(y, x), 6).as("r2"),
+      round(regr_avgx(y, x), 6).as("ax"),
+      round(regr_avgy(y, x), 6).as("ay"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
-    q151RatioToReport)
+    q151RatioToReport, q165RegrAggs)
 }

@@ -354,8 +354,155 @@ object Curation {
       length(norm).cast("long").as("len_norm"))
   }
 
+  /** HTML tag stripping + entity decode — the extraction pass a web
+    * corpus runs before any quality signal (C4/CommonCrawl WET-style).
+    * Markup is synthesized deterministically around each doc so both
+    * engines strip the identical input. Decode order matters and is
+    * the same in both: tags first, then `&lt;`/`&gt;`/`&quot;`/`&#39;`,
+    * then `&amp;` LAST (else `&amp;lt;` would double-decode). Per-row
+    * regexp codegen, zero shuffle — scales linearly. */
+  val q163HtmlStrip: QueryDef = QueryDef(
+    "q163_html_strip",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</h1><p class="lead">' || substr(text, 1, 80) ||
+      |    ' &amp; more &lt;b&gt;bold&lt;/b&gt; &quot;q&quot; it&#39;s' ||
+      |    '</p><br/><div style="z:1">tail</div></body></html>' AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(
+      |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&amp;', '&'),
+      |    '\s+', ' ', 'g')) AS clean,
+      |  CAST(length(trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(
+      |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&amp;', '&'),
+      |    '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+      |FROM raw""".stripMargin) { (s, d) =>
+    val html = concat(
+      lit("<html><body><h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1><p class=\"lead\">"), expr("substr(text, 1, 80)"),
+      lit(" &amp; more &lt;b&gt;bold&lt;/b&gt; &quot;q&quot; it&#39;s"),
+      lit("</p><br/><div style=\"z:1\">tail</div></body></html>"))
+    val noTags = regexp_replace(html, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    Tables.documents(s, d).select(
+      col("doc_id"), clean.as("clean"),
+      length(clean).cast("long").as("n_chars"))
+  }
+
+  /** Per-host boilerplate-line removal — the C4-style pass that drops
+    * nav/footer lines repeated across a host's pages while keeping the
+    * unique content lines. A line is boilerplate for a host when it
+    * appears in ≥ half of the host's docs (and in more than one).
+    * Shape at 100 TB: explode lines → groupBy (host, line) (the pair
+    * key spreads a hot host across tasks), the surviving per-host
+    * boilerplate lists are tiny and broadcast back to the page scan —
+    * the corpus itself shuffles once, on the pair key. Each
+    * synthesized page carries a host-wide NAV + copyright line, so
+    * every host has a non-empty boilerplate set by construction. */
+  val q164Boilerplate: QueryDef = QueryDef(
+    "q164_boilerplate",
+    """WITH pages AS (
+      |  SELECT doc_id, 'host' || CAST(doc_id % 5 AS VARCHAR) AS host,
+      |    'NAV | Home | About | Contact' || chr(10) ||
+      |    substr(text, 1, 60) || chr(10) ||
+      |    'Copyright host' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    ' - all rights reserved' AS page
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, host, unnest(string_split(page, chr(10))) AS line
+      |  FROM pages),
+      |df AS (SELECT host, line, COUNT(DISTINCT doc_id) AS docs_with
+      |       FROM lines GROUP BY 1, 2),
+      |hn AS (SELECT host, COUNT(*) AS n_docs FROM pages GROUP BY 1),
+      |boiler AS (
+      |  SELECT df.host, list(df.line) AS bl
+      |  FROM df JOIN hn ON df.host = hn.host
+      |  WHERE df.docs_with * 2 >= hn.n_docs AND df.docs_with > 1
+      |  GROUP BY 1)
+      |SELECT p.doc_id, p.host,
+      |  CAST(len(string_split(p.page, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(string_split(p.page, chr(10)),
+      |    x -> list_contains(b.bl, x))) AS BIGINT) AS n_boiler,
+      |  array_to_string(list_filter(string_split(p.page, chr(10)),
+      |    x -> NOT list_contains(b.bl, x)), ' / ') AS clean
+      |FROM pages p JOIN boiler b ON p.host = b.host""".stripMargin) { (s, d) =>
+    val host = concat(lit("host"), (col("doc_id") % 5).cast("string"))
+    val pages = Tables.documents(s, d).select(
+      col("doc_id"), host.as("host"),
+      concat(lit("NAV | Home | About | Contact\n"),
+        expr("substr(text, 1, 60)"), lit("\n"),
+        lit("Copyright host"), (col("doc_id") % 5).cast("string"),
+        lit(" - all rights reserved")).as("page"))
+    val lines = pages.select(col("doc_id"), col("host"),
+      explode(split(col("page"), "\n")).as("line"))
+    val docFreq = lines.groupBy(col("host"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("docs_with"))
+    val hostDocs = pages.groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+    // bl is membership-only (never output), so collect_list order
+    // nondeterminism cannot surface in the result
+    val boiler = docFreq.join(hostDocs, "host")
+      .where(col("docs_with") * 2 >= col("n_docs") && col("docs_with") > 1)
+      .groupBy(col("host")).agg(collect_list(col("line")).as("bl"))
+    val ls = split(col("page"), "\n")
+    pages.join(broadcast(boiler), "host").select(
+      col("doc_id"), col("host"),
+      size(ls).cast("long").as("n_lines"),
+      size(filter(ls, x => array_contains(col("bl"), x)))
+        .cast("long").as("n_boiler"),
+      array_join(filter(ls, x => !array_contains(col("bl"), x)), " / ")
+        .as("clean"))
+  }
+
+  /** Character-level Shannon entropy — the randomness quality signal
+    * (low entropy = repeated filler, very high = binary junk) that
+    * complements q65's ratio features and q115's token repetition.
+    * entropy = ln(n) − Σ c·ln(c) / n over per-doc character counts;
+    * the integer counts come from an exact (doc_id, char) groupBy so
+    * the only float work is the final small-term sum (round 6 absorbs
+    * summation-order divergence). Shape: explode to one row per char →
+    * two hash aggregates, both map-side combining — scales linearly. */
+  val q166CharEntropy: QueryDef = QueryDef(
+    "q166_char_entropy",
+    """WITH c AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+      |  FROM documents),
+      |f AS (SELECT doc_id, ch, COUNT(*) AS c FROM c GROUP BY 1, 2),
+      |e AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |        SUM(c * ln(c)) AS slc, COUNT(*) AS n_distinct
+      |      FROM f GROUP BY 1)
+      |SELECT doc_id, n AS n_chars,
+      |  CAST(n_distinct AS BIGINT) AS distinct_chars,
+      |  round(ln(n) - slc / CAST(n AS DOUBLE), 6) AS entropy_nats
+      |FROM e""".stripMargin) { (s, d) =>
+    val freq = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    freq.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n"),
+        sum(col("c") * log(col("c"))).as("slc"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_chars"),
+        col("n_distinct").cast("long").as("distinct_chars"),
+        round(log(col("n")) - col("slc") / col("n").cast("double"), 6)
+          .as("entropy_nats"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
       q139NgramDecontaminate, q140WeightedSample, q146Chunking,
-      q161UrlCanonicalize, q162UnicodeNormalize)
+      q161UrlCanonicalize, q162UnicodeNormalize, q163HtmlStrip,
+      q164Boilerplate, q166CharEntropy)
 }

@@ -169,7 +169,31 @@ object Windows {
       round(cume_dist().over(w), 9).as("cd"))
   }
 
+  /** Running COUNT(DISTINCT) over a window — a surface Spark's window
+    * executor does not accept directly (`count(distinct x) OVER` is an
+    * analysis error); the Spark-native lowering is
+    * `size(collect_set(x))` over the same frame, which keeps the state
+    * bounded by the per-partition distinct count. The frame is the
+    * default RANGE UNBOUNDED PRECEDING..CURRENT ROW so rows tied on the
+    * order key take all their peers — deterministic even where
+    * (orderkey, linenumber) duplicates exist (they do at sf0.1).
+    * Partition key is l_orderkey: high-cardinality, skew-safe. */
+  val q167WindowedDistinct: QueryDef = QueryDef(
+    "q167_windowed_distinct",
+    """SELECT l_orderkey, l_linenumber,
+      |  COUNT(DISTINCT l_suppkey) OVER
+      |    (PARTITION BY l_orderkey ORDER BY l_linenumber) AS supp_seen,
+      |  COUNT(DISTINCT l_returnflag) OVER
+      |    (PARTITION BY l_orderkey ORDER BY l_linenumber) AS flags_seen
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      size(collect_set(col("l_suppkey")).over(w)).cast("long").as("supp_seen"),
+      size(collect_set(col("l_returnflag")).over(w)).cast("long").as("flags_seen"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40Rank, q41LeadLag, q42FirstLast, q43RowsFrame, q44RangeFrame,
-    q45Distribution)
+    q45Distribution, q167WindowedDistinct)
 }
