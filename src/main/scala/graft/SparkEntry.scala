@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Tokenizer.all ++
       operators.TemporalJoins.all ++ operators.Curation.all ++
       operators.Analytics.all ++ operators.Clustering.all ++
+      operators.SqlFrontier.all ++ operators.LangModel.all ++
       functions.BigIntSum.all ++ functions.ApproxTopK.all ++
       streaming.Ingest.all ++
       operators.Multimodal.all

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Statistical language-model scoring and corpus-statistics operators —
+  * the quality-filtering stage of a pretraining pipeline (perplexity
+  * gates à la CCNet/Gopher rules) built from the same distributed
+  * primitives the reference's aggregation surface provides
+  * (`/root/reference/dbms/src/Flash/Coprocessor/DAGExpressionAnalyzer.cpp`
+  * aggregate pushdown; the LM itself is pure groupBy/join algebra).
+  *
+  * Determinism: every per-word log-probability is quantized to integer
+  * micro-nats ON THE VOCABULARY TABLE (one `ln` per distinct word, not
+  * per token), so per-document scores are exact BIGINT sums — immune to
+  * float summation order across partitions and engines.
+  */
+object LangModel {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** doc_id → exploded non-empty whitespace tokens. */
+  private def words(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+
+  /** Unigram LM train + score in one job: vocabulary counts (one
+    * corpus-token groupBy — Heaps'-law bounded output), add-one
+    * smoothed log-probs quantized to micro-nats per WORD, then each
+    * document scores as an exact integer sum over its tokens.
+    *
+    * Scale shape: two corpus passes (vocab build, scoring join). The
+    * scoring join is on the word key — Spark broadcasts the vocab side
+    * when it fits (sf-scale) and falls back to a hash join keyed on a
+    * Heaps'-bounded table (~10⁷ rows at 100 TB, still dwarfed by the
+    * corpus) when it doesn't; either way the corpus shuffles at most
+    * once. The (total, vocab-size) pair rides a 1-row broadcast.
+    */
+  val q170UnigramLm: QueryDef = QueryDef(
+    "q170_unigram_lm",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |                        x -> x <> '')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tt, COUNT(*) AS vv FROM v),
+      |lp AS (SELECT w, CAST(round(ln((c + 1.0) / (tt + vv)) * 1000000)
+      |                      AS BIGINT) AS lp6 FROM v, t)
+      |SELECT doc_id, COUNT(*) AS n_tokens, CAST(-SUM(lp6) AS BIGINT) AS nll6
+      |FROM w JOIN lp USING (w) GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val w = words(s, d)
+    val v = w.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val t = v.agg(sum(col("c")).cast("long").as("tt"), count(lit(1)).as("vv"))
+    val lp = v.join(broadcast(t))
+      .select(col("w"),
+        round(log((col("c") + 1.0) / (col("tt") + col("vv"))) * 1000000)
+          .cast("long").as("lp6"))
+    w.join(lp, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), (-sum(col("lp6"))).cast("long").as("nll6"))
+  }
+
+  /** Encoding / mojibake QA: per-document counts of U+FFFD replacement
+    * characters, C0/DEL control characters (tab+newline exempt), and
+    * non-ASCII code points, plus a printable-ASCII ratio in exact ppm.
+    * The corpus is clean ASCII by construction, so deterministic noise
+    * is injected per doc_id class to make every counter provably
+    * nonzero — in production the column is the raw crawl bytes. Pure
+    * per-row map, no shuffle; all-integer output. */
+  val q171EncodingQa: QueryDef = QueryDef(
+    "q171_encoding_qa",
+    """WITH noisy AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 7 AS INT)
+       |      WHEN 0 THEN text || ' ' || chr(65533) || chr(65533)
+       |      WHEN 1 THEN text || chr(9) || 'caf' || chr(233) || ' r'
+       |                  || chr(233) || 'sum' || chr(233)
+       |      WHEN 2 THEN chr(1) || text || chr(127)
+       |      ELSE text END AS s
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(s) AS BIGINT) AS n_chars,
+       |  CAST(len(regexp_extract_all(s, chr(65533))) AS BIGINT) AS n_repl,
+       |  CAST(len(regexp_extract_all(s, '[\x00-\x08\x0B-\x1F\x7F]'))
+       |       AS BIGINT) AS n_ctrl,
+       |  CAST(len(regexp_extract_all(s, '[^\x00-\x7F]')) AS BIGINT)
+       |       AS n_nonascii,
+       |  CAST(len(regexp_extract_all(s, '[ -~]')) * 1000000 // length(s)
+       |       AS BIGINT) AS printable_ppm
+       |FROM noisy""".stripMargin) { (s, d) =>
+    val repl = "�"
+    val noisy = docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + repl + repl)))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit("\tcafé résumé")))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit("\u0001"), col("text"), lit("\u007f")))
+        .otherwise(col("text")).as("s"))
+    noisy.select(col("doc_id"),
+      length(col("s")).cast("long").as("n_chars"),
+      regexp_count(col("s"), lit(repl)).cast("long").as("n_repl"),
+      regexp_count(col("s"), lit("[\\x00-\\x08\\x0B-\\x1F\\x7F]"))
+        .cast("long").as("n_ctrl"),
+      regexp_count(col("s"), lit("[^\\x00-\\x7F]")).cast("long").as("n_nonascii"),
+      expr("regexp_count(s, '[ -~]') * 1000000L div length(s)")
+        .cast("long").as("printable_ppm"))
+  }
+
+  /** Zipf rank-frequency audit: ln-ln regression of count against rank
+    * over the top-200 vocabulary — the standard sanity check that a
+    * corpus's token distribution is natural (slope ≈ -1) rather than
+    * templated/spammy. Scale shape: one corpus-token groupBy, then
+    * TakeOrderedAndProject caps the vocab to 200 rows BEFORE the
+    * single-partition rank window — the window only ever sees a
+    * constant-size input, regardless of corpus size. */
+  val q172ZipfSlope: QueryDef = QueryDef(
+    "q172_zipf_slope",
+    """WITH w AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '),
+      |                x -> x <> '')) AS w FROM documents),
+      |v AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+      |top AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS r
+      |        FROM v ORDER BY c DESC, w LIMIT 200)
+      |SELECT COUNT(*) AS n_words,
+      |  round(regr_slope(ln(c), ln(r)), 6) AS slope,
+      |  round(regr_intercept(ln(c), ln(r)), 6) AS icept
+      |FROM top""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = words(s, d).groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val top = v.orderBy(col("c").desc, col("w")).limit(200)
+      // bounded input (≤200 rows): the empty-partitionBy window is safe
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))))
+    top.agg(count(lit(1)).as("n_words"),
+      round(regr_slope(log(col("c")), log(col("r"))), 6).as("slope"),
+      round(regr_intercept(log(col("c")), log(col("r"))), 6).as("icept"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope)
+}

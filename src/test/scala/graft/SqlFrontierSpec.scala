@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** SQL-frontier shapes (recursive CTE, LATERAL, VARIANT) and the
+  * unigram-LM scorer: behavioral contracts plus the plan assertions
+  * that make them 100 TB-shaped. */
+class SqlFrontierSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q168 recursive chain: depth 0 covers every customer, depths shrink monotonically") {
+    val rows = SparkEntry.queries("q168_recursive_cte")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.head == (0 -> nCust), s"depth-0 frontier must equal the customer count: ${rows.head}")
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) >= p(1)),
+      s"frontier sizes must be non-increasing with depth: ${rows.mkString(",")}")
+    // binary halving: depth bound is log2(max key) + 1
+    val maxKey = spark.read.parquet(s"$sf/customer.parquet")
+      .agg(org.apache.spark.sql.functions.max("c_custkey")).head.getLong(0)
+    assert(rows.last._1 <= (63 - java.lang.Long.numberOfLeadingZeros(maxKey)) + 1)
+  }
+
+  test("q169 lateral top-k decorrelates to WindowGroupLimit — no nested-loop re-execution") {
+    val p = planOf("q169_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected map-side group-limit top-k:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral must not plan a per-row nested loop:\n$p")
+  }
+
+  test("q170 unigram LM: per-word quantized log-probs make scores exact integers") {
+    val out = SparkEntry.queries("q170_unigram_lm")(spark, sf)
+    val rows = out.collect()
+    // every document scores, and nll is strictly positive (probs < 1)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == nDocs)
+    assert(rows.forall(_.getLong(2) > 0L))
+    // rarest-word sensitivity: nll6/token of the corpus is bounded by
+    // the worst single-word surprisal ln(V+T) in micro-nats
+    val t = rows.map(r => r.getLong(2).toDouble / r.getLong(1)).max
+    assert(t < 20e6, s"per-token nll must stay below 20 nats: $t")
+  }
+
+  test("q170 plan: vocabulary stats ride broadcasts, corpus is never collected") {
+    val p = planOf("q170_unigram_lm")
+    assert(p.contains("BroadcastExchange"), s"expected 1-row stats broadcast:\n$p")
+  }
+
+  test("q172 zipf: rank window consumes a bounded top-200, not the vocabulary") {
+    val p = planOf("q172_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab must be capped by top-k before the rank window:\n$p")
+  }
+
+  test("q173 variant round-trips typed values through parse_json/variant_get") {
+    val rows = SparkEntry.queries("q173_variant")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // constructed variant echoes the relational columns exactly
+    assert(rows.forall(r => r.getLong(5) == r.getLong(0)), "id must round-trip")
+    assert(rows.forall(r => r.isNullAt(2)), "missing path must be NULL")
+  }
+}
