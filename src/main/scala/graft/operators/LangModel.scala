@@ -139,6 +139,58 @@ object LangModel {
       round(regr_intercept(log(col("c")), log(col("r"))), 6).as("icept"))
   }
 
+  /** Bigram LM train + score: conditional P(w2|w1) with add-one
+    * smoothing over the observed bigram table — the step up from q170
+    * that penalizes improbable word ORDER, not just rare words (the
+    * form CCNet-style perplexity gates actually use). Same determinism
+    * discipline: one `ln` per distinct bigram, quantized to micro-nats,
+    * per-doc scores as exact BIGINT sums.
+    *
+    * Scale shape: bigram pairs are derived per row (zip of the token
+    * array with its own tail — no positional self-join), so the corpus
+    * explodes once; the bigram vocabulary is Heaps-bounded (≪ corpus
+    * pairs), the context-count table derives from it with one more
+    * tiny groupBy, and scoring is a single (w1,w2)-keyed join that
+    * shuffles the corpus pairs at most once. */
+  val q174BigramLm: QueryDef = QueryDef(
+    "q174_bigram_lm",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |                 x -> x <> '') AS ws FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+      |         unnest(ws[2:len(ws)]) AS w2
+      |  FROM tok WHERE len(ws) >= 2),
+      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+      |cw AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw FROM cb GROUP BY w1),
+      |vv AS (SELECT COUNT(DISTINCT w1) + 1 AS v FROM cw),
+      |lp AS (SELECT w1, w2,
+      |         CAST(round(ln((c + 1.0) / (cw + v)) * 1000000) AS BIGINT) AS lp6
+      |       FROM cb JOIN cw USING (w1), vv)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(-SUM(lp6) AS BIGINT) AS nll6
+      |FROM pairs JOIN lp USING (w1, w2) GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val tok = docs(s, d).select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = tok.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("c")).cast("long").as("cw"))
+    val vv = cw.agg((count(lit(1)) + 1).as("v"))
+    val lp = cb.join(cw, "w1").join(broadcast(vv))
+      .select(col("w1"), col("w2"),
+        round(log((col("c") + 1.0) / (col("cw") + col("v"))) * 1000000)
+          .cast("long").as("lp6"))
+    pairs.join(lp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("lp6"))).cast("long").as("nll6"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope)
+    Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm)
 }

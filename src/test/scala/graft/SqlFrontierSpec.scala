@@ -55,6 +55,18 @@ class SqlFrontierSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), s"expected 1-row stats broadcast:\n$p")
   }
 
+  test("q174 bigram LM: only multi-token docs score, conditional surprisal bounded") {
+    val rows = SparkEntry.queries("q174_bigram_lm")(spark, sf).collect()
+    val multi = spark.read.parquet(s"$sf/documents.parquet")
+      .where(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")) >= 2).count()
+    assert(rows.length == multi, "every >=2-token doc must score, others must not")
+    assert(rows.forall(_.getLong(2) > 0L))
+    // bigram models the word ORDER: per-pair nll below ln(V^2)-ish cap
+    assert(rows.forall(r => r.getLong(2).toDouble / r.getLong(1) < 20e6))
+  }
+
   test("q172 zipf: rank window consumes a bounded top-200, not the vocabulary") {
     val p = planOf("q172_zipf_slope")
     assert(p.contains("TakeOrderedAndProject"),
