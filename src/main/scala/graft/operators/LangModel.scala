@@ -191,6 +191,88 @@ object LangModel {
         (-sum(col("lp6"))).cast("long").as("nll6"))
   }
 
+  /** TextRank keyword extraction: weighted PageRank over the
+    * co-occurrence graph of the corpus's top-50 words (nodes bounded,
+    * edges = symmetrized adjacent-bigram counts), two damped
+    * iterations, top-10 keywords out. A standard unsupervised
+    * keyword/keyphrase primitive for corpus labeling.
+    *
+    * Determinism: ranks are integer micro-units and every update term
+    * is an individually floor-divided BIGINT — `(850·wt·pr) div
+    * (1000·deg)` — so iteration sums are exact integers in any
+    * partition order and engine (all values positive → Spark `div` and
+    * DuckDB `//` agree).
+    *
+    * Scale shape: the node set is CAPPED (top-50 via
+    * TakeOrderedAndProject), so the edge/degree/rank tables are all
+    * bounded and broadcastable; the corpus contributes one bigram scan
+    * whose pair stream is filtered by two broadcast semi-joins before
+    * the bounded-key edge groupBy (map-side combine collapses it). The
+    * iterations touch only bounded tables — corpus cost is independent
+    * of iteration count. */
+  val q175TextRank: QueryDef = QueryDef(
+    "q175_textrank",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |                 x -> x <> '') AS ws FROM documents),
+      |pairs AS (
+      |  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+      |  FROM tok WHERE len(ws) >= 2),
+      |v AS (SELECT w1 AS w, COUNT(*) AS c FROM pairs GROUP BY w1),
+      |top AS (SELECT w, c FROM v ORDER BY c DESC, w LIMIT 50),
+      |und AS (
+      |  SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b, COUNT(*) AS wt
+      |  FROM pairs
+      |  WHERE w1 <> w2 AND w1 IN (SELECT w FROM top)
+      |    AND w2 IN (SELECT w FROM top)
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT a AS src, b AS dst, wt FROM und
+      |  UNION ALL SELECT b AS src, a AS dst, wt FROM und),
+      |deg AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS s FROM edges GROUP BY src),
+      |pr0 AS (SELECT w, CAST(1000000 AS BIGINT) AS pr FROM top),
+      |pr1 AS (
+      |  SELECT e.dst AS w,
+      |    150000 + CAST(SUM((850 * e.wt * p.pr) // (1000 * d.s)) AS BIGINT) AS pr
+      |  FROM edges e JOIN deg d ON e.src = d.src JOIN pr0 p ON p.w = e.src
+      |  GROUP BY e.dst),
+      |pr2 AS (
+      |  SELECT e.dst AS w,
+      |    150000 + CAST(SUM((850 * e.wt * p.pr) // (1000 * d.s)) AS BIGINT) AS pr
+      |  FROM edges e JOIN deg d ON e.src = d.src JOIN pr1 p ON p.w = e.src
+      |  GROUP BY e.dst)
+      |SELECT w, pr FROM pr2 ORDER BY pr DESC, w LIMIT 10""".stripMargin) { (s, d) =>
+    val tok = docs(s, d).select(
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = tok.select(
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val topW = pairs.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(50)
+    val und = pairs.filter(col("w1") =!= col("w2"))
+      .join(broadcast(topW.select(col("w").as("w1"))), Seq("w1"), "left_semi")
+      .join(broadcast(topW.select(col("w").as("w2"))), Seq("w2"), "left_semi")
+      .groupBy(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .agg(count(lit(1)).as("wt"))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("wt"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"), col("wt")))
+    val deg = edges.groupBy(col("src")).agg(sum(col("wt")).cast("long").as("s"))
+    val pr0 = topW.select(col("w"), lit(1000000L).as("pr"))
+    def step(pr: DataFrame): DataFrame =
+      edges.join(deg, "src")
+        .join(pr.withColumnRenamed("w", "src"), "src")
+        .groupBy(col("dst").as("w"))
+        .agg((lit(150000L) +
+          sum(expr("(850 * wt * pr) div (1000 * s)"))).cast("long").as("pr"))
+    step(step(pr0)).orderBy(col("pr").desc, col("w")).limit(10)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm)
+    Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
+      q175TextRank)
 }

@@ -67,6 +67,18 @@ class SqlFrontierSpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(2).toDouble / r.getLong(1) < 20e6))
   }
 
+  test("q175 textrank: top-word set broadcast-semi-filters the pair stream") {
+    val p = planOf("q175_textrank")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast semi filter by the bounded top-word set:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"node set must be capped by top-k:\n$p")
+    // damping floor: every rank ≥ 150000, and the keyword list is full
+    val rows = SparkEntry.queries("q175_textrank")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(1) >= 150000L))
+  }
+
   test("q172 zipf: rank window consumes a bounded top-200, not the vocabulary") {
     val p = planOf("q172_zipf_slope")
     assert(p.contains("TakeOrderedAndProject"),
