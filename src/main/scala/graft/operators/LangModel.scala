@@ -272,7 +272,107 @@ object LangModel {
     step(step(pr0)).orderBy(col("pr").desc, col("w")).limit(10)
   }
 
+  /** Multinomial Naive Bayes text classifier — train on the corpus's
+    * source labels, predict every document's class (the fastText/CCNet
+    * quality-classifier analog, as pure groupBy/join algebra).
+    *
+    * Unseen-word handling WITHOUT a corpus×classes expansion: for class
+    * c, score(d,c) = prior(c) + Σ_{w∈d, w∈vocab(c)} lp(c,w)
+    *               + (|d| − |d ∩ vocab(c)|)·floor(c),
+    * so the token stream only inner-joins the (class,word) likelihood
+    * table (a token reaches the ≤C classes containing it) and the
+    * missing-word mass rides the per-class floor — the per-doc×class
+    * grid is DOC-level (C rows per doc, C bounded), never token-level.
+    *
+    * Determinism: priors, likelihoods, and floors are quantized to
+    * integer micro-nats per DISTINCT (class,word); scores are exact
+    * BIGINT sums; argmax tie-breaks on class name. */
+  val q176NaiveBayes: QueryDef = QueryDef(
+    "q176_naive_bayes",
+    """WITH w AS (
+      |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+      |                                x -> x <> '')) AS w
+      |  FROM documents),
+      |dt AS (SELECT doc_id, COUNT(*) AS n_tok FROM w GROUP BY doc_id),
+      |wc AS (SELECT source AS cls, w, COUNT(*) AS c FROM w GROUP BY cls, w),
+      |cw AS (SELECT cls, CAST(SUM(c) AS BIGINT) AS cw FROM wc GROUP BY cls),
+      |vv AS (SELECT COUNT(DISTINCT w) AS v FROM wc),
+      |prior AS (
+      |  SELECT source AS cls, CAST(round(ln(COUNT(*) * 1.0 /
+      |      (SELECT COUNT(*) FROM documents)) * 1000000) AS BIGINT) AS prior6
+      |  FROM documents GROUP BY cls),
+      |cstat AS (
+      |  SELECT p.cls, p.prior6,
+      |    CAST(round(ln(1.0 / (cw.cw + vv.v)) * 1000000) AS BIGINT) AS floor6
+      |  FROM prior p JOIN cw ON p.cls = cw.cls, vv),
+      |lp AS (
+      |  SELECT wc.cls, wc.w,
+      |    CAST(round(ln((wc.c + 1.0) / (cw.cw + vv.v)) * 1000000) AS BIGINT) AS lp6
+      |  FROM wc JOIN cw ON wc.cls = cw.cls, vv),
+      |present AS (
+      |  SELECT t.doc_id, lp.cls, CAST(SUM(lp.lp6) AS BIGINT) AS sl,
+      |         COUNT(*) AS cp
+      |  FROM w t JOIN lp ON t.w = lp.w GROUP BY t.doc_id, lp.cls),
+      |scored AS (
+      |  SELECT dt.doc_id, cs.cls,
+      |    cs.prior6 + COALESCE(p.sl, 0)
+      |      + (dt.n_tok - COALESCE(p.cp, 0)) * cs.floor6 AS score6
+      |  FROM dt CROSS JOIN cstat cs
+      |  LEFT JOIN present p ON p.doc_id = dt.doc_id AND p.cls = cs.cls),
+      |ranked AS (
+      |  SELECT doc_id, cls, score6,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score6 DESC, cls) AS rn
+      |  FROM scored)
+      |SELECT r.doc_id, r.cls AS pred, CAST(r.score6 AS BIGINT) AS score6,
+      |  CAST(CASE WHEN r.cls = d.source THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM ranked r JOIN documents d USING (doc_id) WHERE rn = 1""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val doc = docs(s, d)
+      val w = doc.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val dt = w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val wc = w.groupBy(col("source").as("cls"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val cw = wc.groupBy(col("cls")).agg(sum(col("c")).cast("long").as("cw"))
+      val vv = wc.agg(countDistinct(col("w")).as("v"))
+      val tot = doc.agg(count(lit(1)).as("t"))
+      val prior = doc.groupBy(col("source").as("cls"))
+        .agg(count(lit(1)).as("nc")).join(broadcast(tot))
+        .select(col("cls"),
+          round(log(col("nc") * 1.0 / col("t")) * 1000000)
+            .cast("long").as("prior6"))
+      val cstat = prior.join(cw, "cls").join(broadcast(vv))
+        .select(col("cls"), col("prior6"),
+          round(log(lit(1.0) / (col("cw") + col("v"))) * 1000000)
+            .cast("long").as("floor6"))
+      val lp = wc.join(cw, "cls").join(broadcast(vv))
+        .select(col("cls"), col("w"),
+          round(log((col("c") + 1.0) / (col("cw") + col("v"))) * 1000000)
+            .cast("long").as("lp6"))
+      val present = w.select(col("doc_id"), col("w")).join(lp, "w")
+        .groupBy(col("doc_id"), col("cls"))
+        .agg(sum(col("lp6")).cast("long").as("sl"), count(lit(1)).as("cp"))
+      val scored = dt.crossJoin(broadcast(cstat))
+        .join(present, Seq("doc_id", "cls"), "left")
+        .select(col("doc_id"), col("cls"),
+          (col("prior6") + coalesce(col("sl"), lit(0L)) +
+            (col("n_tok") - coalesce(col("cp"), lit(0L))) * col("floor6"))
+            .as("score6"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score6").desc, col("cls"))))
+        .filter(col("rn") === 1)
+        .join(doc.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("cls").as("pred"),
+          col("score6").cast("long").as("score6"),
+          when(col("cls") === col("source"), 1L).otherwise(0L).as("correct"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
-      q175TextRank)
+      q175TextRank, q176NaiveBayes)
 }

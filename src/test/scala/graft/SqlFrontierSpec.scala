@@ -79,6 +79,19 @@ class SqlFrontierSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(1) >= 150000L))
   }
 
+  test("q176 naive bayes: every doc classified once, accuracy beats chance") {
+    val rows = SparkEntry.queries("q176_naive_bayes")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == nDocs, "exactly one prediction per document")
+    val nCls = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    val acc = rows.map(_.getLong(3)).sum.toDouble / rows.length
+    assert(acc > 1.5 / nCls,
+      f"accuracy $acc%.3f should beat chance ${1.0 / nCls}%.3f with margin")
+    // scores are strictly negative log-space sums
+    assert(rows.forall(_.getLong(2) < 0L))
+  }
+
   test("q172 zipf: rank window consumes a bounded top-200, not the vocabulary") {
     val p = planOf("q172_zipf_slope")
     assert(p.contains("TakeOrderedAndProject"),
