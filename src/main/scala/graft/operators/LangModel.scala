@@ -372,7 +372,57 @@ object LangModel {
           when(col("cls") === col("source"), 1L).otherwise(0L).as("correct"))
   }
 
+  /** Per-document TF-IDF keywords (top-3 terms per doc) — the
+    * per-document counterpart of q175's corpus-level TextRank and the
+    * weighting behind q75b's BM25 retrieval, as its own verifiable op.
+    *
+    * All-integer scoring: idf is quantized to micro-nats per DISTINCT
+    * word, the score is the exact BIGINT product tf·idf6, and the
+    * per-doc rank window tie-breaks on the word — bit-deterministic at
+    * any partitioning. Scale shape: one (doc,word) groupBy, one
+    * word-keyed df groupBy feeding a vocab-sized join, and a
+    * doc-partitioned rank that Spark executes as WindowGroupLimit
+    * (map-side top-k before the shuffle). */
+  val q177TfIdf: QueryDef = QueryDef(
+    "q177_tfidf_keywords",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |                        x -> x <> '')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY w),
+      |nn AS (SELECT COUNT(*) AS n FROM documents),
+      |idf AS (SELECT w, CAST(round(ln((n + 1.0) / (df + 1.0)) * 1000000)
+      |                       AS BIGINT) AS idf6
+      |        FROM df, nn),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.w, CAST(tf.tf * idf.idf6 AS BIGINT) AS score6,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.tf * idf.idf6 DESC, tf.w) AS rnk
+      |  FROM tf JOIN idf USING (w))
+      |SELECT doc_id, w, score6, CAST(rnk AS BIGINT) AS rnk
+      |FROM scored WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val doc = docs(s, d)
+    val w = words(s, d)
+    val tf = w.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = w.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val nn = doc.agg(count(lit(1)).as("n"))
+    val idf = df.join(broadcast(nn))
+      .select(col("w"),
+        round(log((col("n") + 1.0) / (col("df") + 1.0)) * 1000000)
+          .cast("long").as("idf6"))
+    tf.join(idf, "w")
+      .withColumn("score6", (col("tf") * col("idf6")).cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score6").desc, col("w"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("w"), col("score6"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
-      q175TextRank, q176NaiveBayes)
+      q175TextRank, q176NaiveBayes, q177TfIdf)
 }
