@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic generated table as a full DataSource V2 connector —
+  * the Spark-native analog of the reference's mock-storage tables for
+  * executor tests (`/root/reference/dbms/src/TestUtils/mockExecutor.h:63-176`)
+  * AND of its pack-level rough-set scan pruning: each input partition
+  * covers a contiguous `id` range and publishes that range as its
+  * min/max statistic, so pushed `id` predicates SKIP whole partitions
+  * at planning time, exactly as TiFlash's MinMaxIndex skips packs
+  * (`dbms/src/Storages/DeltaMerge/Index/MinMaxIndex.h:31`).
+  *
+  * Surface: `spark.read.format("graft.sources.GenSource")
+  *   .option("rows", n).option("slices", k).load()` with schema
+  * (id BIGINT, val BIGINT, tag STRING), id = 0..n-1,
+  * val = (id*2654435761) % 1000003 (deterministic hash),
+  * tag = "t" + id % 7.
+  *
+  * Pushdown honored: `SupportsPushDownRequiredColumns` prunes the
+  * generated columns; `SupportsPushDownFilters` accepts range/equality
+  * predicates on `id` (reported in explain as PushedFilters) and uses
+  * them both to skip partitions wholesale and to narrow the generated
+  * range inside surviving partitions. All other predicates stay with
+  * Spark as post-scan filters.
+  */
+class GenSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GenTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object GenSource {
+  val schema: StructType = new StructType()
+    .add("id", LongType).add("val", LongType).add("tag", StringType)
+
+  def valOf(id: Long): Long = (id * 2654435761L) % 1000003L
+  def tagOf(id: Long): String = "t" + (id % 7)
+}
+
+private[sources] class GenTable(rows: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_gen($rows)"
+  override def schema(): StructType = GenSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(rows, slices)
+}
+
+private[sources] class GenScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var lo = 0L // inclusive id lower bound after pushdown
+  private var hi = rows // exclusive id upper bound after pushdown
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = GenSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThan("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThanOrEqual("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("id", _: java.lang.Long | _: java.lang.Integer) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("id", v: Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue() + 1)
+      case GreaterThan("id", v: Number) => lo = math.max(lo, v.longValue() + 1)
+      case GreaterThanOrEqual("id", v: Number) => lo = math.max(lo, v.longValue())
+      case LessThan("id", v: Number) => hi = math.min(hi, v.longValue())
+      case LessThanOrEqual("id", v: Number) => hi = math.min(hi, v.longValue() + 1)
+      case _ =>
+    }
+    pushed = accepted
+    rest // Spark re-applies these post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GenScan(rows, slices, lo, hi, required)
+}
+
+private[sources] case class GenPartition(start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class GenScan(rows: Long, slices: Int, lo: Long, hi: Long,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_gen rows=$rows slices=$slices prunedRange=[$lo,$hi)"
+
+  /** Rough-set skip: a partition whose [start,end) id range misses the
+    * pushed [lo,hi) bound is never planned — the MinMaxIndex analog. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + slices - 1) / slices)
+    (0 until slices).iterator
+      .map(i => GenPartition(i * per, math.min(rows, (i + 1) * per)))
+      .filter(p => p.end > lo && p.start < hi) // min/max skip
+      .map(p => GenPartition(math.max(p.start, lo), math.min(p.end, hi)))
+      .filter(p => p.end > p.start)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required)
+}
+
+private[sources] class GenReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GenPartition]
+    // column pruning: only the requested fields are generated
+    val gens: Array[Long => Any] = required.fields.map(_.name match {
+      case "id" => (id: Long) => id
+      case "val" => (id: Long) => GenSource.valOf(id)
+      case "tag" => (id: Long) => UTF8String.fromString(GenSource.tagOf(id))
+    })
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow = InternalRow.fromSeq(gens.map(_(cur)).toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The custom DSv2 connector: correctness of the generated data,
+  * column pruning, pushed-filter reporting, and — the reference's
+  * MinMaxIndex analog — whole-partition skipping for pushed id ranges
+  * (`/root/reference/dbms/src/Storages/DeltaMerge/Index/MinMaxIndex.h:31`). */
+class GenSourceSpec extends SparkTestBase {
+
+  private def gen(rows: Long = 1000, slices: Int = 8) =
+    spark.read.format("graft.sources.GenSource")
+      .option("rows", rows.toString).option("slices", slices.toString).load()
+
+  test("generates the deterministic table with full parallelism") {
+    val df = gen()
+    assert(df.count() === 1000)
+    assert(df.rdd.getNumPartitions === 8)
+    val r = df.where(col("id") === 123).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === (123L * 2654435761L) % 1000003L)
+    assert(r.head.getString(2) === "t" + (123 % 7))
+  }
+
+  test("pushed id range skips partitions wholesale (rough-set / pack skipping)") {
+    // ids 900..999 live in the last of 8 slices (125 ids per slice)
+    val df = gen().where(col("id") >= 900)
+    assert(df.count() === 100)
+    assert(df.rdd.getNumPartitions === 1,
+      "only the one overlapping partition may be planned")
+    // the planned scan reports the pruned id range (the pushed bound)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("prunedRange=[900,1000)"), s"missing pruned range:\n$plan")
+
+    val eq = gen().where(col("id") === 500)
+    assert(eq.rdd.getNumPartitions === 1)
+    assert(eq.count() === 1)
+
+    val none = gen().where(col("id") > 5000)
+    assert(none.rdd.getNumPartitions === 0, "disjoint range plans zero partitions")
+    assert(none.count() === 0)
+  }
+
+  test("residual predicates stay post-scan and results are exact") {
+    // tag predicate is NOT pushable — correctness must be unchanged
+    val df = gen().where(col("id") < 700 && col("tag") === "t3")
+    val expect = (0L until 700L).count(id => id % 7 == 3)
+    assert(df.count() === expect)
+    // bounds compose: [200, 300) spans two 125-wide slices → 2 planned
+    val band = gen().where(col("id") >= 200 && col("id") < 300)
+    assert(band.count() === 100)
+    assert(band.rdd.getNumPartitions === 2)
+  }
+
+  test("column pruning generates only the requested fields") {
+    val df = gen().select("val")
+    assert(df.schema.fieldNames.toSeq === Seq("val"))
+    val s = df.agg(sum(col("val"))).head.getLong(0)
+    val expect = (0L until 1000L).map(id => (id * 2654435761L) % 1000003L).sum
+    assert(s === expect)
+  }
+
+  test("the DSv2 table joins and aggregates like any other source") {
+    val df = gen(1400, 8)
+    // per-tag aggregate over the generated hash column
+    val agg = df.groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg.size === 7 && agg.values.sum === 1400)
+    assert(agg("t0") === 200)
+  }
+}
