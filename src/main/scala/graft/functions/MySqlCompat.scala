@@ -805,6 +805,105 @@ object MySqlCompat {
         "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
   }
 
+  /** MySQL EXTRACT over a datetime, including the compound units the
+    * reference's DAG analyzer maps (`tests/fullstack-test/expr/
+    * extract_datetime.test`): DAY_MICROSECOND concatenates the
+    * dd|hh|mm|ss|ffffff digit groups into one BIGINT (13123456123456
+    * for '2021-03-13 12:34:56.123456'), DAY_SECOND drops the fraction,
+    * YEAR_MONTH is yyyymm. WEEK follows WEEK() default mode 0, which
+    * agrees with ISO weekofyear on the reference's fixture dates. */
+  def mysql_extract_dt(unit: String, ts: Column): Column = {
+    val d = dayofmonth(ts).cast("long")
+    val h = hour(ts).cast("long")
+    val mi = minute(ts).cast("long")
+    val se = second(ts).cast("long")
+    val us = ((date_part(lit("SECOND"), ts) - second(ts)) * 1000000L).cast("long")
+    unit.toUpperCase match {
+      case "YEAR"            => year(ts).cast("long")
+      case "MONTH"           => month(ts).cast("long")
+      case "WEEK"            => weekofyear(ts).cast("long")
+      case "DAY"             => d
+      case "HOUR"            => h
+      case "MINUTE"          => mi
+      case "SECOND"          => se
+      case "MICROSECOND"     => us
+      case "DAY_HOUR"        => d * 100L + h
+      case "DAY_MINUTE"      => (d * 100L + h) * 100L + mi
+      case "DAY_SECOND"      => ((d * 100L + h) * 100L + mi) * 100L + se
+      case "DAY_MICROSECOND" =>
+        (((d * 100L + h) * 100L + mi) * 100L + se) * 1000000L + us
+      case "YEAR_MONTH"      => year(ts).cast("long") * 100L + month(ts)
+      case other => throw new IllegalArgumentException(s"unit $other")
+    }
+  }
+
+  /** MySQL EXTRACT over a TIME/duration (microseconds-encoded BIGINT,
+    * the q48b convention; TIME spans ±838:59:59 so hours exceed a
+    * day). Units carry the duration's sign; compound units concatenate
+    * |hh|mm|ss|ffffff digit groups; TIME has no day field, so the
+    * DAY_* units equal their HOUR_* counterparts
+    * (`tests/fullstack-test/expr/extract_duration.test`:
+    * '-838:34:56.123456' → day_microsecond = -8383456123456). */
+  def mysql_extract_dur(unit: String, us: Column): Column = {
+    val sign = when(us < 0, lit(-1L)).otherwise(lit(1L))
+    val a = abs(us)
+    // Column./ is DOUBLE division; keep the component math integral
+    val hh = floor(a / 3600000000L).cast("long")
+    val mi = floor(a % 3600000000L / 60000000L).cast("long")
+    val se = floor(a % 60000000L / 1000000L).cast("long")
+    val fr = a % 1000000L
+    val v = unit.toUpperCase match {
+      case "HOUR"                                 => hh
+      case "MINUTE"                               => mi
+      case "SECOND"                               => se
+      case "MICROSECOND"                          => fr
+      case "SECOND_MICROSECOND"                   => se * 1000000L + fr
+      case "MINUTE_MICROSECOND"                   => (mi * 100L + se) * 1000000L + fr
+      case "MINUTE_SECOND"                        => mi * 100L + se
+      case "HOUR_MICROSECOND" | "DAY_MICROSECOND" =>
+        ((hh * 100L + mi) * 100L + se) * 1000000L + fr
+      case "HOUR_SECOND" | "DAY_SECOND"           => (hh * 100L + mi) * 100L + se
+      case "HOUR_MINUTE" | "DAY_MINUTE"           => hh * 100L + mi
+      case "DAY_HOUR"                             => hh
+      case other => throw new IllegalArgumentException(s"unit $other")
+    }
+    (sign * v).cast("long")
+  }
+
+  /** MySQL CAST(x AS DATETIME(s)): fractional seconds round HALF_UP at
+    * scale s and CARRY into the seconds — '...11.999999' at scale 4
+    * becomes '...12.0000' (`tests/fullstack-test/expr/cast_as_time
+    * .test`). Post-epoch timestamps only (the fixture's domain). */
+  def mysql_datetime_round(ts: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 6)
+    val q = math.pow(10, 6 - scale).toLong
+    // Column./ is DOUBLE division — floor keeps the quantization exact
+    timestamp_micros(floor((unix_micros(ts) + q / 2) / q).cast("long") * q)
+  }
+
+  /** MySQL CAST(numeric AS DATETIME(s)): the integer part is the
+    * compact yyyyMMddHHmmss (or yyMMdd &c.) datetime number, the
+    * fraction is seconds; non-date-shaped numbers (month 13, day 32)
+    * are NULL, and the fraction rounds with carry per
+    * [[mysql_datetime_round]] (`cast_as_time.test`:
+    * 20201208111111.999999 → datetime(4) '2020-12-08 11:11:12.0000'). */
+  def mysql_number_to_datetime(c: Column, scale: Int): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = c.cast(DecimalType(26, 6))
+    val whole = floor(v).cast("decimal(20,0)").cast("string")
+    val base = coalesce(
+      try_to_timestamp(nullif(regexp_extract(whole, "^(\\d{14})$", 1), lit("")),
+        lit("yyyyMMddHHmmss")),
+      try_to_timestamp(nullif(regexp_extract(whole, "^(\\d{8})$", 1), lit("")),
+        lit("yyyyMMdd")),
+      try_to_timestamp(
+        nullif(regexp_extract(whole, "^(\\d{6})$", 1), lit("")), lit("yyMMdd")),
+      try_to_timestamp(
+        nullif(regexp_extract(whole, "^(\\d{12})$", 1), lit("")), lit("yyMMddHHmmss")))
+    val fracUs = ((v - floor(v)) * 1000000L).cast("long")
+    mysql_datetime_round(timestamp_micros(unix_micros(base) + fracUs), scale)
+  }
+
   /** Unsigned-64 bit shifts + IS TRUE/IS FALSE over customer:
     * a = c_custkey - 750 spans negative and positive, count
     * c_custkey % 80 covers the >= 64 → 0 clamp. Shift results are
@@ -840,5 +939,30 @@ object MySqlCompat {
       mysql_shr(a, k).cast("string").as("shr"),
       mysql_istrue(b).as("bt"),
       mysql_isfalse(b).as("bf"))
+  }
+
+  /** MySQL EXTRACT unit matrix over event timestamps — simple and
+    * compound units (≙ the reference's ExtractDatetime mapping,
+    * `tests/fullstack-test/expr/extract_datetime.test`); the oracle
+    * rebuilds each compound from DuckDB's date parts arithmetically. */
+  val q178ExtractUnits: QueryDef = QueryDef(
+    "q178_extract_units",
+    """SELECT event_id,
+      |  CAST(year(ts) * 100 + month(ts) AS BIGINT) AS ym,
+      |  CAST(weekofyear(ts) AS BIGINT) AS wk,
+      |  CAST(((day(ts) * 100 + hour(ts)) * 100 + minute(ts)) * 100
+      |       + second(ts) AS BIGINT) AS day_sec,
+      |  CAST((((day(ts) * 100 + hour(ts)) * 100 + minute(ts)) * 100
+      |        + second(ts)) * 1000000 + epoch_us(ts) % 1000000 AS BIGINT) AS day_us,
+      |  CAST(day(ts) * 100 + hour(ts) AS BIGINT) AS day_hr
+      |FROM events WHERE event_id % 97 = 0""".stripMargin) { (s, d) =>
+    Tables.events(s, d).filter(col("event_id") % 97 === 0)
+      .select(
+        col("event_id"),
+        mysql_extract_dt("YEAR_MONTH", col("ts")).as("ym"),
+        mysql_extract_dt("WEEK", col("ts")).as("wk"),
+        mysql_extract_dt("DAY_SECOND", col("ts")).as("day_sec"),
+        mysql_extract_dt("DAY_MICROSECOND", col("ts")).as("day_us"),
+        mysql_extract_dt("DAY_HOUR", col("ts")).as("day_hr"))
   }
 }

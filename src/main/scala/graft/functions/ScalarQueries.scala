@@ -251,5 +251,6 @@ object ScalarQueries {
     q36Casts, q37BitOps, MySqlCompat.q38Inet, MySqlCompat.q125RoundFrac,
     MySqlCompat.q126TruncateFrac, MySqlCompat.q127StringFns,
     MySqlCompat.q128DayNumbers, MySqlCompat.q129BitshiftBool,
-    MySqlCompat.q132MysqlFormat, MySqlCompat.q133LaxParse)
+    MySqlCompat.q132MysqlFormat, MySqlCompat.q133LaxParse,
+    MySqlCompat.q178ExtractUnits)
 }

@@ -193,7 +193,105 @@ object Windows {
       size(collect_set(col("l_returnflag")).over(w)).cast("long").as("flags_seen"))
   }
 
+  /** Aggregates-over-window RANGE-frame matrix with NULLable order AND
+    * value columns ≙ the reference's window_agg fullstack matrix
+    * (`tests/fullstack-test/mpp/window_agg.test`, t4/t5 tables): rows
+    * with a NULL order key are RANGE peers (every frame for such a row
+    * is exactly the NULL group), NULL values vanish from count/sum/
+    * min/max but not the row stream. Spark orders NULLS FIRST by
+    * default; the oracle says so explicitly because DuckDB defaults to
+    * NULLS LAST — frame contents for bounded offsets don't depend on
+    * where the NULL block sits, but UNBOUNDED PRECEDING frames do. */
+  val q179WindowAggRange: QueryDef = QueryDef(
+    "q179_window_agg_range",
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    o_custkey % 50 AS p,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderkey % 100 END AS o,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |         ELSE o_orderkey % 1000 END AS v
+      |  FROM orders)
+      |SELECT o_orderkey, p, o, v,
+      |  CAST(sum(v) OVER w1 AS BIGINT) AS s1,
+      |  CAST(count(v) OVER w1 AS BIGINT) AS c1,
+      |  CAST(min(v) OVER w1 AS BIGINT) AS mn1,
+      |  CAST(max(v) OVER w1 AS BIGINT) AS mx1,
+      |  avg(v) OVER w1 AS a1,
+      |  CAST(sum(v) OVER w2 AS BIGINT) AS s2,
+      |  CAST(count(v) OVER w2 AS BIGINT) AS c2,
+      |  CAST(sum(v) OVER w3 AS BIGINT) AS s3,
+      |  CAST(count(v) OVER w3 AS BIGINT) AS c3
+      |FROM t
+      |WINDOW
+      |  w1 AS (PARTITION BY p ORDER BY o NULLS FIRST
+      |         RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING),
+      |  w2 AS (PARTITION BY p ORDER BY o NULLS FIRST
+      |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w3 AS (PARTITION BY p ORDER BY o NULLS FIRST
+      |         RANGE BETWEEN 3 PRECEDING AND 2 PRECEDING)""".stripMargin) { (s, d) =>
+    val w1 = Window.partitionBy(col("p")).orderBy(col("o"))
+      .rangeBetween(-2, 2)
+    val w2 = Window.partitionBy(col("p")).orderBy(col("o"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val w3 = Window.partitionBy(col("p")).orderBy(col("o"))
+      .rangeBetween(-3, -2)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 50).as("p"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 100).as("o"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 1000).as("v"))
+      .select(col("o_orderkey"), col("p"), col("o"), col("v"),
+        sum(col("v")).over(w1).as("s1"),
+        count(col("v")).over(w1).as("c1"),
+        min(col("v")).over(w1).as("mn1"),
+        max(col("v")).over(w1).as("mx1"),
+        avg(col("v")).over(w1).as("a1"),
+        sum(col("v")).over(w2).as("s2"),
+        count(col("v")).over(w2).as("c2"),
+        sum(col("v")).over(w3).as("s3"),
+        count(col("v")).over(w3).as("c3"))
+  }
+
+  /** min/max window aggregates over VARCHAR and DATE columns ≙ the
+    * reference's min_max_improve window slice (`mpp/window_agg.test`,
+    * min_max_improve_t): sliding ROWS frames (unique order key, so the
+    * frame is deterministic) where the extremum leaves the frame and
+    * must be re-found — the case the reference's monotonic-deque
+    * optimization targets; both engines compare strings binary. */
+  val q180WindowMinmaxTyped: QueryDef = QueryDef(
+    "q180_window_minmax_typed",
+    """WITH t AS (
+      |  SELECT p_partkey, p_brand, p_name, p_size,
+      |    DATE '1995-01-01' + CAST(p_size AS INTEGER) AS vd
+      |  FROM part)
+      |SELECT p_partkey, p_brand,
+      |  min(p_name) OVER w AS mn_s, max(p_name) OVER w AS mx_s,
+      |  CAST(min(p_size) OVER w AS BIGINT) AS mn_i,
+      |  CAST(max(p_size) OVER w AS BIGINT) AS mx_i,
+      |  CAST(min(vd) OVER w AS VARCHAR) AS mn_d,
+      |  CAST(max(vd) OVER w AS VARCHAR) AS mx_d
+      |FROM t
+      |WINDOW w AS (PARTITION BY p_brand ORDER BY p_partkey
+      |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+      .rowsBetween(-3, 3)
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"), col("p_size"),
+        date_add(lit("1995-01-01").cast("date"), col("p_size")).as("vd"))
+      .select(col("p_partkey"), col("p_brand"),
+        min(col("p_name")).over(w).as("mn_s"),
+        max(col("p_name")).over(w).as("mx_s"),
+        min(col("p_size")).over(w).cast("long").as("mn_i"),
+        max(col("p_size")).over(w).cast("long").as("mx_i"),
+        min(col("vd")).over(w).cast("string").as("mn_d"),
+        max(col("vd")).over(w).cast("string").as("mx_d"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40Rank, q41LeadLag, q42FirstLast, q43RowsFrame, q44RangeFrame,
-    q45Distribution, q167WindowedDistinct)
+    q45Distribution, q167WindowedDistinct, q179WindowAggRange,
+    q180WindowMinmaxTyped)
 }
