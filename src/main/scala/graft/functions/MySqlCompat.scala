@@ -881,6 +881,26 @@ object MySqlCompat {
     timestamp_micros(floor((unix_micros(ts) + q / 2) / q).cast("long") * q)
   }
 
+  /** MySQL CAST(datetime AS TIME(s)): the time-of-day as the fixture's
+    * hh:mm:ss[.f…] string, fractional seconds rounded HALF_UP at scale
+    * s with CARRY into the seconds ('11:11:11.9999' at scale 2 →
+    * '11:11:12.00'); a DATE casts to time 00:00:00
+    * (`tests/fullstack-test/expr/cast_as_duration.test`). */
+  def mysql_cast_time(ts: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 6)
+    val q = math.pow(10, 6 - scale).toLong
+    val usDay = unix_micros(ts) - unix_micros(date_trunc("DAY", ts))
+    // Column./ is DOUBLE division — floor keeps the quantization exact
+    val r = floor((usDay + q / 2) / q).cast("long") * q
+    val base = concat_ws(":",
+      lpad((r / lit(3600000000L)).cast("long").cast("string"), 2, "0"),
+      lpad((r % 3600000000L / 60000000L).cast("long").cast("string"), 2, "0"),
+      lpad((r % 60000000L / 1000000L).cast("long").cast("string"), 2, "0"))
+    if (scale == 0) base
+    else concat(base, lit("."),
+      lpad((r % 1000000L / q).cast("long").cast("string"), scale, "0"))
+  }
+
   /** MySQL CAST(numeric AS DATETIME(s)): the integer part is the
     * compact yyyyMMddHHmmss (or yyMMdd &c.) datetime number, the
     * fraction is seconds; non-date-shaped numbers (month 13, day 32)
