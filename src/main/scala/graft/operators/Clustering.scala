@@ -80,11 +80,34 @@ object Clustering {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
         s => s.getField("m")).as("cv"))
 
+  /** Materialize a small centroid table to a driver-local relation:
+    * k rows × (dims doubles) — bounded by construction (k ≤ ~10⁶), the
+    * same justified-collect discipline as `Tokenizer.bpeTrain`'s
+    * 1-row-per-merge argmax. This TRUNCATES the iteration lineage: each
+    * Lloyd round starts from a LocalRelation literal instead of
+    * re-deriving every prior round's assign+update chain, so the plan
+    * depth is constant in `iters` and an executor loss never re-runs
+    * earlier rounds. */
+  private def materialized(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** `iters` Lloyd updates from the hash-sampled init; returns the
-    * trained centroids (cid, cv: array<double>). */
+    * trained centroids (cid, cv: array<double>) as a LocalRelation.
+    *
+    * The quantized corpus is read `iters + 1` times (init + one scan
+    * per assignment round), so it is cached for the duration of
+    * training and unpersisted before returning — the result has no
+    * lineage back to it. */
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    val q = quantized(e)
-    (0 until iters).foldLeft(init(q, k)) { (c, _) => update(assign(q, c)) }
+    val q = quantized(e).cache()
+    try
+      (0 until iters).foldLeft(materialized(init(q, k))) { (c, _) =>
+        materialized(update(assign(q, c)))
+      }
+    finally q.unpersist(blocking = false)
   }
 
   /** Trained centroids in the float-array shape `Similarity.ivfSearch`
@@ -143,8 +166,75 @@ object Clustering {
           round(sqrt(col("d")), 6).as("dist"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with k-means, then
+    * compare pairs ONLY within a cluster and flag every vector that has
+    * a more-canonical (smaller vec_id) neighbor above the cosine
+    * threshold — keeping one representative per semantic neighborhood.
+    *
+    * Scale shape: the pair join is cluster-local (joins on cid), so pair
+    * count is Σ|cluster|²/2, and the SemDeDup operating regime keeps
+    * |cluster| ≈ constant by scaling k with N (the paper uses k ≈ N/100
+    * on 100M-scale corpora; our √N IVF rule gives the same bound) — the
+    * join is a hash-partitioned equi-join on cid, never an all-pairs
+    * product. The trained centroids arrive as a broadcast LocalRelation
+    * from `kmeansCentroids`.
+    *
+    * Determinism: coordinates are lifted to the exact 1e-6 integer grid,
+    * so dot products and norms are exact BIGINT folds (|x| ≤ 0.5 →
+    * x²·10¹² ≤ 2.5·10¹¹, × 64 dims ≪ 2⁵³); the only float ops are two
+    * correctly-rounded sqrts and one divide, bit-identical across
+    * engines, and the 0.35 threshold compare sees identical doubles.
+    */
+  val q181SemDedup: QueryDef = QueryDef(
+    "q181_semdedup",
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> round(CAST(x AS DOUBLE) * 1000000.0) / 1000000.0) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+       |       ORDER BY (vec_id % 1000003) * 2654435761 % 4294967296, vec_id
+       |       LIMIT 8),
+       |a0 AS (${duckAssign("e", "c0")}),
+       |c1 AS (${duckUpdate("a0")}),
+       |a1 AS (${duckAssign("e", "c1")}),
+       |c2 AS (${duckUpdate("a1")}),
+       |a2 AS (${duckAssign("e", "c2")}),
+       |n AS (SELECT vec_id, cid,
+       |        list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS iv
+       |      FROM a2),
+       |m AS (SELECT vec_id, cid, iv,
+       |        list_reduce(list_transform(iv, x -> x * x), (u,w) -> u + w) AS n2
+       |      FROM n),
+       |dup AS (SELECT DISTINCT b.vec_id
+       |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_reduce(list_transform(list_zip(a.iv, b.iv),
+       |          q -> q[1] * q[2]), (u,w) -> u + w) AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.35)
+       |SELECT vec_id, cid,
+       |  CAST(CASE WHEN vec_id IN (SELECT vec_id FROM dup) THEN 1 ELSE 0 END
+       |       AS BIGINT) AS is_dup
+       |FROM m""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val a = assign(quantized(e), kmeansCentroids(e, k = 8, iters = 2))
+    val m = a.select(col("vec_id"), col("cid"),
+        transform(col("v"), x => round(x * 1000000.0).cast("long")).as("iv"))
+      .withColumn("n2",
+        aggregate(transform(col("iv"), x => x * x), lit(0L), (u, w) => u + w))
+    val dot = aggregate(zip_with(col("a.iv"), col("b.iv"), (x, y) => x * y),
+      lit(0L), (u, w) => u + w)
+    val dup = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(dot.cast("double") /
+        (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))) >= 0.35)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    m.join(dup.withColumn("flag", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("flag"), lit(0L)).as("is_dup"))
+  }
+
   val all: Seq[QueryDef] =
     // headline: the iterative broadcast-train shape (3 corpus passes +
     // 2 centroid updates) no other bench query represents
-    Seq(q131Kmeans.copy(headline = true))
+    Seq(q131Kmeans.copy(headline = true), q181SemDedup)
 }

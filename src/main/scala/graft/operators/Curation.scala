@@ -500,9 +500,123 @@ object Curation {
           .as("entropy_nats"))
   }
 
+  /** DSIR-style data selection via importance resampling (Xie et al.
+    * 2023, arXiv:2302.03169): score every document by the log importance
+    * weight log(p_target(x)/p_source(x)) under bag-of-words unigram
+    * models — target = the English slice, source = the raw corpus — the
+    * signal DSIR resamples on to shift a raw crawl toward a target
+    * domain. (The paper hashes n-grams to bound the feature space; the
+    * word table is already Heaps-bounded here, and a hash-bucketed
+    * variant only shrinks the model table — the join shape is
+    * identical.)
+    *
+    * Determinism: one `ln` per DISTINCT word over exact integer count
+    * ratios (products ≤ ~10¹³ ≪ 2⁵³, so the double quotient is exact
+    * arithmetic into a correctly-rounded ln), quantized to micro-nats;
+    * per-doc scores are exact BIGINT sums. Scale shape: two corpus
+    * passes (joint vocab count, scoring join on the Heaps-bounded word
+    * key), totals on a 1-row broadcast — q170's exact shape.
+    */
+  val q182DsirWeights: QueryDef = QueryDef(
+    "q182_dsir_weights",
+    """WITH w AS (
+      |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+      |                               x -> x <> '')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, COUNT(*) AS cs,
+      |        COUNT(*) FILTER (WHERE lang = 'en') AS ct
+      |      FROM w GROUP BY w),
+      |t AS (SELECT CAST(SUM(cs) AS BIGINT) AS ts, CAST(SUM(ct) AS BIGINT) AS tt,
+      |        COUNT(*) AS vv FROM v),
+      |lr AS (SELECT w, CAST(round(ln(((ct + 1.0) * (ts + vv)) /
+      |                               ((tt + vv) * (cs + 1.0))) * 1000000)
+      |                      AS BIGINT) AS lr6 FROM v, t)
+      |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lr6) AS BIGINT) AS logw6
+      |FROM w JOIN lr USING (w) GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val v = w.groupBy(col("w")).agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val t = v.agg(sum(col("cs")).cast("long").as("ts"),
+      sum(col("ct")).cast("long").as("tt"), count(lit(1)).as("vv"))
+    val lr = v.join(broadcast(t))
+      .select(col("w"),
+        round(log(((col("ct") + 1.0) * (col("ts") + col("vv"))) /
+          ((col("tt") + col("vv")) * (col("cs") + 1.0))) * 1000000)
+          .cast("long").as("lr6"))
+    w.join(lr, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr6")).cast("long").as("logw6"))
+  }
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): the standard battery of hard document
+    * filters — word-count bounds, mean-word-length band, symbol-to-word
+    * ratio, alphabetic-word fraction, and minimum stop-word hits — each
+    * emitted as an auditable exact-ppm column plus the combined pass
+    * flag. Complements q65 (continuous quality SCORES) with the
+    * hard-threshold GATE a pretraining pipeline actually drops rows on.
+    * Pure per-row map over one corpus scan — no shuffle; all-integer
+    * output (ppm ratios via floor division), bit-deterministic.
+    */
+  val q183GopherRules: QueryDef = QueryDef(
+    "q183_gopher_rules",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |m AS (SELECT doc_id, text, w,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
+      |         (a,b) -> a + b) * 1000000 // len(w) AS BIGINT) AS mwl_ppm,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+      |         * 1000000 // len(w) AS BIGINT) AS alpha_ppm,
+      |    CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+      |         * 1000000 // len(w) AS BIGINT) AS symbol_ppm,
+      |    CAST(len(list_filter(['the','a','be','to','of','and','that','have','with'],
+      |         s -> list_contains(w, s))) AS BIGINT) AS n_stop
+      |  FROM t WHERE len(w) > 0)
+      |SELECT doc_id, n_words, mwl_ppm, alpha_ppm, symbol_ppm, n_stop,
+      |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+      |    AND mwl_ppm BETWEEN 3000000 AND 10000000
+      |    AND symbol_ppm <= 100000 AND alpha_ppm >= 800000
+      |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM m""".stripMargin) { (s, d) =>
+    // Gopher's canonical list plus the indefinite article (the synthetic
+    // corpus's function words are 'the'/'a'; real crawls hit the rest)
+    val stop = Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        filter(split(trim(col("text")), "\\s+"), x => x =!= "").as("w"))
+      .filter(size(col("w")) > 0)
+    val m = t.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      expr("aggregate(transform(w, x -> CAST(length(x) AS BIGINT)), 0L, (a,b) -> a + b)" +
+        " * 1000000L div size(w)").as("mwl_ppm"),
+      (size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("long") * 1000000L)
+        .as("alpha_num"),
+      regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long").as("n_sym"),
+      size(filter(array(stop.map(lit): _*), st => array_contains(col("w"), st)))
+        .cast("long").as("n_stop"),
+      size(col("w")).cast("long").as("nw"))
+    m.select(col("doc_id"), col("n_words"),
+        col("mwl_ppm"),
+        expr("alpha_num div nw").as("alpha_ppm"),
+        expr("n_sym * 1000000L div nw").as("symbol_ppm"),
+        col("n_stop"))
+      .withColumn("pass",
+        when(col("n_words").between(50L, 100000L) &&
+          col("mwl_ppm").between(3000000L, 10000000L) &&
+          col("symbol_ppm") <= 100000L && col("alpha_ppm") >= 800000L &&
+          col("n_stop") >= 2L, 1L).otherwise(0L))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
       q139NgramDecontaminate, q140WeightedSample, q146Chunking,
       q161UrlCanonicalize, q162UnicodeNormalize, q163HtmlStrip,
-      q164Boilerplate, q166CharEntropy)
+      q164Boilerplate, q166CharEntropy, q182DsirWeights, q183GopherRules)
 }

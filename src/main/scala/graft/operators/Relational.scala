@@ -46,9 +46,23 @@ object Relational {
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
 
-  /** Register all tables as temp views for spark.sql-expressed queries. */
+  /** Register all tables as temp views for spark.sql-expressed queries.
+    *
+    * Failure-isolated per table: a schema drift or corrupt file in ONE
+    * table must only break the queries that actually read that table,
+    * never poison the other nine views (a single eager load failure here
+    * once zeroed out 25 unrelated queries). The failed table's view is
+    * simply absent; its own queries fail with TABLE_OR_VIEW_NOT_FOUND.
+    */
   def views(s: SparkSession, d: String): Unit =
-    Tables.all.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+    Tables.all.foreach { t =>
+      try Tables.load(s, d, t).createOrReplaceTempView(t)
+      catch {
+        case e: Exception =>
+          Console.err.println(
+            s"graft: skipping temp view '$t' ($d): ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
 
   val revenueCol: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   val revenueSql: String = "l_extendedprice * (1.0 - l_discount)"

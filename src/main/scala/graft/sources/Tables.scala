@@ -25,14 +25,31 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a long
-    // (spark.sql.legacy.parquet.nanosAsLong=true, set in our session
-    // builders); convert to a microsecond timestamp exactly as DuckDB
-    // does (truncating integer division — `div` stays in long math).
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
+
+  /** Normalize `events.ts` to a microsecond timestamp regardless of how
+    * the generator wrote the parquet. Historically the column has been
+    * produced both as TIMESTAMP(NANOS) — which Spark reads as a long
+    * under `spark.sql.legacy.parquet.nanosAsLong=true` — and as
+    * TIMESTAMP(MICROS), which arrives as a ready timestamp. Branch on
+    * the actual dtype so either vintage of the data reads correctly:
+    * long nanos → truncating integer division to µs (matching DuckDB),
+    * timestamp → pass through.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // session tz is pinned to UTC, so this cast is wall-clock- and
+        // instant-preserving; it keeps `ts` usable with unix_micros &c.,
+        // exactly what timestamp_micros produced for the nanos vintage
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")

@@ -58,8 +58,8 @@ object Ingest {
     * Synchronous for tests (AvailableNow + awaitTermination). */
   def streamIngest(spark: SparkSession, inputDir: String, outPath: String): Unit =
     runAvailableNow(spark, inputDir, s"$outPath-ckpt",
-      // same ns→µs conversion as Tables.load
-      prep = df => versioned(df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))) {
+      // same type-conditional ts normalization as Tables.load
+      prep = df => versioned(Tables.normalizeEventsTs(df))) {
       batch => batch.write.mode("append").parquet(outPath)
     }
 

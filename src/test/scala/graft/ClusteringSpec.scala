@@ -77,6 +77,22 @@ class ClusteringSpec extends SparkTestBase {
       f"trained coarse quantizer should capture whole clusters: $rTrained%.3f")
   }
 
+  test("centroid training truncates lineage: constant plan depth in iteration count") {
+    // Each Lloyd round collects its k×dims centroids to a LocalRelation
+    // (the Tokenizer.bpeTrain discipline), so the returned plan never
+    // re-derives prior rounds — at 100 TB an executor loss must not
+    // re-run the whole iteration chain, and plan depth must not grow
+    // with `iters`.
+    val e = sources.Tables.embeddings(spark, sf)
+    def plan(iters: Int) =
+      Clustering.kmeansCentroids(e, k = 4, iters = iters).queryExecution.optimizedPlan
+    assert(plan(2).isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "trained centroids must be a materialized LocalRelation")
+    val d1 = plan(1).treeString.linesIterator.size
+    val d3 = plan(3).treeString.linesIterator.size
+    assert(d3 === d1, s"plan depth grew with iterations: $d1 -> $d3")
+  }
+
   test("assignment plan: broadcast crossJoin collapsed by partial min_by, no sort-merge join") {
     val df = Clustering.kmeans(sources.Tables.embeddings(spark, sf), k = 8, iters = 1)
     df.collect()
@@ -85,7 +101,10 @@ class ClusteringSpec extends SparkTestBase {
       s"centroids must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-sized shuffle join allowed:\n$p")
-    assert("HashAggregate".r.findAllIn(p).length >= 2,
-      "min_by must run partial (map-side) + final")
+    // min_by over a struct-with-array buffer lowers to SortAggregate
+    // (non-mutable buffer type); the scale contract is the same: a
+    // partial (map-side) + final pair, never a single-pass aggregate
+    assert("(HashAggregate|SortAggregate|ObjectHashAggregate)".r.findAllIn(p).length >= 2,
+      s"min_by must run partial (map-side) + final:\n$p")
   }
 }

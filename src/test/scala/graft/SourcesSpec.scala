@@ -50,6 +50,75 @@ class SourcesSpec extends SparkTestBase {
       s"expected pushed filter in ORC scan:\n$plan")
   }
 
+  test("events-schema drift canary: ts reads as a timestamp at every SF dir") {
+    // The generator has shipped events.ts both as TIMESTAMP(NANOS)
+    // (read as long under nanosAsLong) and TIMESTAMP(MICROS);
+    // Tables.normalizeEventsTs must absorb either. If the testdata is
+    // regenerated with yet another vintage, THIS test fails loudly by
+    // name instead of 90+ downstream suites.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val ev = Tables.events(spark, d)
+      val t = ev.schema("ts").dataType
+      assert(t == org.apache.spark.sql.types.TimestampNTZType
+          || t == org.apache.spark.sql.types.TimestampType,
+        s"$d: events.ts normalized to $t, expected a timestamp")
+      assert(ev.limit(1).count() === 1L, s"$d: 1-row events read failed")
+    }
+  }
+
+  test("a corrupted single table breaks only its own view, not the other nine") {
+    // Failure isolation in Relational.views: one table's schema drift /
+    // corrupt file must never poison unrelated queries (in round 5 one
+    // stale events cast zeroed out 25 queries that never read events).
+    val base = Files.createTempDirectory("graft-corrupt").toString
+    for (t <- Tables.all) {
+      Files.copy(java.nio.file.Paths.get(s"$sf/$t.parquet"),
+        java.nio.file.Paths.get(s"$base/$t.parquet"))
+    }
+    Files.write(java.nio.file.Paths.get(s"$base/events.parquet"),
+      "this is not a parquet file".getBytes)
+    try {
+      // an earlier suite may have registered a healthy events view on the
+      // shared session; drop it so absence after views() is observable
+      spark.catalog.dropTempView("events")
+      operators.Relational.views(spark, base)
+      assert(spark.sql("SELECT count(*) AS n FROM region").first().getLong(0) === 5L,
+        "queries on healthy tables must still run")
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+        .first().getLong(0) > 0L)
+      assert(!spark.catalog.tableExists("events"),
+        "the corrupted table's view must be absent")
+      intercept[Exception] { spark.sql("SELECT count(*) FROM events").collect() }
+    } finally {
+      // restore the healthy views for any later suite sharing the session
+      operators.Relational.views(spark, sf)
+    }
+  }
+
+  test("late materialization: a selective filter on one column skips row groups under a wide projection") {
+    // ≙ the reference's late-materialization read path
+    // (`/root/reference/dbms/src/Storages/DeltaMerge/LateMaterializationBlockInputStream.h:26-31`):
+    // evaluate the pushed predicate against column statistics first, and
+    // only materialize the remaining (wide) columns for surviving blocks.
+    // Spark-native analog: parquet row-group/page-stat skipping — the
+    // scan's numOutputRows is the rows actually READ, which must be far
+    // below the table's row count when the filter column is clustered.
+    val base = Files.createTempDirectory("graft-latemat").toString
+    Tables.documents(spark, sf).orderBy(col("doc_id")).coalesce(1)
+      .write.option("parquet.block.size", 16 * 1024)
+      .mode("overwrite").parquet(s"$base/docs")
+    val total = spark.read.parquet(s"$base/docs").count()
+    val probe = spark.read.parquet(s"$base/docs")
+      .filter(col("doc_id") <= 10) // all columns projected = wide materialization
+    assert(probe.count() === 11L)
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collectLeaves().head
+    val readRows = scan.metrics("numOutputRows").value
+    assert(readRows < total,
+      s"row-group skipping should read < $total rows, read $readRows")
+  }
+
   test("parquet compression codecs round-trip identically; zstd compresses text") {
     // ≙ the reference's per-column compression codecs (ClickHouse
     // heritage, CompressedStream settings): the storage codec is a

@@ -42,7 +42,7 @@ class StreamingSpec extends SparkTestBase {
       in.resolve("events.parquet"))
     val schema = spark.read.parquet(in.toString).schema
     val stream = spark.readStream.schema(schema).parquet(in.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeEventsTs)
       .withWatermark("ts", "1 hour")
     val q = Ingest.sessionAgg(stream).writeStream
       .outputMode("complete").format("memory").queryName("sess_win")
@@ -67,7 +67,7 @@ class StreamingSpec extends SparkTestBase {
       in.resolve("events_b.parquet"))
     val schema = spark.read.parquet(in.toString).schema
     val stream = spark.readStream.schema(schema).parquet(in.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeEventsTs)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val q = stream.select("event_id").writeStream
@@ -89,7 +89,7 @@ class StreamingSpec extends SparkTestBase {
       in.resolve("events.parquet"))
     val schema = spark.read.parquet(in.toString).schema
     val stream = spark.readStream.schema(schema).parquet(in.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeEventsTs)
     val q = Ingest.sessionizeStateful(stream).writeStream
       .outputMode("append").format("memory").queryName("state_sess")
       .trigger(Trigger.AvailableNow()).start()
@@ -125,7 +125,7 @@ class StreamingSpec extends SparkTestBase {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
     val stream = spark.readStream.schema(schema).parquet(in.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeEventsTs)
     val q = enrich(stream).writeStream
       .outputMode("complete").format("memory").queryName("dim_join")
       .trigger(Trigger.AvailableNow()).start()
@@ -145,7 +145,7 @@ class StreamingSpec extends SparkTestBase {
       in.resolve("events.parquet"))
     val schema = spark.read.parquet(in.toString).schema
     val stream = spark.readStream.schema(schema).parquet(in.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeEventsTs)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -180,7 +180,7 @@ class StreamingSpec extends SparkTestBase {
         in.resolve("events.parquet"))
       val schema = spark.read.parquet(in.toString).schema
       val stream = spark.readStream.schema(schema).parquet(in.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeEventsTs)
       val q = Ingest.sessionizeTws(stream).writeStream
         .outputMode("append").format("memory").queryName("tws_sess")
         .trigger(Trigger.AvailableNow()).start()
@@ -208,7 +208,7 @@ class StreamingSpec extends SparkTestBase {
       in.resolve("events.parquet"))
     val schema = spark.read.parquet(in.toString).schema
     def mkStream() = spark.readStream.schema(schema).parquet(in.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeEventsTs)
     val clicks = mkStream().filter(col("event_type") =!= "error")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
