@@ -93,6 +93,24 @@ class ClusteringSpec extends SparkTestBase {
     assert(d3 === d1, s"plan depth grew with iterations: $d1 -> $d3")
   }
 
+  test("semdedup keeps a representative per cluster and flags only within-cluster neighbors") {
+    val out = Clustering.q181SemDedup.fn(spark, sf).cache()
+    try {
+      val total = out.count()
+      assert(total === sources.Tables.embeddings(spark, sf).count(),
+        "every vector is scored exactly once")
+      // SemDeDup semantics: the smallest vec_id of each cluster can have
+      // no smaller-id neighbor, so every cluster retains >= 1 survivor
+      val perCluster = out.groupBy(col("cid"))
+        .agg(sum(lit(1) - col("is_dup")).as("kept"))
+        .collect()
+      assert(perCluster.forall(_.getLong(1) >= 1L),
+        "each cluster must keep at least one representative")
+      assert(out.filter(col("is_dup") === 1L).count() < total,
+        "the gate must not drop everything")
+    } finally out.unpersist()
+  }
+
   test("assignment plan: broadcast crossJoin collapsed by partial min_by, no sort-merge join") {
     val df = Clustering.kmeans(sources.Tables.embeddings(spark, sf), k = 8, iters = 1)
     df.collect()
