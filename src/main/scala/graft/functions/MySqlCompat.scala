@@ -503,8 +503,10 @@ object MySqlCompat {
 
   /** IS_IPV4: syntactic dotted-quad check with 0-255 range. */
   def is_ipv4(ip: Column): Column =
-    ip.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
-      "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$")
+    // MySQL/the reference return 0 (never NULL) for NULL input
+    // (`tests/fullstack-test/expr/is_ip_addr.test` null row)
+    coalesce(ip.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+      "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"), lit(false))
 
   /** IS_IPV6, full-form (8 colon-separated hex groups) or `::`-
     * compressed — a documented syntactic subset of tiDBIsIPv6
@@ -516,7 +518,34 @@ object MySqlCompat {
     // invalid per RFC 4291 / the reference's tiDBIsIPv6
     val compressed = ip.rlike("^(([0-9A-Fa-f]{1,4})?:){1,7}(:?[0-9A-Fa-f]{1,4})?$") &&
       ip.contains("::") && !ip.contains(":::") && !ip.rlike("::.*::")
-    full || compressed
+    // MySQL/the reference return 0 (never NULL) for NULL input
+    coalesce(full || compressed, lit(false))
+  }
+
+  /** MySQL LIKE ... ESCAPE with a constant pattern: MySQL lets the
+    * escape character precede ANY character (making it literal) and
+    * treats a TRAILING escape character as a literal match of itself —
+    * both laxer than the ANSI rule Spark enforces (escape may only
+    * precede `%`, `_`, or itself). Mirrors the reference's LIKE
+    * lowering (`dbms/src/Functions/FunctionsStringSearch.h`, exercised
+    * by `tests/fullstack-test/expr/like.test`). Compiled here to an
+    * anchored Java regex, so it stays a codegen'd RLike. */
+  def mysql_like_escape(str: Column, pattern: String, esc: Char): Column = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == esc && i + 1 < pattern.length) {
+        sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
+        i += 2
+      } else {
+        if (c == '%') sb.append(".*")
+        else if (c == '_') sb.append(".")
+        else sb.append(java.util.regex.Pattern.quote(c.toString))
+        i += 1
+      }
+    }
+    str.rlike(sb.append("$").toString)
   }
 
   /** INET6_ATON normalized-hex form for FULL-FORM addresses: 32 hex
