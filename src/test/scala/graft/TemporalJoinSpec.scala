@@ -104,4 +104,29 @@ class TemporalJoinSpec extends SparkTestBase {
     // empty input -> NULL, like SQL SUM
     assert(df.limit(0).agg(bigSum(col("v"))).head().isNullAt(0))
   }
+
+  test("q184 decimal(65,30) sum carries fraction overflow exactly across 8 partitions") {
+    // 1000 rows of 0.999…9 (30 nines): the exact total is
+    // 1000·(1 − 10⁻³⁰) = 999.<27 nines>000 — every digit of the result
+    // is produced by fraction carries interacting across partition
+    // merges, the case a truncating or per-partition-rounding sum gets
+    // wrong
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 1000).map(_ => Tuple1("0." + "9" * 30)), 8))
+      .toDF("v")
+    val decSum = udaf(functions.BigIntSum.Decimal65SumAgg,
+      org.apache.spark.sql.Encoders.STRING)
+    assert(df.agg(decSum(col("v"))).head().getString(0)
+      === "999." + "9" * 27 + "000")
+    // 35-integer-digit + 30-fraction-digit values sum exactly too
+    val wide = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1 to 100).map(i => Tuple1(s"${i}${"0" * 34}.${"0" * 28}25")), 8))
+      .toDF("v")
+    // Σ i·10³⁴ = 5050·10³⁴; Σ 25·10⁻³⁰ = 2500·10⁻³⁰ → …0002500 in the
+    // 30 fraction digits
+    assert(wide.agg(decSum(col("v"))).head().getString(0)
+      === "5050" + "0" * 34 + "." + "0" * 26 + "2500")
+    assert(df.limit(0).agg(decSum(col("v"))).head().isNullAt(0))
+  }
 }
