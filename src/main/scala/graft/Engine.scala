@@ -25,6 +25,8 @@ object Engine {
     operators.Relational.views(spark, dataDir)
     functions.VectorFunctions.register(spark)
     functions.SipHash.register(spark)
+    functions.JsonFunctions.register(spark)
+    functions.MySqlJsonFunctions.register(spark)
     spark
   }
 }

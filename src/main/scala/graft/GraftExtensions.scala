@@ -36,6 +36,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => VecL2Norm(es.head)))
     e.injectFunction((FunctionIdentifier("json_depth"), info("json_depth"),
       (es: Seq[Expression]) => JsonDepth(es.head)))
+    e.injectFunction((FunctionIdentifier("mysql_json_extract"), info("mysql_json_extract"),
+      (es: Seq[Expression]) => MySqlJsonExtract(es)))
+    e.injectFunction((FunctionIdentifier("mysql_json_unquote"), info("mysql_json_unquote"),
+      (es: Seq[Expression]) => MySqlJsonUnquote(es.head)))
+    e.injectFunction((FunctionIdentifier("mysql_json_keys"), info("mysql_json_keys"),
+      (es: Seq[Expression]) => MySqlJsonKeys(es)))
+    e.injectFunction((FunctionIdentifier("mysql_json_length"), info("mysql_json_length"),
+      (es: Seq[Expression]) => MySqlJsonLength(es)))
+    e.injectFunction((FunctionIdentifier("mysql_json_valid"), info("mysql_json_valid"),
+      (es: Seq[Expression]) => MySqlJsonValid(es.head)))
+    e.injectFunction((FunctionIdentifier("mysql_json_contains_path"),
+      info("mysql_json_contains_path"),
+      (es: Seq[Expression]) => MySqlJsonContainsPath(es)))
+    e.injectFunction((FunctionIdentifier("mysql_json_array"), info("mysql_json_array"),
+      (es: Seq[Expression]) => MySqlJsonArray(es)))
+    e.injectFunction((FunctionIdentifier("mysql_json_object"), info("mysql_json_object"),
+      (es: Seq[Expression]) => MySqlJsonObject(es)))
+    e.injectFunction((FunctionIdentifier("mysql_json_quote"), info("mysql_json_quote"),
+      (es: Seq[Expression]) => MySqlJsonQuote(es.head)))
+    e.injectFunction((FunctionIdentifier("mysql_cast_string_as_json"),
+      info("mysql_cast_string_as_json"),
+      (es: Seq[Expression]) => MySqlCastStringAsJson(es.head)))
     e.injectFunction((FunctionIdentifier("sip_hash64"), info("sip_hash64"),
       (es: Seq[Expression]) => SipHash64Expr(es.head)))
     e.injectFunction((FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),

@@ -149,6 +149,63 @@ object ScalarQueries5 {
       mysql_sqrt(lit(5.0) - (col("o_orderkey") % 10)).as("guarded_sqrt"))
   }
 
+  /** MySQL-JSON path engine over constructed documents: extract with
+    * nested paths, unquote, length, sorted-key listing, three-valued
+    * contains_path on a conditionally-present member, and validity over
+    * both JSON and free text. The engine itself
+    * (`functions/MySqlJsonPath.scala`) mirrors the reference's tipb JSON
+    * signature family (`DAGUtils.cpp:471-498`); the verbatim golden
+    * transcripts live in `FullstackParitySpec19` — this query is the
+    * driver-scored, corpus-scale form (per-row expressions, zero
+    * shuffles; the DuckDB oracle re-derives every column with its own
+    * JSON functions over the identically-constructed text). */
+  val q185MySqlJson: QueryDef = QueryDef(
+    "q185_mysql_json",
+    """WITH j AS (
+      |  SELECT doc_id, text, n_chars,
+      |    '{"id": ' || doc_id || ', "lang": "' || lang || '", "meta": {"n": '
+      |      || n_chars || ', "src": "' || source || '"}, "tags": ['
+      |      || (doc_id % 3) || ', ' || (doc_id % 5) || ']'
+      |      || CASE WHEN n_chars % 2 = 0 THEN ', "opt": true' ELSE '' END
+      |      || '}' AS js
+      |  FROM documents)
+      |SELECT doc_id,
+      |  json_extract_string(js, '$.lang') AS lang_ex,
+      |  CAST(json_extract(js, '$.meta.n') AS BIGINT) AS meta_n,
+      |  CAST(json_array_length(js, '$.tags') AS INTEGER) AS tags_len,
+      |  '["' || array_to_string(json_keys(js, '$.meta'), '", "') || '"]' AS meta_keys,
+      |  CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 0 END AS has_opt,
+      |  1 AS all_req,
+      |  CAST(json_valid(text) AS INTEGER) AS text_valid,
+      |  CAST(json_extract(js, '$.tags[1]') AS BIGINT) AS tag1,
+      |  json_extract_string(js, '$.meta.src') AS deep_src
+      |FROM j""".stripMargin) { (s, d) =>
+    import MySqlJsonFunctions._
+    val js = concat(
+      lit("{\"id\": "), col("doc_id"),
+      lit(", \"lang\": \""), col("lang"),
+      lit("\", \"meta\": {\"n\": "), col("n_chars"),
+      lit(", \"src\": \""), col("source"),
+      lit("\"}, \"tags\": ["), col("doc_id") % 3, lit(", "), col("doc_id") % 5, lit("]"),
+      when(col("n_chars") % 2 === 0, lit(", \"opt\": true")).otherwise(lit("")),
+      lit("}"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), js.as("js"))
+      .select(
+        col("doc_id"),
+        json_unquote(json_extract(col("js"), lit("$.lang"))).as("lang_ex"),
+        json_extract(col("js"), lit("$.meta.n")).cast("long").as("meta_n"),
+        json_length(col("js"), lit("$.tags")).as("tags_len"),
+        json_keys(col("js"), lit("$.meta")).as("meta_keys"),
+        json_contains_path(col("js"), lit("one"), lit("$.opt")).as("has_opt"),
+        json_contains_path(col("js"), lit("all"), lit("$.meta.src"), lit("$.tags"))
+          .as("all_req"),
+        json_valid_string(col("text")).as("text_valid"),
+        json_extract(col("js"), lit("$.tags[1]")).cast("long").as("tag1"),
+        json_unquote(json_extract(col("js"), lit("$.meta.src"))).as("deep_src"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q153BitStringTail, q154AesRoundtrip, q159LaxCasts, q160DateStringTail)
+    Seq(q153BitStringTail, q154AesRoundtrip, q159LaxCasts, q160DateStringTail,
+      q185MySqlJson)
 }
