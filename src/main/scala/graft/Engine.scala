@@ -27,6 +27,7 @@ object Engine {
     functions.SipHash.register(spark)
     functions.JsonFunctions.register(spark)
     functions.MySqlJsonFunctions.register(spark)
+    functions.MySqlRegexpFunctions.register(spark)
     spark
   }
 }

@@ -58,6 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("mysql_cast_string_as_json"),
       info("mysql_cast_string_as_json"),
       (es: Seq[Expression]) => MySqlCastStringAsJson(es.head)))
+    e.injectFunction((FunctionIdentifier("mysql_regexp_instr"), info("mysql_regexp_instr"),
+      (es: Seq[Expression]) => MySqlRegexpInstr(es)))
+    e.injectFunction((FunctionIdentifier("mysql_regexp_substr"), info("mysql_regexp_substr"),
+      (es: Seq[Expression]) => MySqlRegexpSubstr(es)))
+    e.injectFunction((FunctionIdentifier("mysql_regexp_replace"), info("mysql_regexp_replace"),
+      (es: Seq[Expression]) => MySqlRegexpReplace(es)))
     e.injectFunction((FunctionIdentifier("sip_hash64"), info("sip_hash64"),
       (es: Seq[Expression]) => SipHash64Expr(es.head)))
     e.injectFunction((FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),
