@@ -614,9 +614,62 @@ object Curation {
           col("n_stop") >= 2L, 1L).otherwise(0L))
   }
 
+  /** Span-level exact dedup (the C4/CCNet paragraph-dedup shape,
+    * arXiv:1910.10683 §2.2 "we discard all but one of any three-sentence
+    * span occurring more than once"): documents split into fixed
+    * 10-word spans PER ROW (codegen `sequence`+`slice`, no shuffle),
+    * then ONE global shuffle keyed on the span text ranks occurrences
+    * (first (doc_id, span_idx) keeps the span, later copies drop), and
+    * a doc-keyed re-aggregate reports kept/dropped/surviving-chars per
+    * document. At 100 TB the span key is high-cardinality so the rank
+    * window partitions evenly; nothing is corpus-cross-joined. */
+  val q186SpanDedup: QueryDef = QueryDef(
+    "q186_span_dedup",
+    """WITH words AS (
+      |  SELECT doc_id,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i,
+      |         unnest(string_split(text, ' ')) AS word
+      |  FROM documents
+      |), spans AS (
+      |  SELECT doc_id, (i - 1) // 10 AS span_idx,
+      |         string_agg(word, ' ' ORDER BY i) AS span
+      |  FROM words GROUP BY doc_id, (i - 1) // 10
+      |), ranked AS (
+      |  SELECT doc_id, span_idx, span,
+      |         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+      |  FROM spans
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN length(span) ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM ranked GROUP BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // per-row span construction: spans[k] = words[10k..10k+9] joined
+      .select(col("doc_id"), expr(
+        """posexplode(transform(
+          |  sequence(0, cast(ceil(size(w) / 10.0) - 1 as int)),
+          |  k -> array_join(slice(w, k * 10 + 1, 10), ' ')))""".stripMargin)
+        .as(Seq("span_idx", "span")))
+    val rn = row_number().over(
+      Window.partitionBy(col("span")).orderBy(col("doc_id"), col("span_idx")))
+    spans.withColumn("rn", rn)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dropped"),
+        sum(when(col("rn") === 1, length(col("span")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
       q139NgramDecontaminate, q140WeightedSample, q146Chunking,
       q161UrlCanonicalize, q162UnicodeNormalize, q163HtmlStrip,
-      q164Boilerplate, q166CharEntropy, q182DsirWeights, q183GopherRules)
+      q164Boilerplate, q166CharEntropy, q182DsirWeights, q183GopherRules,
+      q186SpanDedup)
 }

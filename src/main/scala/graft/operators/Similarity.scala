@@ -532,7 +532,102 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    * top-20 (q75b's math, fixed-order term sums) fused with the
+    * embedding-cosine top-20 (query = vec 0, broadcast) by
+    * RRF(d) = Σ 1/(60 + rank_leg(d)) — the standard hybrid-search
+    * combiner. Scores are exact integer ppm (1000000 div (60+rank)),
+    * so the fusion ordering is engine-independent. Scale: each leg ends
+    * in TakeOrderedAndProject (bounded 20-row candidate sets); the rank
+    * windows and the full-outer fusion join run over those 20-row sets
+    * only — corpus cost is one token shuffle + one broadcast scan. */
+  val q187HybridRrf: QueryDef = QueryDef(
+    "q187_hybrid_rrf",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |              CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |       WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |co AS (SELECT tf.doc_id, tf.term,
+       |         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+       |           * (tf.tf * 2.2)
+       |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+       |                / (CAST(st.total AS DOUBLE) / st.n))) AS c
+       |       FROM tf JOIN df ON tf.term = df.term
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+       |bm AS (SELECT doc_id,
+       |  round(COALESCE(SUM(CASE WHEN term = 'hash' THEN c END), 0)
+       |      + COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0)
+       |      + COALESCE(SUM(CASE WHEN term = 'scan' THEN c END), 0), 6) AS bm25
+       |  FROM co GROUP BY doc_id),
+       |brank AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rb
+       |  FROM bm QUALIFY rb <= 20),
+       |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |dist AS (SELECT e.vec_id,
+       |    ${duckCosineDist("q.qvec", "e.embedding")} AS dist
+       |  FROM embeddings e CROSS JOIN q),
+       |vrank AS (SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS rv
+       |  FROM dist QUALIFY rv <= 20)
+       |SELECT COALESCE(b.doc_id, v.vec_id) AS doc_id,
+       |  COALESCE(b.rb, 0) AS rb, COALESCE(v.rv, 0) AS rv,
+       |  CAST(CASE WHEN b.rb IS NULL THEN 0 ELSE 1000000 // (60 + b.rb) END
+       |     + CASE WHEN v.rv IS NULL THEN 0 ELSE 1000000 // (60 + v.rv) END
+       |    AS BIGINT) AS rrf_ppm
+       |FROM brank b FULL OUTER JOIN vrank v ON b.doc_id = v.vec_id
+       |ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // ---- lexical leg (q75b's BM25, top-20) ----
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val tf = tok.filter(col("term").isin("hash", "join", "scan"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+      (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+        (col("total").cast("double") / col("n"))))
+    def termSum(t: String) =
+      coalesce(sum(when(col("term") === t, col("c"))), lit(0.0))
+    val bm = tf.join(broadcast(dft), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("term"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(termSum("hash") + termSum("join") + termSum("scan"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    val brank = bm.withColumn("rb",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("rb"))
+    // ---- vector leg (cosine to vec 0, top-20) ----
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val vtop = e.crossJoin(broadcast(q))
+      .withColumn("dist", vec_cosine_distance(col("qvec"), col("embedding")))
+      .orderBy(col("dist"), col("vec_id")).limit(20)
+    val vrank = vtop.withColumn("rv",
+      row_number().over(Window.orderBy(col("dist"), col("vec_id"))).cast("int"))
+      .select(col("vec_id"), col("rv"))
+    // ---- fusion over the two bounded 20-row sets ----
+    brank.join(vrank, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        coalesce(col("rb"), lit(0)).as("rb"),
+        coalesce(col("rv"), lit(0)).as("rv"),
+        (when(col("rb").isNull, 0L)
+          .otherwise(expr("1000000L div (60 + rb)")) +
+         when(col("rv").isNull, 0L)
+          .otherwise(expr("1000000L div (60 + rv)"))).cast("long").as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q50VecNorms, q51KnnBrute, q51bKnnPartial, q51cKnnFiltered, q52VecMetrics,
-    q53AnnLsh, q54EmbedNearDup, q56AnnPq, q58AnnIvf)
+    q53AnnLsh, q54EmbedNearDup, q56AnnPq, q58AnnIvf, q187HybridRrf)
 }
