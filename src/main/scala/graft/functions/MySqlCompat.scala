@@ -103,6 +103,18 @@ object MySqlCompat {
       .otherwise(v).cast(DecimalType(p, s))
   }
 
+  /** MySQL decimal-division result scale: scale(dividend) +
+    * div_precision_increment (session variable, default 4), rounded
+    * HALF_UP — the rule `a/b` and `avg()` obey on MySQL/TiFlash
+    * (`tests/fullstack-test2/variables/
+    * set_variable_div_precision_increment.test`: decimal(3,1)/decimal
+    * → 5 fractional digits; Spark's own rule is max(6, s1+p2+1)). */
+  def mysql_div(a: Column, b: Column, scaleA: Int, inc: Int = 4): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val s = scaleA + inc
+    (a.cast(DecimalType(38, math.min(s + 6, 30))) / b).cast(DecimalType(38, s))
+  }
+
   /** MySQL datetime/date→numeric form: yyyymmddhhmmss(.ffffff) /
     * yyyymmdd as a DECIMAL(20,6), the value CAST(time AS SIGNED) and
     * CAST(time AS DECIMAL) truncate/round from
