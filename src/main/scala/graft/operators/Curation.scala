@@ -664,7 +664,7 @@ object Curation {
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dropped"),
         sum(when(col("rn") === 1, length(col("span")).cast("long"))
           .otherwise(0L)).as("kept_chars"))
-  }
+  }.copy(headline = true)
 
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
