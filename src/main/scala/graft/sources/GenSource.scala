@@ -6,8 +6,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -64,7 +66,7 @@ private[sources] class GenTable(rows: Long, slices: Int)
 
 private[sources] class GenScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo = 0L // inclusive id lower bound after pushdown
   private var hi = rows // exclusive id upper bound after pushdown
   private var pushed = Array.empty[Filter]
@@ -72,6 +74,9 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
+      // every generated column is non-null: IsNotNull is vacuously true
+      // (and must be absorbed or it blocks aggregate pushdown)
+      case IsNotNull(_) => true
       case EqualTo("id", _: java.lang.Long | _: java.lang.Integer) => true
       case GreaterThan("id", _: java.lang.Long | _: java.lang.Integer) => true
       case GreaterThanOrEqual("id", _: java.lang.Long | _: java.lang.Integer) => true
@@ -96,7 +101,46 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GenScan(rows, slices, lo, hi, required)
+  // ---- aggregate pushdown (≙ the reference's coprocessor-level
+  // aggregation: TiDB pushes the partial agg INTO the storage read,
+  // `Flash/Coprocessor/DAGStorageInterpreter.cpp`) ----
+  private var aggregation: Option[Aggregation] = None
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+
+  /** Accept COUNT(*) / COUNT(col) / MIN(id) / MAX(id), optionally
+    * grouped by `tag` — each computable from the generator arithmetic
+    * without materializing a single row. Partial pushdown: every
+    * partition emits its group partials; Spark runs the final merge. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groupsOk = agg.groupByExpressions.toSeq match {
+      case Seq() => true
+      case Seq(g) => fieldOf(g).contains("tag")
+      case _ => false
+    }
+    val aggsOk = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        // every generated column is non-null, so COUNT(any non-distinct
+        // expr) over a partition equals its row count
+        case c: Count => !c.isDistinct
+        case m: Min => fieldOf(m.column).contains("id")
+        case m: Max => fieldOf(m.column).contains("id")
+        case _ => false
+      }
+    if (groupsOk && aggsOk) { aggregation = Some(agg); true } else false
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  override def build(): Scan = aggregation match {
+    case Some(agg) => new GenAggScan(rows, slices, lo, hi, agg)
+    case None => new GenScan(rows, slices, lo, hi, required)
+  }
 }
 
 private[sources] case class GenPartition(start: Long, end: Long)
@@ -123,6 +167,75 @@ private[sources] class GenScan(rows: Long, slices: Int, lo: Long, hi: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GenReaderFactory(required)
+}
+
+/** Storage-side aggregation: each surviving partition computes its
+  * group partials (COUNT/MIN/MAX over the contiguous id range) from the
+  * generator arithmetic — O(groups) work, zero rows materialized, the
+  * exact shape of the reference's cop-level partial aggregation. */
+private[sources] class GenAggScan(rows: Long, slices: Int, lo: Long, hi: Long,
+    agg: Aggregation) extends Scan with Batch {
+  private val grouped = agg.groupByExpressions.nonEmpty
+
+  override def readSchema(): StructType = {
+    // group-by columns FIRST, then the aggregate partials — the layout
+    // V2ScanRelationPushDown expects from a partial-pushdown scan
+    var s = new StructType()
+    if (grouped) s = s.add("tag", StringType)
+    agg.aggregateExpressions.zipWithIndex.foreach { case (_, i) =>
+      s = s.add(s"agg$i", LongType)
+    }
+    s
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_gen AGG-pushed rows=$rows prunedRange=[$lo,$hi) grouped=$grouped"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + slices - 1) / slices)
+    (0 until slices).iterator
+      .map(i => GenPartition(i * per, math.min(rows, (i + 1) * per)))
+      .filter(p => p.end > lo && p.start < hi)
+      .map(p => GenPartition(math.max(p.start, lo), math.min(p.end, hi)))
+      .filter(p => p.end > p.start)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val aggCount = agg.aggregateExpressions.length
+    val isMin = agg.aggregateExpressions.map(_.isInstanceOf[Min])
+    val isMax = agg.aggregateExpressions.map(_.isInstanceOf[Max])
+    val g = grouped
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[GenPartition]
+        // per (partition, tag-group) partials from pure arithmetic
+        val groups: Seq[(Option[Int], Long, Long, Long)] =
+          if (!g) Seq((None, p.end - p.start, p.start, p.end - 1))
+          else (0 until 7).flatMap { tag =>
+            val first = p.start + (((tag - (p.start % 7).toInt) + 7) % 7)
+            if (first >= p.end) None
+            else {
+              val n = (p.end - 1 - first) / 7 + 1
+              Some((Some(tag), n, first, first + 7 * (n - 1)))
+            }
+          }
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < groups.length }
+          override def get(): InternalRow = {
+            val (tag, n, mn, mx) = groups(i)
+            val aggVals: Seq[Any] = (0 until aggCount).map { k =>
+              if (isMin(k)) mn else if (isMax(k)) mx else n
+            }
+            InternalRow.fromSeq(
+              tag.map(t => UTF8String.fromString("t" + t)).toSeq ++ aggVals)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
 }
 
 private[sources] class GenReaderFactory(required: StructType)

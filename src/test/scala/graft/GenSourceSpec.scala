@@ -68,4 +68,38 @@ class GenSourceSpec extends SparkTestBase {
     assert(agg.size === 7 && agg.values.sum === 1400)
     assert(agg("t0") === 200)
   }
+
+  test("aggregate pushdown: grouped COUNT/MIN/MAX computed inside the source") {
+    // ≙ the reference's coprocessor-level partial aggregation — the
+    // storage read emits group partials, no row is materialized
+    val q = gen(rows = 10001, slices = 8).groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG-pushed"), s"aggregate not pushed:\n$plan")
+    val got = q.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    for (t <- 0 until 7) {
+      val ids = (0L until 10001L).filter(_ % 7 == t)
+      assert(got(s"t$t") === ((ids.length.toLong, ids.min, ids.max)), s"tag t$t")
+    }
+  }
+
+  test("aggregate pushdown: ungrouped COUNT(*)/MIN/MAX with a pushed id range") {
+    val q = gen(rows = 10001, slices = 8)
+      .where(col("id") >= 100 && col("id") < 5000)
+      .agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(q.queryExecution.executedPlan.toString.contains("AGG-pushed"))
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4900L, 100L, 4999L)))
+  }
+
+  test("aggregate pushdown: unsupported aggregates fall back to the row scan, same results") {
+    val q = gen(rows = 1000).groupBy(col("tag")).agg(sum(col("val")).as("s"))
+    assert(!q.queryExecution.executedPlan.toString.contains("AGG-pushed"))
+    val direct = (0L until 1000L).groupBy(id => "t" + id % 7)
+      .map { case (t, ids) => t -> ids.map(graft.sources.GenSource.valOf).sum }
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === direct)
+  }
 }
