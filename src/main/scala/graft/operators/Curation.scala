@@ -666,10 +666,44 @@ object Curation {
           .otherwise(0L)).as("kept_chars"))
   }.copy(headline = true)
 
+  /** Curriculum decile assignment (staged-training data ordering:
+    * bucket the corpus by a quality proxy into 10 exact global deciles,
+    * easy→hard). The global rank runs through
+    * [[graft.operators.ScalableSort.globalRowNumber]] — range partition
+    * + per-partition rank + broadcast offsets — NEVER an unpartitioned
+    * window over the corpus, so the assignment is exact at any scale;
+    * scores and buckets are pure integer math (micro-chars-per-word,
+    * floor-divided decile index). */
+  val q188CurriculumBuckets: QueryDef = QueryDef(
+    "q188_curriculum_buckets",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    length(text) * 1000000 // len(string_split_regex(trim(text), '\s+')) AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, score,
+      |    row_number() OVER (ORDER BY score, doc_id) AS rn,
+      |    COUNT(*) OVER () AS total
+      |  FROM s)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score,
+      |  CAST((rn - 1) * 10 // total AS INTEGER) AS bucket
+      |FROM r""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"),
+      expr("length(text) * 1000000L div size(split(trim(text), '\\\\s+'))")
+        .as("score"))
+    val ranked = graft.operators.ScalableSort.globalRowNumber(
+      scored, "rn", 32, col("score"), col("doc_id"))
+    val total = scored.agg(count(lit(1)).as("total"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("score"),
+        expr("cast((rn - 1) * 10 div total as int)").as("bucket"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
       q139NgramDecontaminate, q140WeightedSample, q146Chunking,
       q161UrlCanonicalize, q162UnicodeNormalize, q163HtmlStrip,
       q164Boilerplate, q166CharEntropy, q182DsirWeights, q183GopherRules,
-      q186SpanDedup)
+      q186SpanDedup, q188CurriculumBuckets)
 }
