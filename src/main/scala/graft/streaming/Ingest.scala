@@ -44,6 +44,56 @@ object Ingest {
       .drop("rn")
   }
 
+  /** Background compaction POLICY ≙ the reference's GC triggers
+    * (`/root/reference/dbms/src/Storages/DeltaMerge/
+    * DeltaMergeStore_InternalBg.cpp:572-637`): a segment compacts when
+    * MVCC garbage crosses a ratio threshold. Two triggers, mirrored
+    * exactly:
+    *
+    *  - `shouldCompactStableWithTooManyInvalidVersion`: ratio < 1 →
+    *    always; no data older than the GC safepoint → never; else
+    *    versions > rows·ratio (many superseded versions) or
+    *    versions > puts·ratio (many non-effective versions);
+    *  - `shouldCompactDeltaWithStable`: nothing delete-ranged → never;
+    *    else delete_rows ≥ stable_rows·ratio OR delete_bytes ≥
+    *    stable_bytes·ratio — `≥` (not `>`) so an all-delta segment with
+    *    stable_rows = 0 still compacts (the small-table edge the
+    *    reference comments on).
+    */
+  object CompactionPolicy {
+    final case class SegmentStats(
+        numRows: Long, // distinct live pks in the stable snapshot
+        numPuts: Long, // non-delete changelog entries
+        numVersions: Long, // total changelog entries
+        gcHintVersion: Long) // oldest version that GC could reclaim
+
+    def shouldCompactInvalidVersions(
+        s: SegmentStats, gcSafepoint: Long, ratio: Double): Boolean =
+      if (ratio < 1.0) true
+      else if (s.gcHintVersion > gcSafepoint) false
+      else s.numVersions > s.numRows * ratio || s.numVersions > s.numPuts * ratio
+
+    def shouldCompactDeleteRange(
+        deleteRows: Long, deleteBytes: Long,
+        stableRows: Long, stableBytes: Long, ratio: Double): Boolean =
+      (deleteRows > 0 || deleteBytes > 0) &&
+        (deleteRows >= stableRows * ratio || deleteBytes >= stableBytes * ratio)
+
+    /** Derive the per-table stats the triggers need from a versioned
+      * changelog — one aggregate scan (the reference reads them from
+      * per-segment properties). */
+    def stats(versionedDf: DataFrame): SegmentStats = {
+      val r = versionedDf.agg(
+        approx_count_distinct(col("user_id")).as("rows"),
+        sum(when(!col("delmark"), 1L).otherwise(0L)).as("puts"),
+        count(lit(1)).as("versions"),
+        min(col("version")).as("gc_hint")).first()
+      if (r.isNullAt(2) || r.getLong(2) == 0L) SegmentStats(0, 0, 0, Long.MaxValue)
+      else SegmentStats(r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3))
+    }
+  }
+
   /** Compaction ≙ background delta-merge: fold the changelog into a
     * stable table holding only live rows at the max version. */
   def compact(versionedDf: DataFrame): DataFrame = {

@@ -41,4 +41,39 @@ class MvccSpec extends SparkTestBase {
     val empty = changelog.filter($"version" < 0)
     assert(Ingest.compact(empty).count() === 0L)
   }
+
+  test("compaction policy mirrors the reference GC triggers") {
+    import Ingest.CompactionPolicy._
+    // ratio < 1 → always compact (DeltaMergeStore_InternalBg.cpp:579-580)
+    assert(shouldCompactInvalidVersions(SegmentStats(100, 100, 100, 0), 50, 0.5))
+    // nothing older than the safepoint → never
+    assert(!shouldCompactInvalidVersions(SegmentStats(10, 10, 100, 60), 50, 2.0))
+    // many superseded versions: versions > rows·ratio
+    assert(shouldCompactInvalidVersions(SegmentStats(10, 100, 25, 0), 50, 2.0))
+    // many non-effective versions: versions > puts·ratio
+    assert(shouldCompactInvalidVersions(SegmentStats(100, 10, 25, 0), 50, 2.0))
+    // healthy segment: neither bound crossed
+    assert(!shouldCompactInvalidVersions(SegmentStats(100, 100, 150, 0), 50, 2.0))
+    // delete-range trigger: rows OR bytes ratio, with the >= zero-stable
+    // small-table edge (delete range present, stable empty → compact)
+    assert(shouldCompactDeleteRange(10, 1000, 100, 100000, 0.1))
+    assert(shouldCompactDeleteRange(1, 100, 0, 0, 0.1))
+    assert(!shouldCompactDeleteRange(0, 0, 0, 0, 0.1))
+    assert(!shouldCompactDeleteRange(5, 500, 100, 100000, 0.1))
+  }
+
+  test("compaction-policy stats derive from the changelog in one aggregate scan") {
+    import Ingest.CompactionPolicy
+    val s = CompactionPolicy.stats(changelog)
+    assert(s.numVersions === changelog.count())
+    assert(s.numPuts === changelog.where(!$"delmark").count())
+    assert(s.gcHintVersion ===
+      changelog.agg(org.apache.spark.sql.functions.min($"version")).first().getLong(0))
+    // a churny changelog (many versions per pk) trips the version trigger
+    // once the safepoint passes its oldest version
+    assert(CompactionPolicy.shouldCompactInvalidVersions(
+      s.copy(numRows = s.numVersions / 10), gcSafepoint = Long.MaxValue, ratio = 2.0))
+    val empty = CompactionPolicy.stats(changelog.filter($"version" < 0))
+    assert(empty === CompactionPolicy.SegmentStats(0, 0, 0, Long.MaxValue))
+  }
 }
