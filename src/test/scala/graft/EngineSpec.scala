@@ -59,4 +59,36 @@ class EngineSpec extends SparkTestBase {
     assert(spark.sql("SELECT nfc_normalize('Café')").head().getString(0)
       === "Café")
   }
+
+  test("MySQL-JSON and regexp surfaces are pure-SQL callable") {
+    graft.Engine.attach(spark, "/root/testdata/sf0.001")
+    val j = spark.sql(
+      """SELECT
+        |  mysql_json_extract('{"a":{"b":[1,2]}}', '$.a.b[1]') AS ex,
+        |  mysql_json_unquote(mysql_json_extract('{"k":"v"}', '$.k')) AS unq,
+        |  mysql_json_keys('{"bb":1, "a":2}') AS ks,
+        |  mysql_json_length('[1,2,3]') AS len,
+        |  mysql_json_valid('{"x":1}') AS ok,
+        |  mysql_json_contains_path('{"a":1}', 'one', '$.a') AS cp,
+        |  mysql_json_array('1', '"s"') AS arr,
+        |  mysql_json_object('k', '1') AS obj,
+        |  mysql_cast_string_as_json(' {"z" :  1} ') AS norm
+        |""".stripMargin).head()
+    assert(j.getString(0) === "2")
+    assert(j.getString(1) === "v")
+    assert(j.getString(2) === """["a", "bb"]""") // length-then-bytes key order
+    assert(j.getInt(3) === 3 && j.getInt(4) === 1 && j.getInt(5) === 1)
+    assert(j.getString(6) === """[1, "s"]""")
+    assert(j.getString(7) === """{"k": 1}""")
+    assert(j.getString(8) === """{"z": 1}""")
+    val r = spark.sql(
+      """SELECT
+        |  mysql_regexp_instr('aBb', 'bb', 1, 1, 0, 'i') AS pos,
+        |  mysql_regexp_substr('seafood', 'foo(.?)', 1, 1, '') AS sub,
+        |  mysql_regexp_replace('seafood fool', 'foo(.?)', '[\\1]', 1, 0, '') AS rep
+        |""".stripMargin).head()
+    assert(r.getInt(0) === 2)
+    assert(r.getString(1) === "food")
+    assert(r.getString(2) === "sea[d] [l]")
+  }
 }
