@@ -8,7 +8,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,12 +30,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * val = (id*2654435761) % 1000003 (deterministic hash),
   * tag = "t" + id % 7.
   *
-  * Pushdown honored: `SupportsPushDownRequiredColumns` prunes the
-  * generated columns; `SupportsPushDownFilters` accepts range/equality
-  * predicates on `id` (reported in explain as PushedFilters) and uses
-  * them both to skip partitions wholesale and to narrow the generated
-  * range inside surviving partitions. All other predicates stay with
-  * Spark as post-scan filters.
+  * Pushdown honored — the reference's full storage-read surface:
+  * `SupportsPushDownRequiredColumns` prunes the generated columns;
+  * `SupportsPushDownFilters` accepts range/equality predicates on `id`
+  * (reported as PushedFilters, used to skip partitions wholesale and
+  * narrow the generated range); `SupportsPushDownAggregates` computes
+  * COUNT/MIN/MAX group partials inside the source (cop-level partial
+  * aggregation); `SupportsPushDownLimit`/`SupportsPushDownTopN`
+  * truncate the id range (TopN over the keep-order handle column);
+  * `SupportsRuntimeFiltering` narrows partitions at EXECUTION time
+  * from a join build side's id set (`DataStreams/RuntimeFilter.h`).
+  * Everything else stays with Spark as post-scan work.
   */
 class GenSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -64,9 +70,10 @@ private[sources] class GenTable(rows: Long, slices: Int)
     new GenScanBuilder(rows, slices)
 }
 
-private[sources] class GenScanBuilder(rows: Long, slices: Int)
+private[graft] class GenScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var lo = 0L // inclusive id lower bound after pushdown
   private var hi = rows // exclusive id upper bound after pushdown
   private var pushed = Array.empty[Filter]
@@ -137,30 +144,93 @@ private[sources] class GenScanBuilder(rows: Long, slices: Int)
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
-  override def build(): Scan = aggregation match {
-    case Some(agg) => new GenAggScan(rows, slices, lo, hi, agg)
-    case None => new GenScan(rows, slices, lo, hi, required)
+  // ---- limit / top-N pushdown (≙ the reference's TopN executor pushed
+  // into the storage read when the sort key is the handle column —
+  // `Plans/PhysicalTopN.cpp` over a keep-order TableScan) ----
+  private var limit: Option[Int] = None
+  private var topNDesc = false
+  private var partiallyPushed = false
+
+  /** The generated table is id-ordered, so a bare LIMIT truncates the
+    * id range exactly (LIMIT has no ordering contract, so emitting the
+    * first n surviving ids from parallel partitions is a COMPLETE
+    * pushdown). */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = partiallyPushed
+
+  /** ORDER BY id [DESC] LIMIT n — the storage order IS the id order, so
+    * the scan narrows to the n ids at the matching END of the range.
+    * Partitions are read in parallel (no cross-partition order
+    * guarantee), so this is a PARTIAL pushdown: Spark re-sorts the ≤n
+    * surviving rows — the reference's partial-sort-then-merge TopN
+    * (`MergeSortingBlockInputStream.cpp`). */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val onId = orders.length == 1 && (orders.head.expression() match {
+      case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+      case _ => false
+    })
+    if (!onId) return false
+    limit = Some(n)
+    topNDesc = orders.head.direction() == SortDirection.DESCENDING
+    partiallyPushed = true
+    true
+  }
+
+  override def build(): Scan = {
+    val (l, h) = limit match {
+      case Some(n) if !topNDesc => (lo, math.min(hi, lo + n))
+      case Some(n) => (math.max(lo, hi - n), hi)
+      case None => (lo, hi)
+    }
+    aggregation match {
+      case Some(agg) => new GenAggScan(rows, slices, lo, hi, agg)
+      case None => new GenScan(rows, slices, l, h, required)
+    }
   }
 }
 
 private[sources] case class GenPartition(start: Long, end: Long)
     extends InputPartition
 
-private[sources] class GenScan(rows: Long, slices: Int, lo: Long, hi: Long,
-    required: StructType) extends Scan with Batch {
+private[graft] class GenScan(rows: Long, slices: Int, lo: Long, hi: Long,
+    required: StructType) extends Scan with Batch with SupportsRuntimeFiltering {
+  // runtime narrowing from a join's build side (≙ the reference's
+  // RuntimeFilter: the hash-join build pushes an IN / MIN_MAX filter
+  // into the probe-side TableScan at EXECUTION time,
+  // `DataStreams/RuntimeFilter.h:25-91`)
+  private var rtLo = lo
+  private var rtHi = hi
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("id", values) if values.nonEmpty =>
+      val longs = values.collect { case n: Number => n.longValue() }
+      if (longs.nonEmpty) {
+        rtLo = math.max(rtLo, longs.min)
+        rtHi = math.min(rtHi, longs.max + 1)
+      }
+    case _ => () // unsupported runtime filters are advisory only
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_gen rows=$rows slices=$slices prunedRange=[$lo,$hi)"
 
   /** Rough-set skip: a partition whose [start,end) id range misses the
-    * pushed [lo,hi) bound is never planned — the MinMaxIndex analog. */
+    * pushed (and runtime-narrowed) [lo,hi) bound is never planned — the
+    * MinMaxIndex analog. */
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (rows + slices - 1) / slices)
     (0 until slices).iterator
       .map(i => GenPartition(i * per, math.min(rows, (i + 1) * per)))
-      .filter(p => p.end > lo && p.start < hi) // min/max skip
-      .map(p => GenPartition(math.max(p.start, lo), math.min(p.end, hi)))
+      .filter(p => p.end > rtLo && p.start < rtHi) // min/max skip
+      .map(p => GenPartition(math.max(p.start, rtLo), math.min(p.end, rtHi)))
       .filter(p => p.end > p.start)
       .toArray
   }
