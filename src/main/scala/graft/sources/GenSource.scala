@@ -196,7 +196,18 @@ private[sources] case class GenPartition(start: Long, end: Long)
     extends InputPartition
 
 private[graft] class GenScan(rows: Long, slices: Int, lo: Long, hi: Long,
-    required: StructType) extends Scan with Batch with SupportsRuntimeFiltering {
+    required: StructType) extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+  /** Keep-order scan (≙ the reference TableScan's keep_order option —
+    * DeltaTree data arrives handle-sorted, `DAGStorageInterpreter.cpp`):
+    * each partition emits ids ascending, so Spark can elide
+    * partition-local sorts on the handle column. */
+  override def outputOrdering(): Array[SortOrder] =
+    if (required.fieldNames.contains("id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column("id"),
+        SortDirection.ASCENDING))
+    else Array.empty
   // runtime narrowing from a join's build side (≙ the reference's
   // RuntimeFilter: the hash-join build pushes an IN / MIN_MAX filter
   // into the probe-side TableScan at EXECUTION time,

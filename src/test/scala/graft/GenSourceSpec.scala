@@ -146,6 +146,23 @@ class GenSourceSpec extends SparkTestBase {
     assert(parts.length === 1, parts.mkString(","))
   }
 
+  test("keep-order scan: reported id ordering elides the partition-local sort") {
+    // ≙ the TableScan keep_order option — handle-sorted storage output
+    val q = gen(rows = 100000, slices = 8).where(col("id") > 1000)
+      .sortWithinPartitions(col("id"))
+      .select(col("id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), s"reported ordering should elide the sort:\n$plan")
+    // and the data really is partition-locally ascending
+    import spark.implicits._
+    val ok = q.mapPartitions { it =>
+      var prev = Long.MinValue; var sorted = true
+      it.foreach { r => val v = r.getLong(0); if (v < prev) sorted = false; prev = v }
+      Iterator.single(sorted)
+    }.collect()
+    assert(ok.forall(identity))
+  }
+
   test("aggregate pushdown: unsupported aggregates fall back to the row scan, same results") {
     val q = gen(rows = 1000).groupBy(col("tag")).agg(sum(col("val")).as("s"))
     assert(!q.queryExecution.executedPlan.toString.contains("AGG-pushed"))
