@@ -66,6 +66,37 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("all-tables schema drift canary: every column the queries rely on, at every SF dir") {
+    // Generalizes the events-ts canary to the whole catalog: if the
+    // driver regenerates ANY table with a changed column set, this one
+    // named test fails instead of dozens of downstream suites. Types
+    // are pinned loosely (name presence + a 1-row read) because benign
+    // width changes (int32/int64) are absorbed by Spark casts.
+    val expected: Map[String, Seq[String]] = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"),
+      "events" -> Seq("event_id", "user_id", "event_type", "ts", "value"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      for ((name, cols) <- expected) {
+        val df = Tables.load(spark, d, name)
+        val have = df.columns.toSet
+        val missing = cols.filterNot(have)
+        assert(missing.isEmpty, s"$d/$name: missing columns $missing (have $have)")
+        assert(df.limit(1).count() === 1L, s"$d/$name: 1-row read failed")
+      }
+    }
+  }
+
   test("a corrupted single table breaks only its own view, not the other nine") {
     // Failure isolation in Relational.views: one table's schema drift /
     // corrupt file must never poison unrelated queries (in round 5 one
