@@ -49,7 +49,8 @@ class GenSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new GenTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("partitionByTag", "false").toBoolean)
 }
 
 object GenSource {
@@ -60,14 +61,61 @@ object GenSource {
   def tagOf(id: Long): String = "t" + (id % 7)
 }
 
-private[sources] class GenTable(rows: Long, slices: Int)
+private[sources] class GenTable(rows: Long, slices: Int, tagged: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_gen($rows)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, slices)
+    if (tagged) new GenTagScanBuilder(rows) else new GenScanBuilder(rows, slices)
+}
+
+/** Storage-partitioned variant: one input partition per `tag` value,
+  * each declaring its partition key, with the scan reporting
+  * KeyGroupedPartitioning(identity(tag)) — Spark's storage-partitioned
+  * join then co-locates two such tables WITHOUT any exchange, the DSv2
+  * form of the reference's partitioned MPP exchange elision /
+  * fine-grained pre-bucketed streams
+  * (`docs/design/2022-06-14-fine-grained-shuffle.md`). */
+private[graft] class GenTagScanBuilder(rows: Long) extends ScanBuilder {
+  override def build(): Scan = new GenTagScan(rows)
+}
+
+private[graft] case class GenTagPartition(tag: Int, rows: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString("t" + tag))
+}
+
+private[graft] class GenTagScan(rows: Long) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  override def readSchema(): StructType = GenSource.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_gen TAG-partitioned rows=$rows"
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("tag")), 7)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until 7).map(t => GenTagPartition(t, rows): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[GenTagPartition]
+        new PartitionReader[InternalRow] {
+          private var cur = p.tag.toLong - 7
+          override def next(): Boolean = { cur += 7; cur < p.rows }
+          override def get(): InternalRow = InternalRow(
+            cur, GenSource.valOf(cur), UTF8String.fromString(GenSource.tagOf(cur)))
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 private[graft] class GenScanBuilder(rows: Long, slices: Int)

@@ -163,6 +163,36 @@ class GenSourceSpec extends SparkTestBase {
     assert(ok.forall(identity))
   }
 
+  test("storage-partitioned join: two tag-partitioned tables join with NO exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def tagged(rows: Long) = spark.read.format("graft.sources.GenSource")
+      .option("rows", rows.toString).option("partitionByTag", "true").load()
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = tagged(700).groupBy(col("tag")).agg(count(lit(1)).as("na"))
+      val b = tagged(1400).groupBy(col("tag")).agg(count(lit(1)).as("nb"))
+      val j = a.join(b, "tag")
+      val shuffles = j.queryExecution.executedPlan
+        .collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"storage-partitioned join must not shuffle:\n${j.queryExecution.executedPlan}")
+      val got = j.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === (0 until 7).map(t => (s"t$t", 100L, 200L)).toSet)
+    } finally {
+      prevBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("aggregate pushdown: unsupported aggregates fall back to the row scan, same results") {
     val q = gen(rows = 1000).groupBy(col("tag")).agg(sum(col("val")).as("s"))
     assert(!q.queryExecution.executedPlan.toString.contains("AGG-pushed"))
