@@ -205,7 +205,48 @@ object ScalarQueries5 {
         json_unquote(json_extract(col("js"), lit("$.meta.src"))).as("deep_src"))
   }
 
+  /** MySQL regexp argument surface over the corpus: REGEXP_SUBSTR at
+    * occurrence 1 and 2, REGEXP_INSTR with both return options,
+    * REGEXP_REPLACE of every occurrence, plus built-in regexp_count —
+    * the (pos, occurrence, return_option, match_type) family
+    * (`functions/MySqlRegexp.scala` ≙ `FunctionsRegexp.h`); the DuckDB
+    * oracle re-derives each column with its own regexp functions
+    * (occurrence-2 via regexp_extract_all indexing, instr via matched
+    * prefix length). */
+  val q189MySqlRegexp: QueryDef = QueryDef(
+    "q189_mysql_regexp",
+    """SELECT doc_id,
+      |  regexp_extract(text, '[a-z]+a[a-z]*') AS first_a_word,
+      |  regexp_extract_all(text, '[a-z]+a[a-z]*')[2] AS second_a_word,
+      |  CAST(CASE WHEN regexp_matches(text, 'join')
+      |       THEN length(regexp_extract(text, '^(.*?)join', 1)) + 1
+      |       ELSE 0 END AS INTEGER) AS join_pos,
+      |  CAST(CASE WHEN regexp_matches(text, 'join')
+      |       THEN length(regexp_extract(text, '^(.*?)join', 1)) + 5
+      |       ELSE 0 END AS INTEGER) AS join_end,
+      |  CAST(len(regexp_extract_all(text, '(scan|sort)')) AS INTEGER) AS n_hits,
+      |  regexp_replace(text[1:60], '[aeiou]+', '#', 'g') AS vowels_gone
+      |FROM documents""".stripMargin) { (s, d) =>
+    import MySqlRegexpFunctions._
+    // empty-match convention differs between engines only on NO-match:
+    // DuckDB regexp_extract returns '' where MySQL returns NULL — the
+    // corpus always matches, so the column is total either way
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      mysql_regexp_substr(col("text"), lit("[a-z]+a[a-z]*"), lit(1), lit(1), lit(""))
+        .as("first_a_word"),
+      mysql_regexp_substr(col("text"), lit("[a-z]+a[a-z]*"), lit(1), lit(2), lit(""))
+        .as("second_a_word"),
+      mysql_regexp_instr(col("text"), lit("join"), lit(1), lit(1), lit(0), lit(""))
+        .as("join_pos"),
+      mysql_regexp_instr(col("text"), lit("join"), lit(1), lit(1), lit(1), lit(""))
+        .as("join_end"),
+      expr("regexp_count(text, '(scan|sort)')").cast("int").as("n_hits"),
+      mysql_regexp_replace(substring(col("text"), 1, 60), lit("[aeiou]+"), lit("#"),
+        lit(1), lit(0), lit("")).as("vowels_gone"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q153BitStringTail, q154AesRoundtrip, q159LaxCasts, q160DateStringTail,
-      q185MySqlJson)
+      q185MySqlJson, q189MySqlRegexp)
 }
