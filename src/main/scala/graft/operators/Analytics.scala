@@ -435,8 +435,72 @@ object Analytics {
       round(regr_avgy(y, x), 6).as("ay"))
   }
 
+  /** Cohort × funnel conversion: per first-activity-day cohort, the
+    * fraction of users who completed ≥1 view→click→purchase funnel
+    * (q123's chained-window flags joined to q124's cohort table). Every
+    * stage keys on user_id — the funnel windows, the first-activity
+    * aggregate, and the join share ONE co-partitioned exchange at
+    * scale; the final cell aggregate is weeks-sized. Conversion is
+    * exact integer ppm. */
+  val q190CohortFunnel: QueryDef = QueryDef(
+    "q190_cohort_funnel",
+    """WITH w1 AS (SELECT user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'view' THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_type
+      |       ROWS UNBOUNDED PRECEDING) AS last_view
+      |  FROM events),
+      |w2 AS (SELECT *, CASE WHEN event_type = 'click'
+      |      AND last_view >= ts - INTERVAL 1 DAY THEN ts END AS qts
+      |  FROM w1),
+      |w3 AS (SELECT *, max(qts) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_type
+      |     ROWS UNBOUNDED PRECEDING) AS last_qclick
+      |  FROM w2),
+      |converted AS (SELECT DISTINCT user_id FROM w3
+      |  WHERE event_type = 'purchase' AND last_qclick >= ts - INTERVAL 1 DAY),
+      |cohorts AS (SELECT user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) AS BIGINT)
+      |      AS cohort_day
+      |  FROM events GROUP BY user_id)
+      |SELECT cohort_day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |       // COUNT(*) AS BIGINT) AS conv_ppm
+      |FROM cohorts LEFT JOIN converted c USING (user_id)
+      |GROUP BY cohort_day""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val day = expr("INTERVAL 1 DAY")
+    val ev = Tables.events(s, d)
+    val converted = ev.select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("qts",
+        when(col("event_type") === "click" &&
+          col("last_view") >= col("ts") - day, col("ts")))
+      .withColumn("last_qclick", max(col("qts")).over(w))
+      .where(col("event_type") === "purchase" &&
+        col("last_qclick") >= col("ts") - day)
+      .select(col("user_id")).distinct()
+      .withColumn("converted", lit(1))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        datediff(to_date(col("first_ts")), lit("2024-01-01"))
+          .cast("long").as("cohort_day"))
+    cohorts.join(converted, Seq("user_id"), "left_outer")
+      .groupBy(col("cohort_day"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(coalesce(col("converted"), lit(0))).cast("long").as("n_converted"),
+        expr("sum(coalesce(converted, 0)) * 1000000L div count(1)")
+          .as("conv_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
-    q151RatioToReport, q165RegrAggs)
+    q151RatioToReport, q165RegrAggs, q190CohortFunnel)
 }
