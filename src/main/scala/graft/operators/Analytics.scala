@@ -499,8 +499,44 @@ object Analytics {
           .as("conv_ppm"))
   }
 
+  /** DAU / WAU stickiness: per activity day, the exact distinct actives
+    * that day and over the trailing 7 days, ratio in integer ppm. The
+    * corpus collapses ONCE to distinct (day, user) pairs (one shuffle);
+    * the trailing window is a bounded 7× fan-out of that (already
+    * aggregated) pair table — never a second scan of the raw events —
+    * and WAU is an exact distinct over the fanned pairs. */
+  val q191Stickiness: QueryDef = QueryDef(
+    "q191_stickiness",
+    """WITH du AS (SELECT DISTINCT
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+      |    user_id
+      |  FROM events),
+      |fan AS (SELECT du2.day + o.off AS day, du2.user_id
+      |  FROM du du2 CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o),
+      |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM fan
+      |  WHERE day IN (SELECT day FROM du) GROUP BY day),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day)
+      |SELECT day, dau.dau AS dau, wau.wau AS wau,
+      |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+      |FROM dau JOIN wau USING (day)""".stripMargin) { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    // a pair active on day X contributes to the trailing window of
+    // days X..X+6; keep only days that actually exist
+    val fan = du.select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+      col("user_id"))
+    val wau = fan.join(du.select(col("day")).distinct(), "day")
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000L div wau").as("stickiness_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
-    q151RatioToReport, q165RegrAggs, q190CohortFunnel)
+    q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness)
 }
