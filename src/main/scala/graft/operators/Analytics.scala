@@ -535,8 +535,42 @@ object Analytics {
         expr("dau * 1000000L div wau").as("stickiness_ppm"))
   }
 
+  /** Time-to-convert distribution: for each user whose first purchase
+    * follows their first view, the latency in hours, bucketed into a
+    * half-day histogram. ONE user-keyed aggregate computes both
+    * conditional firsts (no self-join of the event log); the histogram
+    * is a tiny second aggregate. All integer math (µs → hours → 12h
+    * buckets, floor division). */
+  val q192TimeToConvert: QueryDef = QueryDef(
+    "q192_time_to_convert",
+    """WITH f AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_buy
+      |  FROM events GROUP BY user_id),
+      |lat AS (SELECT user_id,
+      |    (first_buy - first_view) // 3600000000 AS hours
+      |  FROM f WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+      |    AND first_buy >= first_view)
+      |SELECT CAST(hours // 12 AS BIGINT) AS bucket_12h,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(min(hours) AS BIGINT) AS min_hours,
+      |  CAST(max(hours) AS BIGINT) AS max_hours
+      |FROM lat GROUP BY 1""".stripMargin) { (s, d) =>
+    val f = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("first_buy"))
+    f.where(col("first_view").isNotNull && col("first_buy").isNotNull &&
+        col("first_buy") >= col("first_view"))
+      .select(expr("(first_buy - first_view) div 3600000000L").as("hours"))
+      .groupBy(expr("hours div 12").as("bucket_12h"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("hours")).as("min_hours"), max(col("hours")).as("max_hours"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
-    q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness)
+    q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness,
+    q192TimeToConvert)
 }
