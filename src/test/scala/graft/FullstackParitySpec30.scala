@@ -67,4 +67,37 @@ class FullstackParitySpec30 extends SparkTestBase {
     assert(a.getString(2) === "1.2572000")
     assert(a.getString(3) === "1.257456000")
   }
+
+  test("decimal/arithmetic.test: +,-,×,÷ with the MySQL division scale") {
+    import graft.functions.MySqlCompat.mysql_div
+    val t = Seq(("9", "99"), ("-9", "-99")).toDF("s1", "s2")
+      .select($"s1".cast("decimal(10,0)").as("d1"), $"s2".cast("decimal(10,0)").as("d2"))
+    val got = t.select(
+      ($"d1" + $"d2").cast("long"), ($"d1" - $"d2").cast("long"),
+      ($"d1" * $"d2").cast("long"),
+      mysql_div($"d1", $"d2", scaleA = 0).cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq((108L, -90L, 891L, "0.0909"), (-108L, 90L, 891L, "0.0909")))
+  }
+
+  test("mydatetime/compare.test: fractional-second compare and zero-component ordering") {
+    // zero-component datetimes ride the q100 string-sentinel convention:
+    // '1991-00-00 …' sorts before every real 1991-09 datetime, exactly
+    // as MyDateTime's packed ordering does
+    val vals = Seq("1991-09-05 11:11:11.00000", "1991-09-05 11:11:11.12300",
+      "1991-00-00 11:11:11.00000")
+    val t = vals.toDF("a")
+    assert(t.orderBy($"a").collect().map(_.getString(0)).toSeq === Seq(
+      "1991-00-00 11:11:11.00000", "1991-09-05 11:11:11.00000",
+      "1991-09-05 11:11:11.12300"))
+    // fractional seconds distinguish otherwise-equal datetimes
+    assert(t.where($"a" > "1991-09-05 11:11:11.00000")
+      .collect().map(_.getString(0)).toSeq === Seq("1991-09-05 11:11:11.12300"))
+    assert(t.where($"a" < "1991-01-01 00:00:00.00000").count() === 1L) // the zero date
+    // real timestamps compare with sub-second resolution too
+    val real = Seq("1991-09-05 11:11:11", "1991-09-05 11:11:11.123").toDF("s")
+      .select($"s".cast("timestamp").as("ts"))
+    assert(real.agg(max($"ts").cast("string")).collect().head.getString(0)
+      === "1991-09-05 11:11:11.123")
+  }
 }
