@@ -500,11 +500,14 @@ object Analytics {
   }
 
   /** DAU / WAU stickiness: per activity day, the exact distinct actives
-    * that day and over the trailing 7 days, ratio in integer ppm. The
-    * corpus collapses ONCE to distinct (day, user) pairs (one shuffle);
-    * the trailing window is a bounded 7× fan-out of that (already
-    * aggregated) pair table — never a second scan of the raw events —
-    * and WAU is an exact distinct over the fanned pairs. */
+    * that day and over the trailing 7 days, ratio in integer ppm. Each
+    * leg collapses the corpus to distinct (day, user) pairs in one
+    * shuffle (Catalyst folds the DAU leg's distinct+count into a single
+    * two-phase distinct aggregate, so the two legs' subtrees differ and
+    * each reads the fact once — two scans total, the textbook cost of
+    * exact DAU+WAU); the trailing window is a bounded 7× fan-out of the
+    * aggregated pair table, never an event-log self-join, and synthetic
+    * fan days drop out in the final inner join. */
   val q191Stickiness: QueryDef = QueryDef(
     "q191_stickiness",
     """WITH du AS (SELECT DISTINCT
@@ -524,11 +527,13 @@ object Analytics {
         col("user_id"))
       .distinct()
     val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    // a pair active on day X contributes to the trailing window of
-    // days X..X+6; keep only days that actually exist
-    val fan = du.select(explode(sequence(col("day"), col("day") + 6)).as("day"),
-      col("user_id"))
-    val wau = fan.join(du.select(col("day")).distinct(), "day")
+    // a pair active on day X contributes to the trailing window of days
+    // X..X+6; synthetic days with no real activity are dropped by the
+    // final INNER join with dau — no extra day-filter pass needed, and
+    // the identical du subtrees let ReuseExchange serve both branches
+    // from one corpus shuffle
+    val wau = du
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("user_id"))
       .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, "day")
       .select(col("day"), col("dau"), col("wau"),
