@@ -66,5 +66,42 @@ object ApproxTopK {
       .select(posexplode(split(col("sketch"), ";")).as(Seq("rank", "entry")))
   }
 
-  val all: Seq[QueryDef] = Seq(q137ApproxTopK)
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): d=4 hash rows ×
+    * w=512 buckets of pure `groupBy` counts — the mergeable frequency
+    * sketch behind streaming heavy-hitter estimation. Point queries
+    * take the MIN over the d cells a key hashes to, guaranteeing
+    * estimate ≥ truth with excess ≤ εN at constant probability per
+    * row (amplified by the min over independent rows).
+    *
+    * Everything is DataFrame algebra over codegen'd `xxhash64` — no
+    * UDF, no driver state: the 2048-cell sketch is a map-side-combined
+    * aggregate (mergeable across partitions/streams exactly like the
+    * reference's partial-aggregate states), and the probe side
+    * re-derives each candidate's d cells and joins the broadcast
+    * sketch. Output: the exact top-20 tokens with true vs estimated
+    * counts. Hash-dependent → rows-only; the ContractsSpec pins
+    * est ≥ true and the εN excess bound.
+    */
+  val cmRows = 4
+  val cmBuckets = 512
+
+  val q198CountMin: QueryDef = QueryDef.noOracle("q198_countmin") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val seeds = array((1 to cmRows).map(lit): _*)
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("*"), explode(seeds).as("row"))
+      .withColumn("bucket", pmod(xxhash64(col("tok"), col("row")), lit(cmBuckets)))
+    val sketch = cells(toks)
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cell"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_c"))
+      .orderBy(col("true_c").desc, col("tok")).limit(20)
+    cells(top)
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("tok"), col("true_c"))
+      .agg(min(col("cell")).as("est_c"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q137ApproxTopK, q198CountMin)
 }

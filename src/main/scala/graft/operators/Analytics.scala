@@ -573,9 +573,202 @@ object Analytics {
         min(col("hours")).as("min_hours"), max(col("hours")).as("max_hours"))
   }
 
+  /** Markov event-path analysis: the first-order transition matrix of
+    * the event stream — for every (src, dst) event-type pair, how often
+    * dst immediately follows src within a user's timeline, and the
+    * transition probability in exact integer ppm. ONE user-keyed
+    * window (lead over a deterministic total order) derives successor
+    * pairs without a positional self-join; the pair aggregate is
+    * |types|²-sized, so the closing probability window runs over a
+    * constant-size table. The per-user event timeline never leaves its
+    * hash partition — at 100 TB this is one corpus shuffle.
+    */
+  val q193EventPaths: QueryDef = QueryDef(
+    "q193_event_paths",
+    """WITH t AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_type, event_id) AS next_type
+      |  FROM events),
+      |p AS (SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+      |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+      |FROM p""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p_ppm",
+        expr("n * 1000000L div sum(n) over (partition by src)"))
+      .select(col("src"), col("dst"), col("n"), col("p_ppm"))
+  }
+
+  /** Last-touch attribution: each purchase's revenue is credited to the
+    * most recent preceding non-purchase event (the "channel") within a
+    * 7-day lookback. The preceding touch is recovered from a running
+    * MAX over a packed (µs·8 + type-code) encoding — order-independent
+    * under timestamp ties and portable to the oracle without
+    * IGNORE-NULLS window support — over the same single user-keyed
+    * exchange the funnel queries use; the revenue rollup is a
+    * |types|-sized aggregate. Revenue sums are exact decimal.
+    */
+  val q194Attribution: QueryDef = QueryDef(
+    "q194_attribution",
+    """WITH e AS (SELECT user_id, ts, event_type, value, event_id,
+      |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |      WHEN 'signup' THEN 3 WHEN 'error' THEN 4 END AS code
+      |  FROM events),
+      |t AS (SELECT user_id, ts, event_type, value,
+      |    max(CASE WHEN code IS NOT NULL
+      |          THEN epoch_us(ts) * 8 + code END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_type, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS enc
+      |  FROM e),
+      |a AS (SELECT CASE CAST(enc % 8 AS INT) WHEN 1 THEN 'view'
+      |        WHEN 2 THEN 'click' WHEN 3 THEN 'signup'
+      |        WHEN 4 THEN 'error' END AS channel, value
+      |  FROM t WHERE event_type = 'purchase' AND enc IS NOT NULL
+      |    AND enc // 8 >= epoch_us(ts - INTERVAL 7 DAY))
+      |SELECT channel, CAST(COUNT(*) AS BIGINT) AS purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+      |FROM a GROUP BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val code = expr(
+      """CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |  WHEN 'signup' THEN 3 WHEN 'error' THEN 4 END""".stripMargin)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+        col("event_id"), code.as("code"))
+      .withColumn("enc",
+        max(when(col("code").isNotNull,
+          unix_micros(col("ts")) * 8 + col("code"))).over(w))
+      .where(col("event_type") === "purchase" && col("enc").isNotNull &&
+        expr("enc div 8") >= unix_micros(col("ts") - expr("INTERVAL 7 DAY")))
+      .select(
+        expr("""CASE CAST(enc % 8 AS INT) WHEN 1 THEN 'view'
+                |  WHEN 2 THEN 'click' WHEN 3 THEN 'signup'
+                |  WHEN 4 THEN 'error' END""".stripMargin).as("channel"),
+        col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("purchases"), dsum(col("value")).as("revenue"))
+  }
+
+  /** RFM segmentation: per customer, Recency (days from last order to
+    * the corpus max order date), Frequency (order count) and Monetary
+    * (exact cents), each quartiled 0–3. Quartiles are assigned from
+    * the scale-safe global row_number (`ScalableSort`, range-partition
+    * + per-partition rank + offset — never a single-task ORDER BY), so
+    * the shape survives a billion-customer table; ties break on
+    * custkey, making the bucket assignment bit-deterministic and
+    * reproducible in the oracle with a plain row_number. The three
+    * ranked legs re-join on custkey (co-partitioned hash joins of
+    * customer-sized tables).
+    */
+  val q195Rfm: QueryDef = QueryDef(
+    "q195_rfm",
+    """WITH m AS (SELECT o_custkey AS custkey,
+      |    max(CAST(o_orderdate AS DATE)) AS last_order,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) * 100 AS BIGINT)
+      |      AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |x AS (SELECT custkey,
+      |    date_diff('day', last_order,
+      |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS recency,
+      |    freq, monetary_cents, COUNT(*) OVER () AS total FROM m),
+      |r AS (SELECT *,
+      |    row_number() OVER (ORDER BY recency, custkey) AS rn_r,
+      |    row_number() OVER (ORDER BY freq, custkey) AS rn_f,
+      |    row_number() OVER (ORDER BY monetary_cents, custkey) AS rn_m
+      |  FROM x)
+      |SELECT custkey, CAST(recency AS BIGINT) AS recency,
+      |  CAST(freq AS BIGINT) AS freq, monetary_cents,
+      |  CAST((rn_r - 1) * 4 // total AS INTEGER) AS r_q,
+      |  CAST((rn_f - 1) * 4 // total AS INTEGER) AS f_q,
+      |  CAST((rn_m - 1) * 4 // total AS INTEGER) AS m_q
+      |FROM r""".stripMargin) { (s, d) =>
+    val ords = Tables.orders(s, d)
+    val m = ords.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("freq"),
+        (sum(col("o_totalprice").cast("decimal(30,2)")) * 100)
+          .cast("long").as("monetary_cents"))
+    val maxDate = ords.agg(max(col("o_orderdate").cast("date")).as("max_d"))
+    val x = m.crossJoin(broadcast(maxDate))
+      .select(col("custkey"),
+        datediff(col("max_d"), col("last_order")).cast("long").as("recency"),
+        col("freq"), col("monetary_cents"))
+    val total = x.agg(count(lit(1)).as("total"))
+    def leg(metric: String, rn: String) =
+      ScalableSort.globalRowNumber(
+        x.select(col("custkey"), col(metric)), rn, 32,
+        col(metric), col("custkey"))
+        .select(col("custkey"), col(rn))
+    x.join(leg("recency", "rn_r"), "custkey")
+      .join(leg("freq", "rn_f"), "custkey")
+      .join(leg("monetary_cents", "rn_m"), "custkey")
+      .crossJoin(broadcast(total))
+      .select(col("custkey"), col("recency"), col("freq").cast("long").as("freq"),
+        col("monetary_cents"),
+        expr("cast((rn_r - 1) * 4 div total as int)").as("r_q"),
+        expr("cast((rn_f - 1) * 4 div total as int)").as("f_q"),
+        expr("cast((rn_m - 1) * 4 div total as int)").as("m_q"))
+  }
+
+  /** Seasonal anomaly detection: hourly event-count cells vs their
+    * (event_type, hour-of-day) seasonal baseline, flagging cells more
+    * than 3σ from the mean. The test is evaluated in EXACT integer
+    * arithmetic — |c − S/n| > 3σ  ⇔  (c·n − S)² > 9·(n·Σc² − S²) —
+    * so Spark and the oracle agree bit-for-bit with no float
+    * tolerance. (At extreme per-cell counts the squares would need a
+    * decimal widening; BIGINT holds to c·n < 3·10⁹.)
+    *
+    * Scale shape: the corpus collapses to (type, day, hour) cells in
+    * one map-side-combined aggregate; the baseline is a |types|·24
+    * second-level rollup of THOSE cells (no second corpus pass), and
+    * the probe join broadcasts it.
+    */
+  val q199HourlyAnomaly: QueryDef = QueryDef(
+    "q199_hourly_anomaly",
+    """WITH cells AS (SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+      |      AS day,
+      |    CAST(extract(hour FROM ts) AS INT) AS hour, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |base AS (SELECT event_type, hour, COUNT(*) AS n,
+      |    SUM(c) AS s, SUM(c * c) AS ss FROM cells GROUP BY 1, 2)
+      |SELECT event_type, day, hour, CAST(c AS BIGINT) AS c,
+      |  CAST(s // n AS BIGINT) AS mean_floor
+      |FROM cells JOIN base USING (event_type, hour)
+      |WHERE (c * n - s) * (c * n - s) > 9 * (n * ss - s * s)""".stripMargin) {
+    (s, d) =>
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day"),
+          hour(col("ts")).as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val base = cells.groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("ss"))
+      cells.join(broadcast(base), Seq("event_type", "hour"))
+        .where((col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s"))
+          > lit(9) * (col("n") * col("ss") - col("s") * col("s")))
+        .select(col("event_type"), col("day"), col("hour"),
+          col("c").cast("long").as("c"),
+          expr("s div n").cast("long").as("mean_floor"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
     q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness,
-    q192TimeToConvert)
+    q192TimeToConvert, q193EventPaths, q194Attribution, q195Rfm,
+    q199HourlyAnomaly)
 }

@@ -422,7 +422,132 @@ object LangModel {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** PMI collocation mining: pointwise mutual information
+    * ln(N·c(a,b) / (c(a)·c(b))) for every adjacent word pair seen ≥ 5
+    * times — the classic collocation/multi-word-expression detector
+    * (Church & Hanks 1990) used to build tokenizer merge seeds and
+    * phrase lists. PMI is quantized to micro-nats on the PAIR table
+    * (one `ln` per distinct surviving pair).
+    *
+    * Scale shape: one corpus bigram explode feeds a pair groupBy whose
+    * output is Heaps-bounded; unigram counts derive from the SAME pair
+    * table (sum over w1) plus a last-token-per-doc correction, so the
+    * corpus is scanned once for pairs and once for exact unigram
+    * counts — both map-side-combined aggregates. The c(a)/c(b) lookups
+    * join the bounded vocab table twice (broadcast at any realistic
+    * vocab size); nothing corpus-sized is shuffled more than once.
+    */
+  val q196PmiCollocations: QueryDef = QueryDef(
+    "q196_pmi_collocations",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |                        x -> x <> '')) AS w
+      |  FROM documents),
+      |uni AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+      |tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |                 x -> x <> '') AS ws FROM documents),
+      |pairs AS (
+      |  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+      |  FROM tok WHERE len(ws) >= 2),
+      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM pairs
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT w1, w2, CAST(cb.c AS BIGINT) AS n_pair,
+      |  CAST(round(ln(cb.c * 1.0 * n.n / (u1.c * 1.0 * u2.c)) * 1000000)
+      |       AS BIGINT) AS pmi6
+      |FROM cb JOIN uni u1 ON cb.w1 = u1.w
+      |        JOIN uni u2 ON cb.w2 = u2.w, n""".stripMargin) { (s, d) =>
+    val w = words(s, d)
+    val uni = w.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).cast("long").as("n"))
+    val tok = docs(s, d).select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = tok.select(
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 5)
+    cb.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .join(broadcast(n))
+      .select(col("w1"), col("w2"), col("c").as("n_pair"),
+        round(log(col("c") * lit(1.0) * col("n") /
+          (col("c1") * lit(1.0) * col("c2"))) * 1000000)
+          .cast("long").as("pmi6"))
+  }
+
+  /** Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    * Goodman 1998 formulation, fixed discount D = 0.75):
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1)
+    *            + D·N1+(w1,•)/c(w1) · N1+(•,w2)/N1+(•,•)
+    *
+    * — the smoothing real perplexity gates use (KenLM's default),
+    * distinguishing words that appear in MANY contexts from words that
+    * are merely frequent. Since we score the training corpus itself,
+    * every scored bigram has c ≥ 1 > D, so the discounted term stays
+    * positive and no backoff-only path is needed.
+    *
+    * Determinism: one `ln` per distinct bigram, quantized to
+    * micro-nats on the pair table; doc scores are exact BIGINT sums.
+    *
+    * Scale shape: identical to q174 — one corpus bigram explode, all
+    * model tables (pair counts, left/right continuation counts) are
+    * Heaps-bounded derivatives of it, and scoring is a single
+    * (w1,w2)-keyed join; continuation totals ride a 1-row broadcast.
+    */
+  val q197KneserNey: QueryDef = QueryDef(
+    "q197_kneser_ney",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |                 x -> x <> '') AS ws FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+      |         unnest(ws[2:len(ws)]) AS w2
+      |  FROM tok WHERE len(ws) >= 2),
+      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+      |cw AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw,
+      |              COUNT(*) AS n1f FROM cb GROUP BY w1),
+      |cont AS (SELECT w2, COUNT(*) AS n1b FROM cb GROUP BY w2),
+      |tot AS (SELECT COUNT(*) AS t FROM cb),
+      |lp AS (SELECT w1, w2,
+      |    CAST(round(ln((c - 0.75) / cw
+      |        + 0.75 * n1f / cw * n1b / t) * 1000000) AS BIGINT) AS lp6
+      |  FROM cb JOIN cw USING (w1) JOIN cont USING (w2), tot)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(-SUM(lp6) AS BIGINT) AS nll6
+      |FROM pairs JOIN lp USING (w1, w2) GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val tok = docs(s, d).select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = tok.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val cw = cb.groupBy(col("w1"))
+      .agg(sum(col("c")).cast("long").as("cw"), count(lit(1)).as("n1f"))
+    val cont = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val tot = cb.agg(count(lit(1)).as("t"))
+    val lp = cb.join(cw, "w1").join(cont, "w2").join(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(log((col("c") - 0.75) / col("cw")
+          + lit(0.75) * col("n1f") / col("cw") * col("n1b") / col("t"))
+          * 1000000).cast("long").as("lp6"))
+    pairs.join(lp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("lp6"))).cast("long").as("nll6"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
-      q175TextRank, q176NaiveBayes, q177TfIdf)
+      q175TextRank, q176NaiveBayes, q177TfIdf, q196PmiCollocations,
+      q197KneserNey)
 }

@@ -56,4 +56,45 @@ class AnalyticsSpec extends SparkTestBase {
     assert(week0 == users,
       s"every user must appear in their own cohort's week 0 ($week0 != $users)")
   }
+
+  test("q193 event paths: per-source probabilities sum to ~1e6 ppm") {
+    val r = SparkEntry.queries("q193_event_paths")(spark, sf)
+    // floor division loses at most (#dst - 1) ppm per source
+    val bad = r.groupBy("src")
+      .agg(sum("p_ppm").as("tot"), count(lit(1)).as("k"))
+      .filter(col("tot") > 1000000 || col("tot") <= lit(1000000) - col("k"))
+    assert(bad.isEmpty, "transition rows must partition each source's mass")
+    // and total transitions = events - one terminal per user
+    val ev = sources.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(r.agg(sum("n")).head().getLong(0) == expected)
+  }
+
+  test("q193 event paths: single corpus exchange feeds the pair aggregate") {
+    val p = finalPlan("q193_event_paths")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"expected one user_id exchange:\n$p")
+  }
+
+  test("q194 attribution credits only non-purchase channels within lookback") {
+    val r = SparkEntry.queries("q194_attribution")(spark, sf).collect()
+    val channels = r.map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("view", "click", "signup", "error")))
+    // attributed purchases cannot exceed total purchases
+    val total = sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(r.map(_.getLong(1)).sum <= total)
+  }
+
+  test("q195 RFM: quartiles are balanced and keyed once per customer") {
+    val r = SparkEntry.queries("q195_rfm")(spark, sf)
+    val n = r.count()
+    assert(r.select("custkey").distinct().count() == n, "one row per customer")
+    // each quartile holds between floor(n/4) and ceil(n/4) customers
+    for (c <- Seq("r_q", "f_q", "m_q")) {
+      val sizes = r.groupBy(c).count().collect().map(_.getLong(1))
+      assert(sizes.length == 4 && sizes.max - sizes.min <= 1,
+        s"$c quartiles unbalanced: ${sizes.mkString(",")}")
+    }
+  }
 }

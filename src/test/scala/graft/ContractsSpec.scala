@@ -184,4 +184,37 @@ class ContractsSpec extends SparkTestBase {
     assert(mn >= 0.0 && mx < 1.0)
     assert(math.abs(total / n - 0.5) < 0.05, s"mean ${total / n} far from 0.5")
   }
+
+  test("q198 count-min sketch honors the one-sided εN error bound") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q198_countmin")(spark, sf).collect()
+    assert(r.length == 20, "exact top-20 probe set")
+    // CMS never underestimates
+    assert(r.forall(x => x.getLong(2) >= x.getLong(1)),
+      "count-min must be one-sided: est >= true")
+    val n = sources.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "").count()
+    // ε = e/w per row; the min over 4 rows sits far below one row's
+    // expected excess on deterministic data — allow 2·e·N/w slack
+    val bound = (2 * math.E * n) / functions.ApproxTopK.cmBuckets
+    assert(r.forall(x => (x.getLong(2) - x.getLong(1)) <= bound),
+      s"excess above ${bound.toLong}: " +
+        r.map(x => s"${x.getString(0)}:${x.getLong(2) - x.getLong(1)}").mkString(","))
+    // and the sketch is genuinely mergeable: cells are plain sums, so
+    // a two-way split of the corpus must reproduce identical cells
+    val toks = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("tok"), explode(array((1 to 4).map(lit): _*)).as("row"))
+      .withColumn("bucket", pmod(xxhash64(col("tok"), col("row")), lit(512)))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cell"))
+    val whole = cellsOf(toks)
+    val merged = cellsOf(toks.filter(col("doc_id") % 2 === 0))
+      .union(cellsOf(toks.filter(col("doc_id") % 2 === 1)))
+      .groupBy("row", "bucket").agg(sum("cell").as("cell"))
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty,
+      "split-and-merge must equal the one-shot sketch")
+  }
 }

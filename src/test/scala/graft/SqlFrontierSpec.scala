@@ -105,4 +105,29 @@ class SqlFrontierSpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(5) == r.getLong(0)), "id must round-trip")
     assert(rows.forall(r => r.isNullAt(2)), "missing path must be NULL")
   }
+
+  test("q196 PMI: symmetric in count bounds and capped by -ln p(a)p(b)") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q196_pmi_collocations")(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(2) >= 5),
+      "HAVING >= 5 must hold")
+    // PMI <= min(-ln p(a), -ln p(b)) <= ln N; micro-nat cap with slack
+    val n = sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    val cap = (math.log(n.toDouble) * 1e6).toLong + 1000
+    assert(rows.forall(x => math.abs(x.getLong(3)) <= cap),
+      "micro-nat PMI out of information-theoretic range")
+  }
+
+  test("q196 PMI plan: corpus pair stream shuffles once into the pair aggregate") {
+    val p = planOf("q196_pmi_collocations")
+    // pair-key exchange + unigram-key exchange(s) are Heaps-bounded;
+    // the corpus-sized explode must feed exactly one hash exchange on
+    // (w1, w2) — no positional self-join of the token stream
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    assert("Exchange hashpartitioning\\(w1".r.findAllIn(p).length <= 2,
+      s"pair stream must not re-shuffle:\n$p")
+  }
 }
