@@ -138,5 +138,146 @@ object Tokenizer {
       .toDF("rank", "left", "right", "freq")
   }
 
-  val all: Seq[QueryDef] = Seq(q157BpeTrain, q158BpeEncode)
+  val all: Seq[QueryDef] = Seq(q157BpeTrain, q158BpeEncode,
+    UnigramTokenizer.q200UnigramTok)
+}
+
+/** Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+  * SentencePiece "unigram" algorithm behind T5/ALBERT tokenizers),
+  * hard-EM (Viterbi) variant: seed a substring vocabulary from corpus
+  * frequencies, then alternate (E) best segmentation of every word
+  * under current piece log-probs with (V) re-estimating piece
+  * probabilities from the segmentation counts. The complement of BPE
+  * above: BPE grows merges bottom-up, unigram prunes a rich seed
+  * top-down to the pieces that EXPLAIN the corpus.
+  *
+  * Scale shape (same discipline as `Tokenizer.bpeTrain`): everything
+  * iterative runs on the DISTINCT-word table (Heaps-bounded, ≪
+  * corpus — the corpus is shuffled exactly once to build it). The
+  * piece table is capped at `seedSize` + alphabet, so each EM round is
+  * one broadcast of the vocab map + one word-table scan + one
+  * piece-keyed partial aggregate; the vocab collect is the same
+  * bounded driver materialization as the k-means centroid collect
+  * (`Clustering.scala`), NOT a corpus collect.
+  *
+  * Determinism: piece log-probs are quantized to integer micro-nats
+  * once per piece; the Viterbi DP sums those integers (no float adds),
+  * ties prefer the longer trailing piece — bit-identical at any
+  * partitioning or merge order, which the TokenizerSpec partition-
+  * invariance test pins.
+  */
+object UnigramTokenizer {
+  val maxPieceLen = 4
+
+  /** All substrings of length 1..maxPieceLen, count-weighted — pure
+    * codegen HOFs, no UDF (the corpus-independent seed step). */
+  def substringCounts(words: DataFrame): DataFrame =
+    words.select(col("wcnt"), explode(expr(
+      s"""flatten(transform(sequence(1, length(word)), i ->
+         |  transform(sequence(i, least(i + ${maxPieceLen - 1}, length(word))),
+         |            j -> substring(word, i, j - i + 1))))""".stripMargin))
+        .as("piece"))
+      .groupBy("piece").agg(sum(col("wcnt")).as("cnt"))
+
+  /** Integer micro-nat log-probs from counts (one ln per piece). */
+  private def quantize(counts: Map[String, Long]): Map[String, Long] = {
+    val total = counts.values.sum.toDouble
+    counts.map { case (p, c) =>
+      p -> math.round(math.log(c / total) * 1e6)
+    }
+  }
+
+  /** Viterbi segmentation maximizing the integer micro-nat score; ties
+    * prefer the longer trailing piece. Single-char coverage makes every
+    * word segmentable. */
+  def viterbi(word: String, lp6: Map[String, Long]): Seq[String] = {
+    val n = word.length
+    val NEG = Long.MinValue / 4
+    val best = Array.fill(n + 1)(NEG)
+    val back = new Array[Int](n + 1)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val maxL = math.min(maxPieceLen, i)
+      while (l <= maxL) {
+        if (best(i - l) > NEG) {
+          lp6.get(word.substring(i - l, i)) match {
+            case Some(p) =>
+              val s = best(i - l) + p
+              if (s > best(i) || (s == best(i) && l > back(i))) {
+                best(i) = s; back(i) = l
+              }
+            case None =>
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (best(n) <= NEG) return word.map(_.toString) // unreachable w/ char floor
+    var j = n
+    var acc: List[String] = Nil
+    while (j > 0) { acc = word.substring(j - back(j), j) :: acc; j -= back(j) }
+    acc
+  }
+
+  /** Train: seed → `iters` hard-EM rounds; returns the final
+    * (piece, expected count, lp6) vocabulary, count-desc. */
+  def train(docs: DataFrame, seedSize: Int, iters: Int): Seq[(String, Long, Long)] = {
+    val spark = docs.sparkSession
+    val words = Tokenizer.wordTable(docs).select("word", "wcnt").cache()
+    try {
+      // seed: top substrings by weighted count (deterministic tiebreak)
+      // + every single char (coverage floor)
+      val subs = substringCounts(words)
+      val top = subs.where(length(col("piece")) >= 2)
+        .orderBy(desc("cnt"), asc("piece")).limit(seedSize).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val chars = subs.where(length(col("piece")) === 1).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      var counts: Map[String, Long] = (top ++ chars).toMap
+      val charSet = chars.map(_._1).toSet
+
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(quantize(counts))
+        val seg = udf((w: String) => viterbi(w, bc.value))
+        val used = words
+          .select(col("wcnt"), explode(seg(col("word"))).as("piece"))
+          .groupBy("piece").agg(sum(col("wcnt")).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        bc.destroy()
+        // M-step: pieces the corpus used, plus a floor count for every
+        // single char so coverage never collapses
+        counts = used ++ charSet.filterNot(used.contains).map(_ -> 1L)
+        it += 1
+      }
+      val lp = quantize(counts)
+      counts.toSeq.sortBy { case (p, c) => (-c, p) }
+        .map { case (p, c) => (p, c, lp(p)) }
+    } finally words.unpersist()
+  }
+
+  /** Corpus Viterbi log-likelihood under a trained vocab — the hard-EM
+    * objective (used by the monotonicity contract). */
+  def corpusScore(docs: DataFrame, vocab: Seq[(String, Long, Long)]): Long = {
+    val lp6 = vocab.map { case (p, _, l) => p -> l }.toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(lp6)
+    val score = udf((w: String) =>
+      viterbi(w, bc.value).map(bc.value).sum)
+    Tokenizer.wordTable(docs)
+      .select((score(col("word")) * col("wcnt")).as("s"))
+      .agg(sum(col("s"))).head().getLong(0)
+  }
+
+  /** The trained vocabulary over the documents corpus. Iterative EM is
+    * not SQL-expressible → rows-only; the paper-behavior contracts
+    * (coverage, EM monotonicity, compression, partition invariance)
+    * live in `TokenizerSpec`. */
+  val q200UnigramTok: QueryDef = QueryDef.noOracle("q200_unigram_tok") { (s, d) =>
+    import s.implicits._
+    train(Tables.documents(s, d), seedSize = 200, iters = 2)
+      .toDF("piece", "cnt", "lp6")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Tokenizer
+import graft.operators.{Tokenizer, UnigramTokenizer}
 
 /** Ground-truth contract for distributed BPE training (q157 is
   * rows-only — the iterative argmax is not oracle-expressible): the
@@ -87,5 +87,61 @@ class TokenizerSpec extends SparkTestBase {
     // "ab" supports exactly one merge; asking for 5 must return 1.
     val merges = Tokenizer.bpeTrain(tiny, numMerges = 5)
     assert(merges === Seq((0, "a", "b", 1L)))
+  }
+
+  // ---- unigram-LM (SentencePiece) trainer, q200 -----------------------
+
+  test("unigram: every word Viterbi-segments back to itself (coverage)") {
+    val vocab = UnigramTokenizer.train(paperCorpus, seedSize = 50, iters = 2)
+    val lp6 = vocab.map { case (p, _, l) => p -> l }.toMap
+    for (w <- Seq("low", "lower", "newest", "widest", "zzzq")) {
+      // zzzq: unseen chars fall back to the per-char path only if its
+      // chars exist; use seen-alphabet words for the strict check
+      if (w != "zzzq")
+        assert(UnigramTokenizer.viterbi(w, lp6).mkString === w,
+          s"segmentation of '$w' must concatenate back")
+    }
+    // single-char floor: the whole training alphabet is in the vocab
+    val alphabet = "lowernstwid".toSet.map((c: Char) => c.toString)
+    assert(alphabet.subsetOf(lp6.keySet))
+  }
+
+  test("unigram: hard-EM corpus score is monotonically non-decreasing") {
+    val v1 = UnigramTokenizer.train(paperCorpus, seedSize = 50, iters = 1)
+    val v2 = UnigramTokenizer.train(paperCorpus, seedSize = 50, iters = 2)
+    val v3 = UnigramTokenizer.train(paperCorpus, seedSize = 50, iters = 3)
+    val (s1, s2, s3) = (UnigramTokenizer.corpusScore(paperCorpus, v1),
+      UnigramTokenizer.corpusScore(paperCorpus, v2),
+      UnigramTokenizer.corpusScore(paperCorpus, v3))
+    assert(s2 >= s1, s"EM must not worsen the objective: $s1 -> $s2")
+    assert(s3 >= s2, s"EM must not worsen the objective: $s2 -> $s3")
+  }
+
+  test("unigram: learns multi-char pieces that compress the paper corpus") {
+    val vocab = UnigramTokenizer.train(paperCorpus, seedSize = 50, iters = 2)
+    val lp6 = vocab.map { case (p, _, l) => p -> l }.toMap
+    // the shared 'est' suffix of newest/widest (9 of 16 words) must
+    // survive EM as a used piece, and segmentations must beat chars
+    val segs = Seq("newest", "widest").map(w => UnigramTokenizer.viterbi(w, lp6))
+    assert(segs.forall(_.length < 6), s"no compression: $segs")
+    assert(segs.forall(_.exists(_.length >= 2)), "multi-char pieces unused")
+    // pieces reported with positive expected counts only
+    assert(vocab.forall(_._2 > 0))
+  }
+
+  test("unigram: training is invariant to partition count") {
+    val a = UnigramTokenizer.train(paperCorpus.repartition(1), 50, 2)
+    val b = UnigramTokenizer.train(paperCorpus.repartition(13), 50, 2)
+    assert(a === b, "vocab must be bit-identical at any partitioning")
+  }
+
+  test("q200 runs: vocabulary is deterministic, count-ordered, finite") {
+    val df = SparkEntry.queries("q200_unigram_tok")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 200 + 26)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      "must be count-descending")
+    assert(rows.forall(_.getLong(2) < 0), "log-probs are negative micro-nats")
   }
 }
