@@ -549,5 +549,8 @@ object LangModel {
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
       q175TextRank, q176NaiveBayes, q177TfIdf, q196PmiCollocations,
-      q197KneserNey)
+      // headline: the LM-scoring bench representative — two corpus
+      // explodes + a Heaps-bounded model join, the axis (corpus-scale
+      // string explode → model-table join) no other headliner covers
+      q197KneserNey.copy(headline = true))
 }
