@@ -178,6 +178,53 @@ object Ingest {
       .agg(sort_array(flatten(collect_list(col("postings")))).as("postings"),
         sum(col("df")).as("df"))
 
+  // ------------------------------------------------------------------
+  // Incremental aggregate materialized view (delta-merge for aggregates)
+
+  /** Per-batch PARTIAL aggregate states for the events rollup MV:
+    * (event_type, day) → count / exact-decimal value sum. These are
+    * the mergeable states the reference ships between MPP stages as
+    * `ColumnAggregateFunction` columns
+    * (`/root/reference/dbms/src/Columns/ColumnAggregateFunction.h`) —
+    * count and sum merge by addition, so segments fold without
+    * re-reading the fact stream. */
+  def aggPartial(batch: DataFrame): DataFrame =
+    batch.groupBy(col("event_type"),
+        to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(30,2)")).as("vsum"))
+
+  /** Incremental AGGREGATE-view maintenance, the delta-merge posture
+    * applied to a rollup: each micro-batch appends its partial states
+    * as an immutable segment; nothing existing is rewritten, so ingest
+    * cost per batch is O(batch), never O(history). The read view
+    * (`aggViewOf`) folds segments by re-adding the mergeable states —
+    * the reference's delta + stable read path; `compactAggState`
+    * collapses the segment pile into one, ≙ background delta-merge
+    * (`DeltaMergeStore_InternalBg.cpp`). */
+  def streamAggMaintain(spark: SparkSession, inputDir: String, statePath: String): Unit =
+    runAvailableNow(spark, inputDir, s"$statePath-ckpt",
+      prep = df => Tables.normalizeEventsTs(df)) { batch =>
+      aggPartial(batch).write.mode("append").parquet(statePath)
+    }
+
+  /** Fold the partial-state segments into the current MV contents.
+    * Identical result to a from-scratch groupBy over the full history;
+    * the fold input is segments × groups, not the event history. */
+  def aggViewOf(segments: DataFrame): DataFrame =
+    segments.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"))
+
+  /** Background compaction: rewrite the segment pile as ONE folded
+    * segment. Read-side results are unchanged (fold is associative).
+    * `localCheckpoint` materializes the folded states before the
+    * overwrite so the job never reads the path it is replacing — and
+    * stays distributed (no driver collect; the state table is
+    * group-cardinality-sized but that is no reason to funnel it). */
+  def compactAggState(spark: SparkSession, statePath: String): Unit =
+    aggViewOf(spark.read.parquet(statePath)).localCheckpoint(true)
+      .write.mode("overwrite").parquet(statePath)
+
   // ------------------------------------------------------------ queries
   /** MVCC snapshot as a verifiable query (read_ts fixed). */
   val q70MvccSnapshot: QueryDef = QueryDef(

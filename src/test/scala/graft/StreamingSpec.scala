@@ -419,4 +419,48 @@ class StreamingSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("tbucket"),
       s"term probe must partition-prune on tbucket:\n$plan")
   }
+
+  test("incremental aggregate MV: appended partial states fold to the batch rollup") {
+    val base = Files.createTempDirectory("graft-aggmv")
+    val in = base.resolve("in")
+    Files.createDirectories(in)
+    val state = base.toString + "/state"
+    val events = Tables.events(spark, sf)
+    // replay in two halves → two independent partial-state segments
+    // (staged as flat files: the stream source lists in/ non-recursively)
+    def addHalf(parity: Int): Unit = {
+      val stage = base.resolve(s"stage$parity")
+      events.filter(col("event_id") % 2 === parity)
+        .coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, in.resolve(s"half$parity.parquet"))
+    }
+    addHalf(0)
+    Ingest.streamAggMaintain(spark, in.toString, state)
+    addHalf(1)
+    Ingest.streamAggMaintain(spark, in.toString, state)
+
+    def mv = Ingest.aggViewOf(spark.read.parquet(state))
+      .select(col("event_type"), col("day"), col("cnt"),
+        col("vsum").cast("decimal(30,2)"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDecimal(3))).toSet
+    val batch = Ingest.aggPartial(events)
+      .select(col("event_type"), col("day"), col("cnt"),
+        col("vsum").cast("decimal(30,2)"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getDecimal(3))).toSet
+    assert(mv === batch && mv.nonEmpty,
+      "folded partial-state segments must equal the from-scratch rollup")
+    // at least two segments exist before compaction (append-only ingest)
+    val filesBefore = spark.read.parquet(state).inputFiles.length
+    assert(filesBefore >= 2, s"expected a segment pile, got $filesBefore files")
+    // background compaction collapses the pile without changing the view
+    Ingest.compactAggState(spark, state)
+    assert(mv === batch, "compaction must not change read results")
+    // a second compaction is a no-op fold of one segment
+    Ingest.compactAggState(spark, state)
+    assert(mv === batch)
+  }
 }
