@@ -791,11 +791,75 @@ object TextPipeline {
             greatest(col("raw_len"), lit(1L)).cast("double"), 6).as("ratio"))
     }
 
+  /** EXACT set-similarity join via prefix filtering (Chaudhuri et al.
+    * 2006 SSJoin; Bayardo et al. 2007 All-Pairs): every document pair
+    * with shingle-set Jaccard ≥ 0.5 — no false negatives, unlike the
+    * capped-blocking q63 and the probabilistic q61 MinHash-LSH. The
+    * prefix-filter theorem: order every set by one global token order
+    * and keep each set's first |r| − ⌈τ·|r|⌉ + 1 elements; any pair
+    * with J ≥ τ MUST share a prefix element, so the candidate join on
+    * prefix tokens is exact. Ordering by ascending document frequency
+    * makes prefixes the RAREST shingles, collapsing the join fan-out
+    * (the common-token quadratic blowup never happens).
+    *
+    * Scale shape: one corpus explode → df counts → `ScalableSort`
+    * global rank (range-partitioned, never a single-task window) →
+    * per-doc sorted rank arrays; ONE equi-join on prefix tokens
+    * generates candidates (size filter 2·min ≥ max applied in the
+    * join), then one joined verify pass computes exact integer
+    * intersection/union on the rank arrays. The oracle is the direct
+    * all-pairs join — agreeing with it IS the no-false-negative proof.
+    */
+  val q201SsjoinPrefix: QueryDef = QueryDef(
+    "q201_ssjoin_prefix",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
+      |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' ')
+      |    )) AS sh
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(sh) AS w FROM t),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+      |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(i.i AS BIGINT) AS inter,
+      |  CAST(s1.n + s2.n - i.i AS BIGINT) AS uni,
+      |  CAST(i.i * 1000000 // (s1.n + s2.n - i.i) AS BIGINT) AS jacc_ppm
+      |FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
+      |WHERE i.i * 2 >= (s1.n + s2.n - i.i)""".stripMargin) { (s, d) =>
+    val t = docs(s, d)
+      .select(col("doc_id"), array_distinct(shingles(tokens, 3)).as("sh"))
+    val e = t.select(col("doc_id"), explode(col("sh")).as("w"))
+    val dfTab = e.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    val ranked = ScalableSort.globalRowNumber(dfTab, "rank", 32,
+      col("dfc"), col("w")).select(col("w"), col("rank"))
+    val rs = e.join(ranked, "w")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("rank"))).as("rs"))
+      .withColumn("n", size(col("rs")))
+    // τ = 0.5 prefix length: n − ⌈n/2⌉ + 1
+    val pre = rs.select(col("doc_id"), col("n"),
+      explode(expr("slice(rs, 1, cast(n - ((n + 1) div 2) + 1 as int))")).as("r"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.r") === col("b.r") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    cand
+      .join(rs.select(col("doc_id").as("d1"), col("rs").as("rs1"), col("n").as("n1")), "d1")
+      .join(rs.select(col("doc_id").as("d2"), col("rs").as("rs2"), col("n").as("n2")), "d2")
+      .withColumn("inter", size(array_intersect(col("rs1"), col("rs2"))).cast("long"))
+      .withColumn("uni", (col("n1") + col("n2") - col("inter")).cast("long"))
+      .where(col("inter") * 2 >= col("uni"))
+      .select(col("d1"), col("d2"), col("inter"), col("uni"),
+        expr("inter * 1000000L div uni").as("jacc_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
     q85StratifiedSample, q86TrainTestSplit, q87RedactPii, q88UrlParse,
     q114DedupClusters, q115Repetition, q134CompressRatio,
-    q147DedupRepresentative)
+    q147DedupRepresentative, q201SsjoinPrefix)
 }

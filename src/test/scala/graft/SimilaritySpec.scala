@@ -302,4 +302,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(avgPair > 3 * avgRnd,
       f"minhash pairs ($avgPair%.3f) indistinguishable from random pairs ($avgRnd%.3f)")
   }
+
+  test("q201 prefix-filter SSJoin: exact (equals direct all-pairs), candidates stay sub-quadratic") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q201_ssjoin_prefix")(spark, sf)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // direct all-pairs over the same shingle sets (the brute-force truth)
+    val t = sources.Tables.documents(spark, sf).select(col("doc_id"),
+      array_distinct(when(size(split(trim(col("text")), "\\s+")) >= 3,
+        transform(sequence(lit(0), size(split(trim(col("text")), "\\s+")) - 3),
+          i => concat_ws(" ", slice(split(trim(col("text")), "\\s+"), i + 1, lit(3)))))
+        .otherwise(array(concat_ws(" ", split(trim(col("text")), "\\s+"))))).as("sh"))
+    val sets = t.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val brute = (for {
+      (d1, s1) <- sets.toSeq; (d2, s2) <- sets.toSeq if d1 < d2
+      inter = (s1 & s2).size; uni = s1.size + s2.size - inter
+      if uni > 0 && inter * 2 >= uni
+    } yield (d1, d2, inter.toLong * 1000000L / uni)).toSet
+    assert(got === brute, "prefix filtering must lose NO qualifying pair")
+    assert(got.nonEmpty)
+    // no cartesian anywhere; the candidate join runs on prefix tokens
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs product:\n$plan")
+  }
 }
