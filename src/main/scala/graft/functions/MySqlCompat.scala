@@ -911,6 +911,32 @@ object MySqlCompat {
     (sign * v).cast("long")
   }
 
+  /** MySQL TIME/Duration rendering from the storage encoding (Int64
+    * NANOSECONDS, `dbms/src/DataTypes/DataTypeMyDuration.h`) to the
+    * wire string `[-]HHH:MM:SS[.ffffff]` at fractional precision
+    * `fsp`: hours are NOT wrapped at 24 (TIME spans ±838:59:59), the
+    * sign prefixes the whole literal, nanos truncate to µs before the
+    * fsp quantization (`tests/delta-merge-test/query/misc/
+    * duration_cast.test`: -1000 ns @ fsp6 → '-00:00:00.000001',
+    * 2880610123460000 ns → '800:10:10.123460'). */
+  def mysql_duration_str(nanos: Column, fsp: Int): Column = {
+    require(fsp >= 0 && fsp <= 6)
+    val a = abs(nanos)
+    val us = (a / 1000L).cast("long") // truncating integer division
+    // format_string, not lpad: lpad TRUNCATES over-length values and
+    // TIME hours legitimately reach 3 digits (838)
+    val base = format_string("%02d:%02d:%02d",
+      (us / lit(3600000000L)).cast("long"),
+      (us % 3600000000L / 60000000L).cast("long"),
+      (us % 60000000L / 1000000L).cast("long"))
+    val q = math.pow(10, 6 - fsp).toLong
+    val withFrac =
+      if (fsp == 0) base
+      else concat(base, lit("."),
+        format_string(s"%0${fsp}d", (us % 1000000L / q).cast("long")))
+    concat(when(nanos < 0, lit("-")).otherwise(lit("")), withFrac)
+  }
+
   /** MySQL CAST(x AS DATETIME(s)): fractional seconds round HALF_UP at
     * scale s and CARRY into the seconds — '...11.999999' at scale 4
     * becomes '...12.0000' (`tests/fullstack-test/expr/cast_as_time

@@ -125,4 +125,57 @@ class ClusteringSpec extends SparkTestBase {
     assert("(HashAggregate|SortAggregate|ObjectHashAggregate)".r.findAllIn(p).length >= 2,
       s"min_by must run partial (map-side) + final:\n$p")
   }
+
+  // ---- PCA power iteration (q202) -----------------------------------
+
+  test("PCA power iteration: Rayleigh objective is non-decreasing per round") {
+    import graft.operators.Pca
+    val cen = Pca.centeredGrid(sources.Tables.embeddings(spark, sf)).cache()
+    try {
+      val v1 = Pca.powerIteration(cen, 1)
+      val v2 = Pca.powerIteration(cen, 2)
+      val v3 = Pca.powerIteration(cen, 3)
+      val (r1, r2, r3) =
+        (Pca.rayleigh(cen, v1), Pca.rayleigh(cen, v2), Pca.rayleigh(cen, v3))
+      assert(r2 >= r1, s"round 2 must not decrease the objective: $r1 -> $r2")
+      assert(r3 >= r2, s"round 3 must not decrease the objective: $r2 -> $r3")
+      // dominant direction beats every coordinate axis
+      for (i <- Seq(0, 17, 63)) {
+        val axis = Array.tabulate(64)(j => if (j == i) 1000000L else 0L)
+        assert(r3 >= Pca.rayleigh(cen, axis),
+          s"converged direction must dominate axis e_$i")
+      }
+    } finally cen.unpersist(blocking = false)
+  }
+
+  test("PCA power iteration recovers a planted dominant axis") {
+    import graft.operators.Pca
+    import spark.implicits._
+    // points strung along a fixed unit direction (dims 3 and 7 mixed),
+    // with small deterministic off-axis noise
+    val axis = Array.tabulate(64)(i =>
+      if (i == 3) 0.8 else if (i == 7) 0.6 else 0.0)
+    val pts = (0 until 400).map { n =>
+      val t = (n % 41) - 20.0 // spread -20..20
+      val noise = 0.03 * ((n * 2654435761L % 97) - 48.0) / 48.0
+      val v = Array.tabulate(64)(i =>
+        (t * axis(i) + (if (i == (n % 64)) noise else 0.0)).toFloat)
+      (n.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cen = Pca.centeredGrid(pts)
+    val v = Pca.powerIteration(cen, 3)
+    val vd = v.map(_.toDouble / 1e6)
+    val dot = vd.zip(axis).map { case (a, b) => a * b }.sum
+    val nv = math.sqrt(vd.map(x => x * x).sum)
+    assert(math.abs(dot) / nv > 0.99,
+      s"|cos(recovered, planted)| = ${math.abs(dot) / nv} < 0.99")
+  }
+
+  test("PCA training is invariant to partition count") {
+    import graft.operators.Pca
+    val e = sources.Tables.embeddings(spark, sf)
+    val a = Pca.powerIteration(Pca.centeredGrid(e.repartition(1)), 2)
+    val b = Pca.powerIteration(Pca.centeredGrid(e.repartition(13)), 2)
+    assert(a.toSeq === b.toSeq, "direction must be bit-identical at any partitioning")
+  }
 }
