@@ -546,11 +546,71 @@ object LangModel {
         (-sum(col("lp6"))).cast("long").as("nll6"))
   }
 
+  /** CCNet perplexity-bucket assignment (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): per LANGUAGE, split the corpus into
+    * head/middle/tail terciles by LM perplexity — the partition CCNet
+    * publishes and pretraining recipes sample from. Perplexity is the
+    * q197 Kneser-Ney doc score normalized per bigram (integer
+    * micro-nats — exact division).
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY lang)`
+    * would funnel each language (corpus-scale at 100 TB — CCNet's
+    * largest shard IS English) into one task. Instead ONE global
+    * `ScalableSort` rank over (lang, ppl, doc_id) + a |langs|-row
+    * (min-rank, count) broadcast converts global ranks to per-language
+    * tercile positions with bounded per-task work.
+    */
+  val q203CcnetBuckets: QueryDef = QueryDef(
+    "q203_ccnet_buckets",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '),
+       |                 x -> x <> '') AS ws FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+       |         unnest(ws[2:len(ws)]) AS w2
+       |  FROM tok WHERE len(ws) >= 2),
+       |cb AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+       |cw AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw,
+       |              COUNT(*) AS n1f FROM cb GROUP BY w1),
+       |cont AS (SELECT w2, COUNT(*) AS n1b FROM cb GROUP BY w2),
+       |tot AS (SELECT COUNT(*) AS t FROM cb),
+       |lp AS (SELECT w1, w2,
+       |    CAST(round(ln((c - 0.75) / cw
+       |        + 0.75 * n1f / cw * n1b / t) * 1000000) AS BIGINT) AS lp6
+       |  FROM cb JOIN cw USING (w1) JOIN cont USING (w2), tot),
+       |scores AS (SELECT doc_id, COUNT(*) AS nb, -SUM(lp6) AS nll6
+       |  FROM pairs JOIN lp USING (w1, w2) GROUP BY doc_id),
+       |ppl AS (SELECT s.doc_id, d.lang, s.nll6 // s.nb AS ppl6
+       |  FROM scores s JOIN documents d USING (doc_id)),
+       |r AS (SELECT doc_id, lang, ppl6,
+       |    row_number() OVER (PARTITION BY lang ORDER BY ppl6, doc_id) AS lr,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM ppl)
+       |SELECT doc_id, lang, CAST(ppl6 AS BIGINT) AS ppl6,
+       |  CASE CAST((lr - 1) * 3 // n AS INT) WHEN 0 THEN 'head'
+       |    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM r""".stripMargin) { (s, d) =>
+    val scores = q197KneserNey.fn(s, d)
+    val ppl = scores
+      .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("nll6 div n_bigrams").as("ppl6"))
+    val ranked = graft.operators.ScalableSort.globalRowNumber(
+      ppl, "rn", 32, col("lang"), col("ppl6"), col("doc_id"))
+    val offsets = ranked.groupBy(col("lang"))
+      .agg(min(col("rn")).as("lo"), count(lit(1)).as("n"))
+    ranked.join(broadcast(offsets), "lang")
+      .select(col("doc_id"), col("lang"), col("ppl6"),
+        expr("""CASE cast((rn - lo) * 3 div n AS INT) WHEN 0 THEN 'head'
+                |  WHEN 1 THEN 'middle' ELSE 'tail' END""".stripMargin)
+          .as("bucket"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
       q175TextRank, q176NaiveBayes, q177TfIdf, q196PmiCollocations,
       // headline: the LM-scoring bench representative — two corpus
       // explodes + a Heaps-bounded model join, the axis (corpus-scale
       // string explode → model-table join) no other headliner covers
-      q197KneserNey.copy(headline = true))
+      q197KneserNey.copy(headline = true), q203CcnetBuckets)
 }

@@ -121,6 +121,24 @@ class SqlFrontierSpec extends SparkTestBase {
       "micro-nat PMI out of information-theoretic range")
   }
 
+  test("q203 CCNet buckets: per-language terciles are balanced and exhaustive") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q203_ccnet_buckets")(spark, sf)
+    assert(r.select("bucket").distinct().collect().map(_.getString(0)).toSet ===
+      Set("head", "middle", "tail"))
+    // per language, tercile sizes differ by at most 1 (exact rank split)
+    val bad = r.groupBy("lang").pivot("bucket").count()
+      .withColumn("mx", greatest(col("head"), col("middle"), col("tail")))
+      .withColumn("mn", least(col("head"), col("middle"), col("tail")))
+      .filter(col("mx") - col("mn") > 1)
+    assert(bad.isEmpty, "terciles must be balanced within each language")
+    // head has the LOWEST perplexity (CCNet keeps head as cleanest)
+    val byBucket = r.groupBy("bucket").agg(avg("ppl6").as("m"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(byBucket("head") < byBucket("middle") &&
+      byBucket("middle") < byBucket("tail"))
+  }
+
   test("q196 PMI plan: corpus pair stream shuffles once into the pair aggregate") {
     val p = planOf("q196_pmi_collocations")
     // pair-key exchange + unigram-key exchange(s) are Heaps-bounded;
