@@ -700,10 +700,80 @@ object Curation {
         expr("cast((rn - 1) * 10 div total as int)").as("bucket"))
   }
 
+  /** Deterministic epoch shuffle for training-data loading: a
+    * reproducible pseudorandom permutation of the corpus into
+    * (shard, index) reading positions — what a distributed dataloader
+    * needs so every epoch's order is shuffled yet bit-reproducible
+    * across reruns and worker counts. The permutation key is the
+    * Knuth multiplicative hash (golden-ratio constant 2654435761,
+    * TAOCP §6.4) both engines compute identically in 64-bit integer
+    * arithmetic; positions come from the scale-safe global rank
+    * (range partition + offset — no single-task ORDER BY), and shards
+    * round-robin so every shard's size differs by at most one.
+    */
+  val q204EpochShuffle: QueryDef = QueryDef(
+    "q204_epoch_shuffle",
+    """WITH k AS (SELECT doc_id,
+      |    ((doc_id + 1) * 2654435761) % 4294967296 AS key
+      |  FROM documents),
+      |r AS (SELECT doc_id, key,
+      |    row_number() OVER (ORDER BY key, doc_id) AS pos FROM k)
+      |SELECT doc_id, CAST(key AS BIGINT) AS key,
+      |  CAST((pos - 1) % 32 AS BIGINT) AS shard,
+      |  CAST((pos - 1) // 32 AS BIGINT) AS idx
+      |FROM r""".stripMargin) { (s, d) =>
+    val k = Tables.documents(s, d).select(col("doc_id"),
+      expr("((doc_id + 1) * 2654435761L) % 4294967296L").as("key"))
+    graft.operators.ScalableSort.globalRowNumber(k, "pos", 32,
+        col("key"), col("doc_id"))
+      .select(col("doc_id"), col("key"),
+        expr("(pos - 1) % 32").as("shard"),
+        expr("(pos - 1) div 32").as("idx"))
+  }
+
+  /** Sequence-length bucketing for batch construction: pad-to-bucket
+    * batching groups documents into power-of-two token-length buckets
+    * (cap 512) and reports the padding waste each bucket pays — the
+    * standard alternative to q138's packed sequences when examples
+    * must stay unconcatenated. All-integer: the bucket is
+    * 2^bits(n−1) via the binary-string length (no float log), waste
+    * is exact ppm. One corpus pass, one |buckets|-sized aggregate.
+    */
+  val q205LengthBuckets: QueryDef = QueryDef(
+    "q205_length_buckets",
+    """WITH n AS (SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS n FROM documents),
+      |b AS (SELECT doc_id, n,
+      |    CASE WHEN n <= 1 THEN 1
+      |         WHEN n >= 512 THEN 512
+      |         ELSE 1 << length(bin(n - 1)) END AS bucket
+      |  FROM n)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(LEAST(n, 512)) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(bucket - LEAST(n, 512)) AS BIGINT) AS pad_tokens,
+      |  CAST(SUM(bucket - LEAST(n, 512)) * 1000000
+      |       // SUM(bucket) AS BIGINT) AS waste_ppm
+      |FROM b GROUP BY bucket""".stripMargin) { (s, d) =>
+    val n = Tables.documents(s, d).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n"))
+    val b = n.withColumn("bucket",
+      when(col("n") <= 1, lit(1))
+        .when(col("n") >= 512, lit(512))
+        .otherwise(expr("shiftleft(1, cast(length(bin(n - 1)) as int))")))
+    b.groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n"), lit(512))).cast("long").as("total_tokens"),
+        sum(col("bucket") - least(col("n"), lit(512))).cast("long").as("pad_tokens"),
+        expr("sum(bucket - least(n, 512)) * 1000000L div sum(bucket)")
+          .as("waste_ppm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
       q139NgramDecontaminate, q140WeightedSample, q146Chunking,
       q161UrlCanonicalize, q162UnicodeNormalize, q163HtmlStrip,
       q164Boilerplate, q166CharEntropy, q182DsirWeights, q183GopherRules,
-      q186SpanDedup, q188CurriculumBuckets)
+      q186SpanDedup, q188CurriculumBuckets, q204EpochShuffle,
+      q205LengthBuckets)
 }

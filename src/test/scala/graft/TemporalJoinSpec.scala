@@ -129,4 +129,31 @@ class TemporalJoinSpec extends SparkTestBase {
       === "5050" + "0" * 34 + "." + "0" * 26 + "2500")
     assert(df.limit(0).agg(decSum(col("v"))).head().isNullAt(0))
   }
+
+  test("q204 epoch shuffle: bijective positions, balanced shards, reshuffled order") {
+    val r = SparkEntry.queries("q204_epoch_shuffle")(spark, sf)
+    val n = sources.Tables.documents(spark, sf).count()
+    assert(r.count() === n, "permutation covers every document")
+    // (shard, idx) is a bijection onto 0..n-1
+    assert(r.select(col("shard") + col("idx") * 32).distinct().count() === n)
+    // shards balanced within 1
+    val sizes = r.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == 32 && sizes.max - sizes.min <= 1)
+    // the permutation is not the identity: doc order within shard 0
+    // differs from doc_id order
+    val s0 = r.filter(col("shard") === 0).orderBy("idx")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(s0.toSeq !== s0.sorted.toSeq, "epoch order must be shuffled")
+  }
+
+  test("q205 length buckets: power-of-two buckets cover and bound every doc") {
+    val r = SparkEntry.queries("q205_length_buckets")(spark, sf).collect()
+    val buckets = r.map(_.getLong(0))
+    assert(buckets.forall(b => (b & (b - 1)) == 0), "buckets are powers of two")
+    val total = sources.Tables.documents(spark, sf).count()
+    assert(r.map(_.getLong(1)).sum === total, "every document is bucketed")
+    // capacity is never exceeded: pad = bucket·docs − tokens ≥ 0
+    assert(r.forall(x => x.getLong(3) >= 0 &&
+      x.getLong(3) === x.getLong(0) * x.getLong(1) - x.getLong(2)))
+  }
 }
