@@ -88,9 +88,11 @@ object Pca {
       .agg(sum((col("p") * col("ci")).cast("decimal(38,0)")).as("s"))
       .orderBy(col("i"))
       .collect()
+    if (rows.isEmpty) return v6 // empty corpus: direction is unchanged
     require(rows.length == dims, s"expected $dims dims, got ${rows.length}")
     val s = rows.map(_.getDecimal(1).doubleValue())
     val nrm = math.sqrt(s.foldLeft(0.0)((acc, x) => acc + x * x))
+    if (nrm == 0.0) return v6 // degenerate (all-identical) corpus
     s.map(x => halfAway(x / nrm * 1000000.0))
   }
 
