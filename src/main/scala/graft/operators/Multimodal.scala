@@ -381,7 +381,107 @@ object Multimodal {
       .toDF("doc_id", "sr", "n_samples", "duration_us", "sum_abs")
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual image hashing (aHash / dHash) over the REAL PPM payloads
+
+  /** Integer mean-gray grid: parse the P6 header, then area-average
+    * the (r+g+b) sum over a gw×gh cell grid — all-integer arithmetic
+    * (sums + one truncating division per cell), so the hash is
+    * bit-deterministic with no float or DCT dependence. */
+  def grayGrid(payload: Array[Byte], gw: Int, gh: Int): Array[Long] = {
+    // header: "P6\n<w> <h>\n255\n"
+    var p = 0
+    def skipWs(): Unit = while (p < payload.length &&
+      Character.isWhitespace(payload(p))) p += 1
+    def readInt(): Int = {
+      skipWs(); var v = 0
+      while (p < payload.length && payload(p) >= '0' && payload(p) <= '9') {
+        v = v * 10 + (payload(p) - '0'); p += 1
+      }
+      v
+    }
+    require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6')
+    p = 2
+    val w = readInt(); val h = readInt(); readInt() // maxval
+    p += 1 // the single whitespace after maxval
+    val out = new Array[Long](gw * gh)
+    val cnt = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val gy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val gx = x * gw / w
+        val o = p + (y * w + x) * 3
+        if (o + 2 < payload.length) {
+          val g = (payload(o) & 0xff) + (payload(o + 1) & 0xff) + (payload(o + 2) & 0xff)
+          out(gy * gw + gx) += g
+          cnt(gy * gw + gx) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < out.length) { if (cnt(i) > 0) out(i) /= cnt(i); i += 1 }
+    out
+  }
+
+  /** Average hash: 8×8 grid, bit i set when cell i exceeds the grid
+    * mean (truncating). */
+  def aHash64(payload: Array[Byte]): Long = {
+    val g = grayGrid(payload, 8, 8)
+    val mean = g.sum / 64
+    g.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v > mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** Difference hash: 9×8 grid, bit (r,c) set when cell (r,c) exceeds
+    * its right neighbor — robust to global brightness shifts. */
+  def dHash64(payload: Array[Byte]): Long = {
+    val g = grayGrid(payload, 9, 8)
+    var acc = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) > g(r * 9 + c + 1)) acc |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    acc
+  }
+
+  /** Perceptual image hashing + exact-duplicate grouping over the
+    * decoded PPM corpus — the image-side analog of q60's text dedup
+    * (identical source text ⇒ identical raster ⇒ identical hashes,
+    * which the contract cross-checks against the md5 text groups).
+    * Near-duplicate search over these 64-bit hashes is a Hamming-ball
+    * probe, bucketable by hash bands exactly like q61's LSH. Pure
+    * per-partition byte parsing + one hash-keyed aggregate; hashes are
+    * all-integer (no DCT/float) so rows are bit-deterministic —
+    * rows-only (no PPM parser in the oracle), contract-tested in
+    * `MultimodalCodecSpec`. */
+  val q206ImagePhash: QueryDef = QueryDef.noOracle("q206_image_phash") { (s, d) =>
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val hashed = withPpmPayload(Tables.documents(s, d))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, aHash64(bytes), dHash64(bytes))
+      })
+      .toDF("doc_id", "ahash", "dhash")
+    val groups = hashed.groupBy(col("ahash"), col("dhash"))
+      .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("n_copies"))
+    hashed.join(groups, Seq("ahash", "dhash"))
+      .select(col("doc_id"), col("ahash"), col("dhash"),
+        col("canonical"), col("n_copies"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q80MultimodalMeta, q81MultimodalDecode, q82MultimodalResize,
-    q83MultimodalFrames, q84MultimodalBmp, q155MultimodalWav)
+    q83MultimodalFrames, q84MultimodalBmp, q155MultimodalWav,
+    q206ImagePhash)
 }

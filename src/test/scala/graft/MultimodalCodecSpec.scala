@@ -31,4 +31,50 @@ class MultimodalCodecSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Multimodal.wavDecode(3L, good.dropRight(2))) // data shorter than header claims
   }
+
+  test("perceptual hashes: identical rasters collide, noise moves few bits, distinct images differ") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val src = ("the quick brown fox jumps over the lazy dog " * 40).getBytes("US-ASCII")
+    val img = Multimodal.makePpm(120, 90, src)
+    // determinism + identity
+    assert(Multimodal.aHash64(img) === Multimodal.aHash64(Multimodal.makePpm(120, 90, src)))
+    assert(Multimodal.dHash64(img) === Multimodal.dHash64(Multimodal.makePpm(120, 90, src)))
+    // small noise: flip a handful of pixel bytes → hash moves few bits
+    val noisy = img.clone()
+    for (i <- Seq(200, 500, 900)) noisy(noisy.length - 1 - i) =
+      (noisy(noisy.length - 1 - i) ^ 0x7f).toByte
+    assert(ham(Multimodal.dHash64(img), Multimodal.dHash64(noisy)) <= 8,
+      "3 flipped pixels must not move the perceptual hash far")
+    // a genuinely different image is far away
+    val other = Multimodal.makePpm(120, 90,
+      ("zzz 0123456789 completely different content !!!! " * 40).getBytes("US-ASCII"))
+    assert(ham(Multimodal.dHash64(img), Multimodal.dHash64(other)) >= 12,
+      "different rasters must differ in many bits")
+    // brightness shift: add a constant to every pixel → dHash invariant
+    val brighter = img.clone()
+    val hdr = img.indexOf('\n'.toByte, img.indexOf('\n'.toByte, 3) + 1) + 1
+    for (i <- hdr until brighter.length)
+      brighter(i) = (math.min((brighter(i) & 0xff) + 10, 255)).toByte
+    assert(Multimodal.dHash64(brighter) === Multimodal.dHash64(img),
+      "dHash must be invariant to uniform brightness shifts")
+  }
+
+  test("q206 image-hash dedup groups equal the exact text-dup groups") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q206_image_phash")(spark, sf)
+    assert(r.count() > 0)
+    // identical text → identical raster → identical hash pair: every
+    // md5-equal text group must land in one (ahash, dhash) group
+    val textGroups = sources.Tables.documents(spark, sf)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) > 1)
+      .groupBy(md5(col("text"))).agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .collect().map(_.getSeq[Long](1).toSet)
+    val hashOf = r.collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    textGroups.foreach { g =>
+      val hs = g.map(hashOf)
+      assert(hs.size == 1, s"text-dup group $g split across hashes $hs")
+    }
+  }
 }
