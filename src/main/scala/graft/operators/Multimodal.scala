@@ -480,8 +480,71 @@ object Multimodal {
         col("canonical"), col("n_copies"))
   }
 
+  /** Windowed audio energy analysis over the decoded PCM stream: 64-
+    * sample windows, exact integer energy (Σ s²) per window, count of
+    * low-energy ("silent") windows — under HALF the mean window energy
+    * — plus peak amplitude and total energy. The speech/audio-curation
+    * primitive (silence trimming, clipping detection) in the q155
+    * mold: samples run through the REAL WAV byte codec, while the
+    * oracle recomputes the identical integer arithmetic from the
+    * deterministic waveform — so a single flipped sample bit fails the
+    * compare. Per-partition decode, zero shuffle (the output is
+    * per-document). */
+  val q207AudioEnergy: QueryDef = QueryDef(
+    "q207_audio_energy",
+    """WITH base AS (
+      |  SELECT doc_id, 100 + length(text) % 400 AS n FROM documents
+      |  WHERE doc_id % 5 = 0),
+      |s AS (
+      |  SELECT doc_id, n, t.g AS i,
+      |    (doc_id * 31 + t.g * 17) % 2003 - 1001 AS v
+      |  FROM base, (SELECT unnest(range(0, 500)) AS g) t WHERE t.g < n),
+      |w AS (
+      |  SELECT doc_id, n, i // 64 AS win, SUM(v * v) AS e,
+      |    MAX(abs(v)) AS pk
+      |  FROM s GROUP BY doc_id, n, i // 64),
+      |d AS (
+      |  SELECT doc_id, n, COUNT(*) AS n_windows,
+      |    CAST(SUM(e) AS BIGINT) AS e_total, MAX(pk) AS peak
+      |  FROM w GROUP BY doc_id, n)
+      |SELECT d.doc_id, CAST(d.n_windows AS BIGINT) AS n_windows,
+      |  CAST((SELECT COUNT(*) FROM w
+      |        WHERE w.doc_id = d.doc_id
+      |          AND w.e * 2 < d.e_total // d.n_windows) AS BIGINT) AS n_silent,
+      |  CAST(d.peak AS BIGINT) AS peak, d.e_total
+      |FROM d""".stripMargin) { (s, d) =>
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), length(col("text")).as("tlen"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, tlen) =>
+          val sr = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+          val n = 100 + tlen % 400
+          val wave = Array.tabulate[Short](n)(i =>
+            ((id * 31 + i.toLong * 17) % 2003 - 1001).toShort)
+          val (_, decoded) = wavDecode(id, makeWav(sr, wave)) // real byte round-trip
+          val nWin = (decoded.length + 63) / 64
+          val energies = Array.tabulate(nWin) { wi =>
+            var e = 0L
+            var i = wi * 64
+            val end = math.min(i + 64, decoded.length)
+            while (i < end) { e += decoded(i).toLong * decoded(i); i += 1 }
+            e
+          }
+          val eTotal = energies.sum
+          val meanWe = eTotal / nWin
+          var peak = 0L
+          decoded.foreach(v => peak = math.max(peak, math.abs(v.toLong)))
+          (id, nWin.toLong, energies.count(_ * 2 < meanWe).toLong, peak, eTotal)
+        }
+      }
+      .toDF("doc_id", "n_windows", "n_silent", "peak", "e_total")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q80MultimodalMeta, q81MultimodalDecode, q82MultimodalResize,
     q83MultimodalFrames, q84MultimodalBmp, q155MultimodalWav,
-    q206ImagePhash)
+    q206ImagePhash, q207AudioEnergy)
 }
