@@ -765,10 +765,69 @@ object Analytics {
           expr("s div n").cast("long").as("mean_floor"))
   }
 
+  /** A/B conversion significance: users hash-split into two arms,
+    * per-arm high-value converters (>= 12 purchases) counted, and the two-proportion z-test at 95%
+    * evaluated in EXACT integer algebra —
+    *
+    *   z² > 3.8416  ⇔  (c₁n₂ − c₂n₁)²·N·10⁴ > 38416·(c₁+c₂)(N−c₁−c₂)·n₁n₂
+    *
+    * (N = n₁+n₂; both sides in DECIMAL(38,0) ≡ HUGEINT — exact to
+    * ~10⁶ users per arm, past which the float z-score with its
+    * correctly-rounded sqrt is the documented fallback) — no sqrt, no
+    * tolerance, bit-identical in both engines. The corpus collapses to
+    * per-user flags in one aggregate; everything after is a 2-row
+    * rollup.
+    */
+  val q208AbTest: QueryDef = QueryDef(
+    "q208_ab_test",
+    """WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |         >= 12 THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS c FROM u GROUP BY arm),
+      |x AS (SELECT
+      |    MAX(CASE WHEN arm = 0 THEN n END) AS n1,
+      |    MAX(CASE WHEN arm = 0 THEN c END) AS c1,
+      |    MAX(CASE WHEN arm = 1 THEN n END) AS n2,
+      |    MAX(CASE WHEN arm = 1 THEN c END) AS c2
+      |  FROM a)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+      |  CAST(n2 AS BIGINT) AS n2, CAST(c2 AS BIGINT) AS c2,
+      |  CAST(c1 * 1000000 // n1 AS BIGINT) AS rate1_ppm,
+      |  CAST(c2 * 1000000 // n2 AS BIGINT) AS rate2_ppm,
+      |  CAST(CASE WHEN
+      |    CAST((c1*n2 - c2*n1) AS HUGEINT) * (c1*n2 - c2*n1)
+      |      * (n1+n2) * 10000
+      |    > CAST(38416 AS HUGEINT) * (c1+c2) * (n1+n2-c1-c2) * n1 * n2
+      |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM x""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 12,
+        1).otherwise(0).as("conv"))
+      .select((col("user_id") % 2).cast("int").as("arm"), col("conv"))
+    val a = u.groupBy(col("arm")).agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val x = a.agg(
+      max(when(col("arm") === 0, col("n"))).as("n1"),
+      max(when(col("arm") === 0, col("c"))).as("c1"),
+      max(when(col("arm") === 1, col("n"))).as("n2"),
+      max(when(col("arm") === 1, col("c"))).as("c2"))
+    val d38 = "decimal(38,0)"
+    val lhs = (col("c1") * col("n2") - col("c2") * col("n1")).cast(d38) *
+      (col("c1") * col("n2") - col("c2") * col("n1")) *
+      (col("n1") + col("n2")) * 10000
+    val rhs = lit(38416).cast(d38) * (col("c1") + col("c2")) *
+      (col("n1") + col("n2") - col("c1") - col("c2")) * col("n1") * col("n2")
+    x.select(col("n1").cast("long"), col("c1").cast("long"),
+      col("n2").cast("long"), col("c2").cast("long"),
+      expr("c1 * 1000000L div n1").as("rate1_ppm"),
+      expr("c2 * 1000000L div n2").as("rate2_ppm"),
+      when(lhs > rhs, 1L).otherwise(0L).as("significant"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
     q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness,
     q192TimeToConvert, q193EventPaths, q194Attribution, q195Rfm,
-    q199HourlyAnomaly)
+    q199HourlyAnomaly, q208AbTest)
 }
