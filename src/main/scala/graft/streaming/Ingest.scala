@@ -192,7 +192,12 @@ object Ingest {
     batch.groupBy(col("event_type"),
         to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(30,2)")).as("vsum"))
+        sum(col("value").cast("decimal(30,2)")).as("vsum"),
+        // mergeable DISTINCT state: HLL registers fold by per-register
+        // max — associative + commutative, so segments union in any
+        // order to the one-shot sketch (≙ uniqRawRes partial states,
+        // `AggregateFunctionUniq.h`)
+        hll_sketch_agg(col("user_id"), lit(12)).as("users_hll"))
 
   /** Incremental AGGREGATE-view maintenance, the delta-merge posture
     * applied to a rollup: each micro-batch appends its partial states
@@ -213,7 +218,8 @@ object Ingest {
     * the fold input is segments × groups, not the event history. */
   def aggViewOf(segments: DataFrame): DataFrame =
     segments.groupBy(col("event_type"), col("day"))
-      .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"),
+        hll_union_agg(col("users_hll")).as("users_hll"))
 
   /** Background compaction: rewrite the segment pile as ONE folded
     * segment. Read-side results are unchanged (fold is associative).

@@ -443,14 +443,16 @@ class StreamingSpec extends SparkTestBase {
 
     def mv = Ingest.aggViewOf(spark.read.parquet(state))
       .select(col("event_type"), col("day"), col("cnt"),
-        col("vsum").cast("decimal(30,2)"))
+        col("vsum").cast("decimal(30,2)"),
+        hll_sketch_estimate(col("users_hll")).as("du"))
       .collect().map(r => (r.getString(0), r.getDate(1).toString,
-        r.getLong(2), r.getDecimal(3))).toSet
+        r.getLong(2), r.getDecimal(3), r.getLong(4))).toSet
     val batch = Ingest.aggPartial(events)
       .select(col("event_type"), col("day"), col("cnt"),
-        col("vsum").cast("decimal(30,2)"))
+        col("vsum").cast("decimal(30,2)"),
+        hll_sketch_estimate(col("users_hll")).as("du"))
       .collect().map(r => (r.getString(0), r.getDate(1).toString,
-        r.getLong(2), r.getDecimal(3))).toSet
+        r.getLong(2), r.getDecimal(3), r.getLong(4))).toSet
     assert(mv === batch && mv.nonEmpty,
       "folded partial-state segments must equal the from-scratch rollup")
     // at least two segments exist before compaction (append-only ingest)
