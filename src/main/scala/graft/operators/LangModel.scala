@@ -606,11 +606,62 @@ object LangModel {
           .as("bucket"))
   }
 
+  /** Classifier evaluation: exact ROC AUC by rank-sum (Mann-Whitney
+    * U) — AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) — the evaluation
+    * layer every scored-filtering pipeline needs before trusting a
+    * quality gate. Scored here: the English-stopword-ratio signal
+    * against the corpus `lang` labels, which in THIS testdata are
+    * assigned independently of the text — so the honest expected
+    * outcome is the null calibration AUC ≈ 0.5, and the contract test
+    * pins both that and (on a constructed informative fixture) that
+    * the same harness reports AUC → 1 when signal exists.
+    *
+    * Exactness: ranks come from the scale-safe global row_number with
+    * a doc_id tie-break (deterministic in both engines; the
+    * statistical mid-rank tie correction is deliberately traded for
+    * bit-reproducibility and documented); AUC is an exact integer ppm
+    * division. ONE corpus-sized rank, then a 1-row rollup.
+    */
+  def aucFrom(labeled: DataFrame): DataFrame = {
+    val ranked = graft.operators.ScalableSort.globalRowNumber(
+      labeled, "rnk", 32, col("score"), col("doc_id"))
+    ranked.agg(
+      sum(col("pos")).cast("long").as("n_pos"),
+      (count(lit(1)) - sum(col("pos"))).cast("long").as("n_neg"),
+      expr("""(sum(CASE WHEN pos = 1 THEN rnk ELSE 0 END)
+             |   - sum(pos) * (sum(pos) + 1) div 2) * 1000000L
+             | div (sum(pos) * (count(1) - sum(pos)))""".stripMargin)
+        .as("auc_ppm"))
+  }
+
+  val q209AucEval: QueryDef = QueryDef(
+    "q209_auc_eval",
+    """WITH t AS (SELECT doc_id, lang,
+      |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+      |      * 1000000 // len(w) AS score
+      |  FROM t),
+      |r AS (SELECT pos, row_number() OVER (ORDER BY score, doc_id) AS rnk FROM s)
+      |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
+      |  CAST((SUM(CASE WHEN pos = 1 THEN rnk ELSE 0 END)
+      |        - SUM(pos) * (SUM(pos) + 1) // 2) * 1000000
+      |       // (SUM(pos) * (COUNT(*) - SUM(pos))) AS BIGINT) AS auc_ppm
+      |FROM r""".stripMargin) { (s, d) =>
+    val labeled = docs(s, d).select(col("doc_id"),
+      when(col("lang") === "en", 1).otherwise(0).as("pos"),
+      expr("""size(filter(split(trim(text), '\\s+'),
+             |  x -> x IN ('the','a','of','and','to'))) * 1000000L
+             | div size(split(trim(text), '\\s+'))""".stripMargin).as("score"))
+    aucFrom(labeled)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
       q175TextRank, q176NaiveBayes, q177TfIdf, q196PmiCollocations,
       // headline: the LM-scoring bench representative — two corpus
       // explodes + a Heaps-bounded model join, the axis (corpus-scale
       // string explode → model-table join) no other headliner covers
-      q197KneserNey.copy(headline = true), q203CcnetBuckets)
+      q197KneserNey.copy(headline = true), q203CcnetBuckets, q209AucEval)
 }

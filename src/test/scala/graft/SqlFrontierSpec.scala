@@ -139,6 +139,26 @@ class SqlFrontierSpec extends SparkTestBase {
       byBucket("middle") < byBucket("tail"))
   }
 
+  test("q209 AUC harness: null labels calibrate to ~0.5, planted signal reads ~1.0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus labels are content-independent → AUC must sit near 0.5
+    val r = SparkEntry.queries("q209_auc_eval")(spark, sf).head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(math.abs(r.getLong(2) - 500000L) < 100000L,
+      s"null-calibration AUC should be ~0.5, got ${r.getLong(2)} ppm")
+    // the same harness on an informative score must detect the signal
+    val planted = (0 until 400).map(i =>
+      (i.toLong, if (i % 4 == 0) 1 else 0,
+        (if (i % 4 == 0) 1000 + i else i).toLong))
+      .toDF("doc_id", "pos", "score")
+    val auc = operators.LangModel.aucFrom(planted).head().getLong(2)
+    assert(auc > 990000L, s"planted perfect separation must read ~1.0, got $auc")
+    // and the reversed score reads ~0
+    val inv = planted.withColumn("score", -col("score"))
+    assert(operators.LangModel.aucFrom(inv).head().getLong(2) < 10000L)
+  }
+
   test("q196 PMI plan: corpus pair stream shuffles once into the pair aggregate") {
     val p = planOf("q196_pmi_collocations")
     // pair-key exchange + unigram-key exchange(s) are Heaps-bounded;
