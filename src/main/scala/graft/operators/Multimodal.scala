@@ -543,8 +543,46 @@ object Multimodal {
       .toDF("doc_id", "n_windows", "n_silent", "peak", "e_total")
   }
 
+  /** Near-duplicate IMAGE search: Hamming-ball pairs over the 64-bit
+    * dHash via banded LSH — split each hash into 4×16-bit bands and
+    * equi-join on (band index, band value): any pair within Hamming
+    * distance 3 differs in at most 3 bands, so by pigeonhole it
+    * collides on at least one band — the join is EXACT for d ≤ 3 (no
+    * false negatives) and never an all-pairs product. The q61
+    * MinHash-LSH shape transplanted to the image modality, with the
+    * same bucket-size cap bounding pair fan-out under skew
+    * (identical-image piles are exact-dup groups, q206 — d = 0 rows
+    * here are those; d ∈ 1..3 are the true near-dups). Hash-derived →
+    * rows-only; `MultimodalCodecSpec` pins the pigeonhole exactness
+    * against brute force. */
+  val q210ImageNearDup: QueryDef = QueryDef.noOracle("q210_image_neardup") { (s, d) =>
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val hashed = withPpmPayload(Tables.documents(s, d))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, dHash64(bytes)) })
+      .toDF("doc_id", "dhash")
+    val bands = hashed.select(col("doc_id"), col("dhash"),
+      explode(expr(
+        """transform(sequence(0, 3), b ->
+          |  struct(b AS band, shiftright(dhash, b * 16) & 65535 AS bv))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("dhash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.dhash").as("h1"), col("b.dhash").as("h2"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .where(col("hamming") <= 3) // 0 = exact raster dup (q206's groups)
+      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q80MultimodalMeta, q81MultimodalDecode, q82MultimodalResize,
     q83MultimodalFrames, q84MultimodalBmp, q155MultimodalWav,
-    q206ImagePhash, q207AudioEnergy)
+    q206ImagePhash, q207AudioEnergy, q210ImageNearDup)
 }

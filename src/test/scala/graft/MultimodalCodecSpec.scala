@@ -59,6 +59,27 @@ class MultimodalCodecSpec extends SparkTestBase {
       "dHash must be invariant to uniform brightness shifts")
   }
 
+  test("q210 banded Hamming LSH is exact for distance <= 3 (pigeonhole) vs brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = SparkEntry.queries("q210_image_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all hashes (bounded at test scale)
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val hashes = operators.Multimodal
+      .withPpmPayload(sources.Tables.documents(spark, sf))
+      .as[(Long, Array[Byte])]
+      .collect().map { case (id, b: Array[Byte]) =>
+        id -> operators.Multimodal.dHash64(b) }
+    val brute = (for {
+      (i1, h1) <- hashes; (i2, h2) <- hashes if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield (i1, i2, d.toLong)).toSet
+    assert(out === brute,
+      s"banded LSH must find exactly the d<=3 pairs (got ${out.size}, want ${brute.size})")
+    assert(out.nonEmpty)
+  }
+
   test("q206 image-hash dedup groups equal the exact text-dup groups") {
     import org.apache.spark.sql.functions._
     val r = SparkEntry.queries("q206_image_phash")(spark, sf)
