@@ -727,8 +727,10 @@ object Analytics {
     * than 3σ from the mean. The test is evaluated in EXACT integer
     * arithmetic — |c − S/n| > 3σ  ⇔  (c·n − S)² > 9·(n·Σc² − S²) —
     * so Spark and the oracle agree bit-for-bit with no float
-    * tolerance. (At extreme per-cell counts the squares would need a
-    * decimal widening; BIGINT holds to c·n < 3·10⁹.)
+    * tolerance. Both sides of the inequality are widened to
+    * DECIMAL(38,0) ≡ HUGEINT BEFORE squaring (as q208 does), so the
+    * test stays exact at any per-cell count — no silent BIGINT wrap
+    * in Spark, no overflow error in DuckDB.
     *
     * Scale shape: the corpus collapses to (type, day, hour) cells in
     * one map-side-combined aggregate; the baseline is a |types|·24
@@ -747,7 +749,8 @@ object Analytics {
       |SELECT event_type, day, hour, CAST(c AS BIGINT) AS c,
       |  CAST(s // n AS BIGINT) AS mean_floor
       |FROM cells JOIN base USING (event_type, hour)
-      |WHERE (c * n - s) * (c * n - s) > 9 * (n * ss - s * s)""".stripMargin) {
+      |WHERE (CAST(c AS HUGEINT) * n - s) * (CAST(c AS HUGEINT) * n - s)
+      |  > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)""".stripMargin) {
     (s, d) =>
       val cells = Tables.events(s, d)
         .groupBy(col("event_type"),
@@ -757,9 +760,11 @@ object Analytics {
       val base = cells.groupBy(col("event_type"), col("hour"))
         .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
           sum(col("c") * col("c")).as("ss"))
+      val d38 = "decimal(38,0)"
+      val dev = col("c").cast(d38) * col("n") - col("s")
       cells.join(broadcast(base), Seq("event_type", "hour"))
-        .where((col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s"))
-          > lit(9) * (col("n") * col("ss") - col("s") * col("s")))
+        .where(dev * dev
+          > lit(9) * (col("n").cast(d38) * col("ss") - col("s").cast(d38) * col("s")))
         .select(col("event_type"), col("day"), col("hour"),
           col("c").cast("long").as("c"),
           expr("s div n").cast("long").as("mean_floor"))
@@ -772,11 +777,13 @@ object Analytics {
     *   z² > 3.8416  ⇔  (c₁n₂ − c₂n₁)²·N·10⁴ > 38416·(c₁+c₂)(N−c₁−c₂)·n₁n₂
     *
     * (N = n₁+n₂; both sides in DECIMAL(38,0) ≡ HUGEINT — exact to
-    * ~10⁶ users per arm, past which the float z-score with its
-    * correctly-rounded sqrt is the documented fallback) — no sqrt, no
-    * tolerance, bit-identical in both engines. The corpus collapses to
-    * per-user flags in one aggregate; everything after is a 2-row
-    * rollup.
+    * ~10⁶ users per arm). No sqrt, no tolerance, bit-identical in both
+    * engines. Past the exact range Spark's decimal product would
+    * overflow to NULL; rather than silently report not-significant,
+    * the query FAILS LOUDLY via an `assert_true` guard — matching
+    * DuckDB, which errors on HUGEINT overflow rather than returning a
+    * wrong answer. The corpus collapses to per-user flags in one
+    * aggregate; everything after is a 2-row rollup.
     */
   val q208AbTest: QueryDef = QueryDef(
     "q208_ab_test",
@@ -817,11 +824,17 @@ object Analytics {
       (col("n1") + col("n2")) * 10000
     val rhs = lit(38416).cast(d38) * (col("c1") + col("c2")) *
       (col("n1") + col("n2") - col("c1") - col("c2")) * col("n1") * col("n2")
+    // assert_true returns NULL when the guard holds and raises
+    // otherwise — a decimal(38) overflow (NULL product) aborts the
+    // query instead of silently reporting significant=0.
+    val guard = assert_true(lhs.isNotNull && rhs.isNotNull,
+      lit("q208_ab_test: decimal(38,0) overflow in exact z² test — " +
+        "counts exceed the exact range (~1e6 users/arm)"))
     x.select(col("n1").cast("long"), col("c1").cast("long"),
       col("n2").cast("long"), col("c2").cast("long"),
       expr("c1 * 1000000L div n1").as("rate1_ppm"),
       expr("c2 * 1000000L div n2").as("rate2_ppm"),
-      when(lhs > rhs, 1L).otherwise(0L).as("significant"))
+      when(guard.isNull, when(lhs > rhs, 1L).otherwise(0L)).as("significant"))
   }
 
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,

@@ -706,15 +706,22 @@ object Curation {
     * needs so every epoch's order is shuffled yet bit-reproducible
     * across reruns and worker counts. The permutation key is the
     * Knuth multiplicative hash (golden-ratio constant 2654435761,
-    * TAOCP §6.4) both engines compute identically in 64-bit integer
-    * arithmetic; positions come from the scale-safe global rank
-    * (range partition + offset — no single-task ORDER BY), and shards
-    * round-robin so every shard's size differs by at most one.
+    * TAOCP §6.4), evaluated mod 2³² in two 16-bit halves —
+    * key = (lo·C + ((hi·C) mod 2¹⁶)·2¹⁶) mod 2³² with
+    * lo/hi the halves of (doc_id+1) mod 2³² — so every intermediate
+    * stays below 2⁴⁸ and the expression is overflow-free in signed
+    * 64-bit for ANY doc_id (a naive (doc_id+1)·C wraps negative in
+    * Spark and errors in DuckDB past doc_id ≈ 3.5e9); positions come
+    * from the scale-safe global rank (range partition + offset — no
+    * single-task ORDER BY), and shards round-robin so every shard's
+    * size differs by at most one.
     */
   val q204EpochShuffle: QueryDef = QueryDef(
     "q204_epoch_shuffle",
     """WITH k AS (SELECT doc_id,
-      |    ((doc_id + 1) * 2654435761) % 4294967296 AS key
+      |    ( ((doc_id + 1) % 4294967296) % 65536 * 2654435761
+      |      + ((doc_id + 1) % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+      |    ) % 4294967296 AS key
       |  FROM documents),
       |r AS (SELECT doc_id, key,
       |    row_number() OVER (ORDER BY key, doc_id) AS pos FROM k)
@@ -723,7 +730,9 @@ object Curation {
       |  CAST((pos - 1) // 32 AS BIGINT) AS idx
       |FROM r""".stripMargin) { (s, d) =>
     val k = Tables.documents(s, d).select(col("doc_id"),
-      expr("((doc_id + 1) * 2654435761L) % 4294967296L").as("key"))
+      expr("""( ((doc_id + 1) % 4294967296L) % 65536L * 2654435761L
+             |  + (((doc_id + 1) % 4294967296L) div 65536L * 2654435761L) % 65536L * 65536L
+             |) % 4294967296L""".stripMargin.replace("\n", " ")).as("key"))
     graft.operators.ScalableSort.globalRowNumber(k, "pos", 32,
         col("key"), col("doc_id"))
       .select(col("doc_id"), col("key"),

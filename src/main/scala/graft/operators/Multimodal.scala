@@ -543,18 +543,44 @@ object Multimodal {
       .toDF("doc_id", "n_windows", "n_silent", "peak", "e_total")
   }
 
+  /** Cap on DISTINCT hashes per (band, band-value) bucket: a bigger
+    * bucket is band-collision skew (flat/border rasters piling on
+    * bv = 0x0000/0xFFFF), not a near-dup cluster — dropped, exactly
+    * q61's degenerate-bucket discipline (`TextPipeline.scala`
+    * maxBucket). Bounds the band join's candidate pairs at cap² per
+    * bucket regardless of input skew. */
+  val nearDupMaxBucket = 32
+
+  /** Cap on members expanded per exact-dup pile: piles ≤ cap emit all
+    * C(n,2) d = 0 pairs (brute-force-exact); bigger piles emit the
+    * linear rep→member star instead — connectivity-preserving (every
+    * member still reaches its pile's representative, and cross-pile
+    * links always include the reps, which sort first), never
+    * quadratic in pile size. */
+  val nearDupMaxGroup = 32
+
   /** Near-duplicate IMAGE search: Hamming-ball pairs over the 64-bit
     * dHash via banded LSH — split each hash into 4×16-bit bands and
     * equi-join on (band index, band value): any pair within Hamming
     * distance 3 differs in at most 3 bands, so by pigeonhole it
-    * collides on at least one band — the join is EXACT for d ≤ 3 (no
-    * false negatives) and never an all-pairs product. The q61
-    * MinHash-LSH shape transplanted to the image modality, with the
-    * same bucket-size cap bounding pair fan-out under skew
-    * (identical-image piles are exact-dup groups, q206 — d = 0 rows
-    * here are those; d ∈ 1..3 are the true near-dups). Hash-derived →
-    * rows-only; `MultimodalCodecSpec` pins the pigeonhole exactness
-    * against brute force. */
+    * collides on at least one band — EXACT for d ≤ 3 (no false
+    * negatives) wherever no cap fires, and never an all-pairs product.
+    *
+    * Scale shape (the q61 MinHash-LSH discipline, image modality):
+    * identical rasters are collapsed to ONE distinct hash before the
+    * band join (their pairs are q206's exact-dup groups, re-emitted
+    * here as d = 0 rows), so a million-image flat-color pile
+    * contributes one band-join row, not a million; the band join runs
+    * over distinct hashes with the `nearDupMaxBucket` cap; member
+    * expansion is bounded by `nearDupMaxGroup` per pile (star
+    * fallback beyond). Per-pile state is bounded too: the
+    * membership array collects only the first `nearDupMaxGroup`
+    * window-ranked members, never the whole pile. The (doc_id, dhash,
+    * rank) frame — ~40 bytes/image — is cached because three branches
+    * (piles, stars, expansion) consume it; the payload bytes are
+    * never cached. Hash-derived → rows-only; `MultimodalCodecSpec`
+    * pins pigeonhole exactness against brute force plus the planted
+    * degenerate-pile bounds. */
   val q210ImageNearDup: QueryDef = QueryDef.noOracle("q210_image_neardup") { (s, d) =>
     implicit val sp: SparkSession = s
     import sp.implicits._
@@ -562,23 +588,75 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, dHash64(bytes)) })
       .toDF("doc_id", "dhash")
-    val bands = hashed.select(col("doc_id"), col("dhash"),
-      explode(expr(
-        """transform(sequence(0, 3), b ->
-          |  struct(b AS band, shiftright(dhash, b * 16) & 65535 AS bv))"""
-          .stripMargin)).as("b"))
-      .select(col("doc_id"), col("dhash"),
-        col("b.band").as("band"), col("b.bv").as("bv"))
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.dhash").as("h1"), col("b.dhash").as("h2"))
+    imageNearDupPairs(hashed)
+  }
+
+  /** The capped near-dup pair kernel behind q210, over any
+    * (doc_id: Long, dhash: Long) frame — split out so contract tests
+    * can plant adversarial hash distributions directly. */
+  def imageNearDupPairs(hashed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxBucket = nearDupMaxBucket
+    val maxGroup = nearDupMaxGroup
+    // One hash-partitioned exchange on dhash serves the rank and both
+    // per-pile window aggregates; collect_list sees only rn <= cap
+    // rows (NULLs are skipped), so agg buffers stay bounded.
+    val wOrd = Window.partitionBy(col("dhash")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("dhash"))
+    val ranked = hashed
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("rep", min(col("doc_id")).over(wAll))
+      .cache()
+    // d = 0 pairs, oversized piles: linear rep->member star.
+    val starPairs = ranked.filter(col("cnt") > maxGroup && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id1"), col("doc_id").as("id2"), lit(0L).as("hamming"))
+    // One row per DISTINCT hash, with the capped sorted member prefix.
+    val groups = ranked
+      .groupBy(col("dhash"))
+      .agg(first(col("cnt")).as("cnt"),
+        sort_array(collect_list(when(col("rn") <= maxGroup, col("doc_id"))))
+          .as("ids"))
+    // d = 0 pairs, small piles: full C(n,2) expansion (q61's sorted-
+    // array slice trick — interpreted HOF, but over <= cap-size arrays).
+    val withinPairs = groups.filter(col("cnt").between(2, maxGroup))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), lit(maxGroup)), y =>
+          struct(x.as("id1"), y.as("id2"))))))
+        .as("p"))
+      .select(col("p.id1"), col("p.id2"), lit(0L).as("hamming"))
+    // Band join over DISTINCT hashes only, with the degenerate-bucket
+    // cap: collect each bucket's hash membership, drop skew piles,
+    // emit h1<h2 candidate pairs from the sorted array.
+    val buckets = groups.select(col("dhash"),
+        explode(expr(
+          """transform(sequence(0, 3), b ->
+            |  struct(b AS band, shiftright(dhash, b * 16) & 65535 AS bv))"""
+            .stripMargin)).as("b"))
+      .groupBy(col("b.band"), col("b.bv"))
+      .agg(sort_array(collect_list(col("dhash"))).as("hs"))
+      .filter(size(col("hs")).between(2, maxBucket))
+    val hashPairs = buckets
+      .select(explode(flatten(transform(col("hs"), (x, i) =>
+        transform(slice(col("hs"), i + lit(2), lit(maxBucket)), y =>
+          struct(x.as("h1"), y.as("h2"))))))
+        .as("p"))
+      .select(col("p.h1"), col("p.h2"))
       .distinct()
-    pairs
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
-      .where(col("hamming") <= 3) // 0 = exact raster dup (q206's groups)
-      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+      .where(col("hamming").between(1, 3))
+    // Expand surviving hash pairs through the capped member prefixes:
+    // <= maxGroup² id pairs per hash pair; reps (array head) always
+    // participate, so pile-to-pile connectivity survives the cap.
+    val crossPairs = hashPairs
+      .join(groups.select(col("dhash").as("h1"), col("ids").as("ids1")), "h1")
+      .join(groups.select(col("dhash").as("h2"), col("ids").as("ids2")), "h2")
+      .select(explode(flatten(transform(col("ids1"), x =>
+        transform(col("ids2"), y =>
+          struct(least(x, y).as("id1"), greatest(x, y).as("id2"))))))
+        .as("p"), col("hamming"))
+      .select(col("p.id1"), col("p.id2"), col("hamming").cast("long").as("hamming"))
+    withinPairs.unionAll(starPairs).unionAll(crossPairs)
   }
 
   val all: Seq[QueryDef] = Seq(

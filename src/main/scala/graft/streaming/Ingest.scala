@@ -223,13 +223,34 @@ object Ingest {
 
   /** Background compaction: rewrite the segment pile as ONE folded
     * segment. Read-side results are unchanged (fold is associative).
-    * `localCheckpoint` materializes the folded states before the
-    * overwrite so the job never reads the path it is replacing — and
-    * stays distributed (no driver collect; the state table is
-    * group-cardinality-sized but that is no reason to funnel it). */
-  def compactAggState(spark: SparkSession, statePath: String): Unit =
-    aggViewOf(spark.read.parquet(statePath)).localCheckpoint(true)
-      .write.mode("overwrite").parquet(statePath)
+    *
+    * Crash safety ≙ the reference's atomic segment replacement in
+    * delta-merge (`DeltaMergeStore_InternalBg.cpp`): the folded
+    * generation is fully written to a sibling temp path FIRST, then
+    * promoted with two filesystem renames. The live segment pile is
+    * never deleted before the replacement is durable — an executor or
+    * driver loss mid-compaction leaves either the old generation live
+    * (crash before promote) or the old generation parked at
+    * `<path>.compact-old` (crash between renames; recovery = rename it
+    * back or re-promote the committed temp). */
+  def compactAggState(spark: SparkSession, statePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val folded = aggViewOf(spark.read.parquet(statePath))
+    val tmpPath = statePath + ".compact-tmp"
+    folded.write.mode("overwrite").parquet(tmpPath)
+    val live = new Path(statePath)
+    val tmp = new Path(tmpPath)
+    val old = new Path(statePath + ".compact-old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compactAggState: demote failed for $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // roll back so the pile stays readable
+      throw new java.io.IOException(s"compactAggState: promote failed for $tmp")
+    }
+    fs.delete(old, true)
+  }
 
   // ------------------------------------------------------------ queries
   /** MVCC snapshot as a verifiable query (read_ts fixed). */

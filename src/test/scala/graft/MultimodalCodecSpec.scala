@@ -80,6 +80,47 @@ class MultimodalCodecSpec extends SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("q210 degenerate piles: identical-hash pile emits a linear star, not C(n,2)") {
+    import spark.implicits._
+    val cap = operators.Multimodal.nearDupMaxGroup
+    // 100 identical flat-color rasters -> one distinct hash, pile > cap
+    val hashed = (1L to 100L).map(id => (id, 0L)).toDF("doc_id", "dhash")
+    val out = operators.Multimodal.imageNearDupPairs(hashed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 99, "oversized pile must emit the rep->member star (n-1 rows)")
+    assert(out.forall { case (id1, _, d) => id1 === 1L && d === 0L },
+      "every star pair links to the pile representative at distance 0")
+    assert(out.length < 100 * 99 / 2 && out.length <= cap * cap)
+  }
+
+  test("q210 degenerate buckets: a band-value pile of distinct hashes is capped, not joined quadratically") {
+    import spark.implicits._
+    // 100 DISTINCT hashes that all collide on bands 0, 2, 3 (bv = 0)
+    // and differ only in band 1: every band bucket is either
+    // degenerate (100 members > cap -> dropped) or singleton, so the
+    // band join must emit zero candidate pairs — the pre-cap design
+    // produced C(100,2) x 3 of them before the Hamming filter.
+    val hashed = (1L to 100L).map(i => (i, i << 16)).toDF("doc_id", "dhash")
+    val out = operators.Multimodal.imageNearDupPairs(hashed)
+    assert(out.count() === 0L,
+      "degenerate band buckets are skew piles and must be dropped (q61 discipline)")
+  }
+
+  test("q210 cross-pile connectivity survives the caps via representatives") {
+    import spark.implicits._
+    // two oversized piles whose hashes are Hamming distance 1 apart
+    val pileA = (1L to 100L).map(id => (id, 1024L))
+    val pileB = (101L to 200L).map(id => (id, 1025L))
+    val out = operators.Multimodal.imageNearDupPairs((pileA ++ pileB).toDF("doc_id", "dhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cap = operators.Multimodal.nearDupMaxGroup
+    // stars: 99 per pile; cross: capped prefix expansion, never 100x100
+    assert(out.count(_._3 == 0L) === 198)
+    val cross = out.filter(_._3 == 1L)
+    assert(cross.size === cap * cap, "cross expansion is bounded by the member-prefix cap")
+    assert(cross.contains((1L, 101L, 1L)), "the two pile representatives must be linked")
+  }
+
   test("q206 image-hash dedup groups equal the exact text-dup groups") {
     import org.apache.spark.sql.functions._
     val r = SparkEntry.queries("q206_image_phash")(spark, sf)
