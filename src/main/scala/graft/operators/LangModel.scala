@@ -657,11 +657,70 @@ object LangModel {
     aucFrom(labeled)
   }
 
+  /** Tie-corrected ROC AUC (the standard Mann-Whitney mid-rank form):
+    * tied scores share the mean of the ranks they occupy, so a
+    * classifier that outputs a constant scores exactly 0.5 instead of
+    * an order-dependent value. Exactness via integer HALF-ranks —
+    * every mid-rank is (2·lo + g − 1)/2 for a tie-group starting at
+    * global rank `lo` with `g` members, so 2·midrank is always
+    * integral: AUC = (Σ 2·midrank⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻), computed
+    * in DECIMAL(38,0) (Σ 2·midrank⁺ ~ n², past BIGINT at corpus
+    * scale) with one exact integer ppm division at the end.
+    *
+    * Scale shape: ONE scale-safe global rank (q209's), then a
+    * score-keyed aggregate (map-side combined; |distinct scores| ≤ n)
+    * and a 1-row rollup. No join — the tie-group sums Σp·(2lo+g−1)
+    * fold directly. Complements q209, which deliberately keeps the
+    * uncorrected deterministic-tie-break form; on the tie-heavy
+    * stopword signal the two legitimately differ. */
+  def aucTieCorrectedFrom(labeled: DataFrame): DataFrame = {
+    val ranked = graft.operators.ScalableSort.globalRowNumber(
+      labeled, "rnk", 32, col("score"), col("doc_id"))
+    val grp = ranked.groupBy(col("score"))
+      .agg(min(col("rnk")).as("lo"), count(lit(1)).as("g"),
+        sum(col("pos")).as("p"))
+    grp.agg(
+      sum(col("p")).cast("long").as("n_pos"),
+      (sum(col("g")) - sum(col("p"))).cast("long").as("n_neg"),
+      expr("""cast((sum(cast(p as decimal(38,0)) * (2 * lo + g - 1))
+             |   - cast(sum(p) as decimal(38,0)) * (sum(p) + 1)) * 1000000
+             | div (2 * cast(sum(p) as decimal(38,0)) * (sum(g) - sum(p)))
+             | as bigint)""".stripMargin).as("auc_ppm"))
+  }
+
+  val q209bAucTieCorrected: QueryDef = QueryDef(
+    "q209b_auc_tie_corrected",
+    """WITH t AS (SELECT doc_id, lang,
+      |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+      |      * 1000000 // len(w) AS score
+      |  FROM t),
+      |r AS (SELECT pos, score, row_number() OVER (ORDER BY score, doc_id) AS rnk FROM s),
+      |g AS (SELECT score, MIN(rnk) AS lo, COUNT(*) AS g, SUM(pos) AS p
+      |  FROM r GROUP BY score)
+      |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+      |  CAST(SUM(g) - SUM(p) AS BIGINT) AS n_neg,
+      |  CAST((SUM(p * (2 * lo + g - 1)) - SUM(p) * (SUM(p) + 1)) * 1000000
+      |       // (2 * SUM(p) * (SUM(g) - SUM(p))) AS BIGINT) AS auc_ppm
+      |FROM g""".stripMargin) { (s, d) =>
+    val labeled = docs(s, d).select(col("doc_id"),
+      when(col("lang") === "en", 1).otherwise(0).as("pos"),
+      expr("""size(filter(split(trim(text), '\\s+'),
+             |  x -> x IN ('the','a','of','and','to'))) * 1000000L
+             | div size(split(trim(text), '\\s+'))""".stripMargin).as("score"))
+    aucTieCorrectedFrom(labeled)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
       q175TextRank, q176NaiveBayes, q177TfIdf, q196PmiCollocations,
       // headline: the LM-scoring bench representative — two corpus
       // explodes + a Heaps-bounded model join, the axis (corpus-scale
       // string explode → model-table join) no other headliner covers
-      q197KneserNey.copy(headline = true), q203CcnetBuckets, q209AucEval)
+      q197KneserNey.copy(headline = true), q203CcnetBuckets,
+      // headline: the global-rank evaluation shape (ScalableSort over
+      // the whole corpus + 1-row rollup)
+      q209AucEval.copy(headline = true),
+      q209bAucTieCorrected)
 }

@@ -164,5 +164,7 @@ object Pca {
     } finally cen.unpersist(blocking = false)
   }
 
-  val all: Seq[QueryDef] = Seq(q202PcaPower)
+  // headline: the iterative-trainer representative — repeated bounded
+  // corpus passes with constant plan depth (same family as q131 kmeans)
+  val all: Seq[QueryDef] = Seq(q202PcaPower.copy(headline = true))
 }

@@ -30,16 +30,25 @@ object ScalableSort {
   /** Append a global `row_number() OVER (ORDER BY sortCols)` column
     * named `out` without a single-partition window.
     *
-    * The offsets branch shares the range-exchange subtree with the
-    * main branch; the static plan shows it twice but AQE's stage reuse
-    * deduplicates identical exchanges at runtime (and the range
-    * boundaries are deterministic for a given input regardless, so the
-    * pid mapping is consistent across branches). */
+    * The locally-ranked frame is PERSISTED before fan-out: the offsets
+    * branch and the output branch both consume it, and if each re-ran
+    * the lineage independently the two range exchanges could pick
+    * DIFFERENT sampled boundaries (observed in practice when the
+    * upstream lineage contains a cached relation — AQE stats differ
+    * between executions, partition counts diverge, and the per-index
+    * sampling seeds then yield different splits). Divergent boundaries
+    * make the offsets table disagree with the pid labels in the output
+    * branch — duplicate and skipped ranks. One materialization makes
+    * the pid→count mapping definitionally consistent; lineage is kept
+    * (fault-tolerant, unlike localCheckpoint), and the cached frame is
+    * exactly the data being ranked — the same footprint an external
+    * merge sort's run files would occupy. */
   def globalRowNumber(df: DataFrame, out: String, numParts: Int, sortCols: Column*): DataFrame = {
     val parted = df.repartitionByRange(numParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val local = parted.withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .persist()
     // Unpartitioned window is over the numParts-row aggregate only —
     // bounded by cluster width, never by data size.
     val wCum = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)

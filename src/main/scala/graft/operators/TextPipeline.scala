@@ -182,7 +182,12 @@ object TextPipeline {
     * engines): q63 rounds it for output, q114 thresholds it. */
   private[graft] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val t = docs(s, d)
-      .select(col("doc_id"), array_distinct(shingles(tokens, 3)).as("payload"))
+      // materialize the split ONCE per row: expressions inside a
+      // transform() lambda are re-evaluated per element, so shingling
+      // directly over the split() expression re-runs the regex per
+      // shingle — O(tokens²) per document
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("payload"))
       .withColumn("blk", array_min(col("payload")))
     boundedPairs(t, 16)
       .withColumn("ni", size(array_intersect(col("p1"), col("p2"))))
@@ -829,15 +834,26 @@ object TextPipeline {
       |FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
       |WHERE i.i * 2 >= (s1.n + s2.n - i.i)""".stripMargin) { (s, d) =>
     val t = docs(s, d)
-      .select(col("doc_id"), array_distinct(shingles(tokens, 3)).as("sh"))
-    val e = t.select(col("doc_id"), explode(col("sh")).as("w"))
+      // split materialized once per row (lambda-body expressions
+      // re-evaluate per element — see ngramJaccardPairs)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
+    // the exploded shingle stream feeds BOTH the df-count pass and the
+    // rank-array build: persist it or the regex shingling runs twice
+    val e = t.select(col("doc_id"), explode(col("sh")).as("w")).persist()
     val dfTab = e.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
     val ranked = ScalableSort.globalRowNumber(dfTab, "rank", 32,
       col("dfc"), col("w")).select(col("w"), col("rank"))
+    // The rank-array table feeds THREE consumers (both prefix sides +
+    // the verify joins); persist it once (memory-and-disk) or the whole
+    // explode→df-join→collect lineage recomputes per consumer — the
+    // standard SSJoin materialization, ~the corpus's token count in
+    // ints, spillable at scale.
     val rs = e.join(ranked, "w")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("rank"))).as("rs"))
       .withColumn("n", size(col("rs")))
+      .persist()
     // τ = 0.5 prefix length: n − ⌈n/2⌉ + 1
     val pre = rs.select(col("doc_id"), col("n"),
       explode(expr("slice(rs, 1, cast(n - ((n + 1) div 2) + 1 as int))")).as("r"))
@@ -861,5 +877,8 @@ object TextPipeline {
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
     q85StratifiedSample, q86TrainTestSplit, q87RedactPii, q88UrlParse,
     q114DedupClusters, q115Repetition, q134CompressRatio,
-    q147DedupRepresentative, q201SsjoinPrefix)
+    q147DedupRepresentative,
+    // headline: the exact set-similarity self-join — global df-rank +
+    // prefix-key self-join, the heaviest dedup shape in the repo
+    q201SsjoinPrefix.copy(headline = true))
 }

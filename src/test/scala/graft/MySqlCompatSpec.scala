@@ -60,6 +60,32 @@ class MySqlCompatSpec extends SparkTestBase {
     assert(ScalableSort.globalRowNumber(empty, "rn", 8, col("s_acctbal").desc).count() === 0L)
   }
 
+  test("scalable global rank is a bijection 1..n even over a cached upstream (boundary-divergence regression)") {
+    import spark.implicits._
+    // Regression: when the rank input's lineage contains a persisted
+    // relation, the offsets branch and the output branch used to
+    // re-execute the range exchange with independently-sampled
+    // boundaries — observed as duplicate AND skipped ranks. The
+    // persist inside globalRowNumber pins one materialization; this
+    // asserts bijectivity over exactly the trigger shape, repeatedly
+    // (the failure was probabilistic).
+    val base = (1L to 50000L).map(i => (i, (i * 2654435761L) % 977L))
+      .toDF("id", "grp").persist()
+    val derived = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("c"), sum(col("id")).as("s"))
+    for (_ <- 1 to 3) {
+      val rk = ScalableSort.globalRowNumber(derived, "rn", 32, col("c"), col("grp"))
+      val n = rk.count()
+      val stats = rk.agg(min(col("rn")), max(col("rn")),
+        countDistinct(col("rn"))).head()
+      assert(stats.getLong(0) === 1L && stats.getLong(1) === n &&
+        stats.getLong(2) === n,
+        s"ranks must be exactly 1..$n: got min=${stats.getLong(0)} " +
+          s"max=${stats.getLong(1)} distinct=${stats.getLong(2)}")
+    }
+    base.unpersist()
+  }
+
   test("ipv6 helpers: full-form parse, v4 and malformed rejected") {
     val r = Seq("2001:0db8:0001:0000:0000:0000:00ab:cdef").toDF("ip")
       .select(is_ipv6($"ip"), inet6_aton_hex($"ip"), inet6_ntoa_norm($"ip")).first()

@@ -159,6 +159,35 @@ class SqlFrontierSpec extends SparkTestBase {
     assert(operators.LangModel.aucFrom(inv).head().getLong(2) < 10000L)
   }
 
+  test("q209b tie-corrected AUC: constant scorer reads exactly 0.5; agrees with brute force under ties") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // constant score: every pair is a tie -> mid-rank AUC is EXACTLY
+    // 500000 ppm (q209's uncorrected form is order-dependent here)
+    val const = (0 until 100).map(i => (i.toLong, i % 3 min 1, 7L))
+      .toDF("doc_id", "pos", "score")
+    assert(operators.LangModel.aucTieCorrectedFrom(const).head().getLong(2)
+      === 500000L)
+    // tie-heavy fixture vs brute force: AUC = (#(s+>s-) + #(s+=s-)/2) / (n+ n-)
+    val rows = (0 until 200).map(i => (i.toLong, i % 2, (i % 7).toLong))
+    val brute = {
+      val p = rows.filter(_._2 == 1).map(_._3)
+      val n = rows.filter(_._2 == 0).map(_._3)
+      val num = (for (a <- p; b <- n)
+        yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+      num * 1000000L / (2L * p.size * n.size)
+    }
+    val got = operators.LangModel
+      .aucTieCorrectedFrom(rows.toDF("doc_id", "pos", "score")).head()
+    assert(got.getLong(2) === brute,
+      s"mid-rank AUC must equal the brute-force pair count: $got vs $brute")
+    // tie-free data: corrected and uncorrected forms coincide
+    val free = (0 until 150).map(i => (i.toLong, i % 5 min 1, (i * 13 % 151).toLong))
+      .toDF("doc_id", "pos", "score")
+    assert(operators.LangModel.aucTieCorrectedFrom(free).head().getLong(2)
+      === operators.LangModel.aucFrom(free).head().getLong(2))
+  }
+
   test("q196 PMI plan: corpus pair stream shuffles once into the pair aggregate") {
     val p = planOf("q196_pmi_collocations")
     // pair-key exchange + unigram-key exchange(s) are Heaps-bounded;
