@@ -465,4 +465,47 @@ class StreamingSpec extends SparkTestBase {
     Ingest.compactAggState(spark, state)
     assert(mv === batch)
   }
+
+  test("incremental aggregate MV equals the batch recompute at EVERY micro-batch boundary, with mid-stream compaction") {
+    // End-to-end consistency at each checkpoint, not just the final
+    // state: after every ingested slice the folded MV must equal a
+    // from-scratch rollup over the prefix ingested so far — including
+    // immediately after a mid-stream compaction collapses the pile
+    // while later appends keep arriving (the reference's delta-merge
+    // invariant: background merges never perturb the read view).
+    val base = Files.createTempDirectory("graft-aggmv-ckpt")
+    val in = base.resolve("in")
+    Files.createDirectories(in)
+    val state = base.toString + "/state"
+    val events = Tables.events(spark, sf)
+    val slices = 4
+    def addSlice(i: Int): Unit = {
+      val stage = base.resolve(s"stage$i")
+      events.filter(col("event_id") % slices === i)
+        .coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, in.resolve(s"slice$i.parquet"))
+    }
+    def snap(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, java.math.BigDecimal, Long)] =
+      df.select(col("event_type"), col("day"), col("cnt"),
+          col("vsum").cast("decimal(30,2)"),
+          hll_sketch_estimate(col("users_hll")).as("du"))
+        .collect().map(r => (r.getString(0), r.getDate(1).toString,
+          r.getLong(2), r.getDecimal(3), r.getLong(4))).toSet
+    for (i <- 0 until slices) {
+      addSlice(i)
+      Ingest.streamAggMaintain(spark, in.toString, state)
+      val mv = snap(Ingest.aggViewOf(spark.read.parquet(state)))
+      val prefix = snap(Ingest.aggPartial(
+        events.filter(col("event_id") % slices <= i)))
+      assert(mv === prefix && mv.nonEmpty,
+        s"MV after micro-batch $i must equal the batch rollup over slices 0..$i")
+      if (i == 1) { // compact mid-stream; boundary invariant must hold
+        Ingest.compactAggState(spark, state)
+        assert(snap(Ingest.aggViewOf(spark.read.parquet(state))) === prefix,
+          "mid-stream compaction must not change the checkpoint view")
+      }
+    }
+  }
 }
