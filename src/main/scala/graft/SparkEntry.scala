@@ -24,7 +24,7 @@ object SparkEntry {
       operators.TemporalJoins.all ++ operators.Curation.all ++
       operators.Analytics.all ++ operators.Clustering.all ++
       operators.SqlFrontier.all ++ operators.LangModel.all ++
-      operators.Pca.all ++
+      operators.Pca.all ++ operators.Classifier.all ++
       functions.BigIntSum.all ++ functions.ApproxTopK.all ++
       streaming.Ingest.all ++
       operators.Multimodal.all

@@ -632,6 +632,33 @@ object MySqlCompat {
       .otherwise(signum(x.cast("double")) * mag)
   }
 
+  /** MySQL ROUND(real_x, d) with a PER-ROW digit count — the dynamic
+    * sibling of `mysql_round_frac` for double arguments, where Spark's
+    * `round(col, d)` insists on a literal d
+    * (`/root/reference/dbms/src/Functions/FunctionsRound.h` TiDBRound
+    * dispatches on a runtime scale column;
+    * `tests/fullstack-test/issues/issue_3333.test` drives it with the
+    * scale drawn from every integer column width). Same doubles-only
+    * shape as `mysql_truncate` — half-away-from-zero at digit d via
+    * floor(y·10^d + 0.5), sign re-applied — so the identical formula
+    * runs in the DuckDB oracle and stays whole-stage-codegen. The
+    * 2^53 guard returns x unchanged once the scaled magnitude carries
+    * no sub-10^-d digits (covers huge x and d > 308); a magnitude
+    * scaling below 0.5·10^-d rounds to 0. NULL x or d propagates. */
+  def mysql_round_real(x: Column, d: Column): Column = {
+    val y = abs(x.cast("double"))
+    val p = pow(lit(10.0), d.cast("double"))
+    val q = pow(lit(10.0), -d.cast("double"))
+    val twoP53 = lit(9007199254740992.0)
+    val mag = when(y === 0.0, lit(0.0))
+      .when(d >= 0,
+        when(y * p >= twoP53, y).otherwise(floor(y * p + 0.5) / p))
+      .when(y / q >= twoP53, y)
+      .otherwise(floor(y / q + 0.5) * q)
+    when(x.isNull || d.isNull, lit(null).cast("double"))
+      .otherwise(signum(x.cast("double")) * mag)
+  }
+
   /** Per-row-frac rounding over lineitem: frac = l_linenumber - 3
     * spans [-2, 4] across the scale boundary of DECIMAL(30,2). The
     * oracle writes the same bounded ladder as an explicit CASE (DuckDB

@@ -778,11 +778,129 @@ object Curation {
           .as("waste_ppm"))
   }
 
+  /** Bloom-prefiltered n-gram decontamination — q139's exact 13-gram
+    * contract at the scale where the benchmark gram set is too large to
+    * broadcast-HASH-join against every corpus gram economically. The
+    * plan: (1) build a Bloom filter over the benchmark 8-grams
+    * (`DataFrameStatFunctions.bloomFilter` — a distributed
+    * treeAggregate; ~1.2 bytes/gram at 1% FPP, so a 100 M-gram eval
+    * suite is a ~120 MB broadcast where the raw strings would be GBs);
+    * (2) one corpus scan drops every gram the filter rejects — Bloom
+    * guarantees NO false negatives, so nothing contaminated is lost and
+    * ~99% of clean grams never reach the exchange; (3) the surviving
+    * ≈1%+true-hits candidate set exact-joins the benchmark grams to
+    * kill false positives. The result is therefore EXACT — the Bloom
+    * stage is plan-level optimization only, which is why a plain SQL
+    * join is a valid oracle. Mirrors the rough-set pack-filter
+    * discipline of the reference (probabilistic prefilter + exact
+    * residue check, `/root/reference/dbms/src/Storages/DeltaMerge/
+    * Index/MinMaxIndex.h:31`) applied to decontamination.
+    *
+    * The membership probe is a broadcast-Bloom UDF: Spark exposes no
+    * public `might_contain` function (the Catalyst
+    * `BloomFilterMightContain` expression is reserved for runtime
+    * filter injection), and the probe sits AFTER the scan's pushed
+    * filters, so the UDF costs one virtual call per gram — not a
+    * codegen break on the hot scan path.
+    */
+  val q212BloomDecontaminate: QueryDef = QueryDef(
+    "q212_bloom_decontaminate",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT doc_id AS bench_id,
+      |    array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+      |  FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+      |  WHERE doc_id % 41 = 0 AND len(w) >= 8),
+      |cg AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+      |  FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+      |  WHERE len(w) >= 8)
+      |SELECT bench_id,
+      |  COUNT(DISTINCT doc_id) AS n_contaminated,
+      |  COUNT(DISTINCT gram) AS n_grams_hit
+      |FROM bg JOIN cg USING (gram)
+      |GROUP BY bench_id""".stripMargin) { (s, d) =>
+    val grams = corpusGrams(Tables.documents(s, d), 8).cache()
+    try {
+      val bench = grams.filter(col("doc_id") % 41 === 0)
+        .withColumnRenamed("doc_id", "bench_id")
+      val nBench = bench.count()
+      val bf = bench.stat.bloomFilter("gram", math.max(nBench, 1L), 0.01)
+      val bc = s.sparkContext.broadcast(bf)
+      val mightContain = udf((g: String) => bc.value.mightContainString(g))
+      grams.filter(mightContain(col("gram"))) // no false negatives
+        .join(bench, "gram")                  // exact confirm kills FPs
+        .groupBy(col("bench_id"))
+        .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+          countDistinct(col("gram")).as("n_grams_hit"))
+    } finally grams.unpersist(blocking = false)
+  }
+
+  /** Per-language winsorization of a document signal — clamp every
+    * doc's length to its language's exact [p05, p95] band, the robust
+    * outlier-clipping pass run before classifier training / curriculum
+    * weighting so a handful of megadocuments can't dominate a scale or
+    * a gradient. Percentiles are EXACT discrete order statistics
+    * (rank ⌈p·n⌉), not interpolated approximations, so the result is
+    * integer-deterministic across engines.
+    *
+    * Scale shape (the q203 discipline): a naive
+    * `row_number() OVER (PARTITION BY lang)` funnels each language —
+    * corpus-scale at 100 TB — into one task. Instead ONE global
+    * `ScalableSort` rank over (lang, n_chars, doc_id), a |langs|-row
+    * (min-rank, count) broadcast to convert global ranks to
+    * per-language positions, a |langs|-row bounds table from rank
+    * selection, and a broadcast clip join. No per-group funnel at any
+    * cardinality.
+    */
+  val q214Winsorize: QueryDef = QueryDef(
+    "q214_winsorize",
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS lr,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |b AS (SELECT lang,
+      |    MAX(CASE WHEN lr = (n + 19) // 20 THEN n_chars END) AS p05,
+      |    MAX(CASE WHEN lr = (19 * n + 19) // 20 THEN n_chars END) AS p95
+      |  FROM r GROUP BY lang)
+      |SELECT r.doc_id, r.lang, r.n_chars,
+      |  least(greatest(r.n_chars, b.p05), b.p95) AS clipped
+      |FROM r JOIN b USING (lang)""".stripMargin) { (s, d) =>
+    val docsDf = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val ranked = ScalableSort.globalRowNumber(
+      docsDf, "rn", 32, col("lang"), col("n_chars"), col("doc_id"))
+    val offsets = ranked.groupBy(col("lang"))
+      .agg(min(col("rn")).as("lo"), count(lit(1)).as("n"))
+    val pos = ranked.join(broadcast(offsets), "lang")
+      .withColumn("lr", col("rn") - col("lo") + 1)
+    val bounds = pos.groupBy(col("lang"))
+      .agg(max(when(col("lr") === expr("(n + 19) div 20"), col("n_chars")))
+        .as("p05"),
+        max(when(col("lr") === expr("(19 * n + 19) div 20"), col("n_chars")))
+          .as("p95"))
+    pos.join(broadcast(bounds), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        least(greatest(col("n_chars"), col("p05")), col("p95")).as("clipped"))
+  }
+
+  /** doc_id → distinct word n-grams (shared by q139/q212). */
+  def corpusGrams(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+          .as("gram"))
+      .distinct()
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
       q139NgramDecontaminate, q140WeightedSample, q146Chunking,
       q161UrlCanonicalize, q162UnicodeNormalize, q163HtmlStrip,
       q164Boilerplate, q166CharEntropy, q182DsirWeights, q183GopherRules,
       q186SpanDedup, q188CurriculumBuckets, q204EpochShuffle,
-      q205LengthBuckets)
+      q205LengthBuckets, q212BloomDecontaminate, q214Winsorize)
 }

@@ -712,8 +712,96 @@ object LangModel {
     aucTieCorrectedFrom(labeled)
   }
 
+  /** Jelinek-Mercer interpolated trigram LM — the third member of the
+    * n-gram smoothing family (add-one bigram q174, Kneser-Ney q197):
+    * P(w3|w1w2) = 0.6·c(w123)/c(w12·) + 0.3·c(w23)/c(w2·) + 0.1·c(w3)/T,
+    * the fixed-λ interpolation of Jelinek & Mercer 1980 (the smoothing
+    * CCNet-style perplexity filters fall back to when KN's discount is
+    * undefined at low counts). Every interpolated probability is an
+    * exact rational of corpus counts; the ONLY float op per distinct
+    * trigram is the identical IEEE sequence
+    * ln(0.6·a/b + 0.3·c/d + 0.1·e/f), quantized to micro-nats, so doc
+    * scores are exact BIGINT sums (the q197 determinism rule).
+    *
+    * Scale shape: one corpus trigram explode + one pair explode + one
+    * token explode, each Heaps-bounded after its groupBy; scoring is a
+    * single (w1,w2,w3) join; the token total rides a 1-row broadcast.
+    */
+  val q213TrigramJmLm: QueryDef = QueryDef(
+    "q213_trigram_jm_lm",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |                 x -> x <> '') AS ws FROM documents),
+      |tri AS (
+      |  SELECT doc_id, unnest(ws[1:len(ws)-2]) AS w1,
+      |         unnest(ws[2:len(ws)-1]) AS w2,
+      |         unnest(ws[3:len(ws)]) AS w3
+      |  FROM tok WHERE len(ws) >= 3),
+      |pairs AS (
+      |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS a,
+      |         unnest(ws[2:len(ws)]) AS b
+      |  FROM tok WHERE len(ws) >= 2),
+      |c3t AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12
+      |        FROM c3t GROUP BY 1, 2),
+      |cb AS (SELECT a, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+      |cbw AS (SELECT a AS a2, CAST(SUM(c) AS BIGINT) AS cw FROM cb GROUP BY 1),
+      |uni AS (SELECT w, COUNT(*) AS c1
+      |        FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM (SELECT unnest(ws) AS w FROM tok)),
+      |lp AS (SELECT t.w1, t.w2, t.w3,
+      |    CAST(round(ln(0.6 * t.c3 / c12.c12 + 0.3 * cb.c / cbw.cw
+      |                  + 0.1 * uni.c1 / tot.t) * 1000000) AS BIGINT) AS lp6
+      |  FROM c3t t JOIN c12 USING (w1, w2)
+      |    JOIN cb ON cb.a = t.w2 AND cb.b = t.w3
+      |    JOIN cbw ON cbw.a2 = t.w2
+      |    JOIN uni ON uni.w = t.w3, tot)
+      |SELECT doc_id, COUNT(*) AS n_trigrams, CAST(-SUM(lp6) AS BIGINT) AS nll6
+      |FROM tri JOIN lp USING (w1, w2, w3) GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val tok = docs(s, d).select(col("doc_id"),
+      filter(split(col("text"), " "), x => x =!= "").as("ws"))
+    val tri = tok.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 2), i -> struct(
+          |  element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2,
+          |  element_at(ws, i + 2) AS w3))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+    val pairs = tok.filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val c3t = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c12 = c3t.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).cast("long").as("c12"))
+    val cbt = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val cbw = cbt.groupBy(col("a")).agg(sum(col("c")).cast("long").as("cw"))
+      .withColumnRenamed("a", "a2")
+    val toksAll = tok.select(explode(col("ws")).as("w"))
+    val uni = toksAll.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = toksAll.agg(count(lit(1)).cast("long").as("t"))
+    val lp = c3t.join(c12, Seq("w1", "w2"))
+      .join(cbt, col("w2") === col("a") && col("w3") === col("b"))
+      .join(cbw, col("w2") === col("a2"))
+      .join(uni, col("w3") === col("w"))
+      .join(broadcast(tot))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(log(lit(0.6) * col("c3") / col("c12")
+          + lit(0.3) * col("c") / col("cw")
+          + lit(0.1) * col("c1") / col("t")) * 1000000)
+          .cast("long").as("lp6"))
+    tri.join(lp, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (-sum(col("lp6"))).cast("long").as("nll6"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
+      q213TrigramJmLm,
       q175TextRank, q176NaiveBayes, q177TfIdf, q196PmiCollocations,
       // headline: the LM-scoring bench representative — two corpus
       // explodes + a Heaps-bounded model join, the axis (corpus-scale
