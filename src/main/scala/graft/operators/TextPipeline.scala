@@ -871,7 +871,86 @@ object TextPipeline {
         expr("inter * 1000000L div uni").as("jacc_ppm"))
   }
 
+  /** Maximal duplicated-substring spans — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) pass: find every character span of length ≥ 50 that
+    * occurs more than once in the corpus, and merge overlapping hits
+    * into MAXIMAL per-document spans. q186 is the C4 tile variant
+    * (fixed disjoint 10-word tiles); this is the sliding form that
+    * catches duplicates at ANY alignment — one 50-char window per
+    * character position, EXACT boundaries (a stride-k shortcut would
+    * miss cross-document duplicates whose offsets differ mod k).
+    *
+    * Scale shape: the window explode is one row per corpus character —
+    * the SAME asymptotic cost as the paper's suffix array (which also
+    * materializes one entry per character); duplicate marking is a
+    * two-phase exchange that keeps the wide strings off the wire:
+    * (1) hash-partitioned count of 8-byte xxhash64 window keys,
+    * (2) only hash-duplicated candidates (the ≈dup subset) re-group on
+    * the full 50-char text to kill hash collisions — exact, the
+    * q212 prefilter-then-confirm discipline. The island merge windows
+    * PARTITION BY doc_id — per-document work bounded by document
+    * length, never a global funnel. All arithmetic is integer
+    * (offsets), bit-deterministic.
+    */
+  val q215DupSpans: QueryDef = QueryDef(
+    "q215_dup_spans",
+    """WITH w AS (
+      |  SELECT doc_id, i, substr(text, CAST(i AS BIGINT), 50) AS g
+      |  FROM documents, UNNEST(range(1, length(text) - 48)) AS u(i)
+      |  WHERE length(text) >= 50),
+      |dupg AS (SELECT g FROM w GROUP BY g HAVING COUNT(*) >= 2),
+      |hits AS (SELECT doc_id, i, i + 49 AS e FROM w JOIN dupg USING (g)),
+      |m AS (SELECT doc_id, i, e,
+      |    MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM hits),
+      |isl AS (SELECT doc_id, i, e,
+      |    SUM(CASE WHEN pmax IS NULL OR i > pmax + 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |  FROM m),
+      |sp AS (SELECT doc_id, island, MIN(i) AS s, MAX(e) AS e
+      |       FROM isl GROUP BY doc_id, island)
+      |SELECT doc_id, COUNT(*) AS n_dup_spans,
+      |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+      |  CAST(MAX(e - s + 1) AS BIGINT) AS max_span
+      |FROM sp GROUP BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.documents(s, d)
+      .filter(length(col("text")) >= 50)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 49)")).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        expr("substring(text, i, 50)").as("g"))
+      .withColumn("hk", xxhash64(col("g")))
+    // phase 1: count 8-byte hash keys (cheap exchange, no strings)
+    val dupHk = w.groupBy(col("hk")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("hk"))
+    // phase 2: exact confirm on the candidate subset only — every
+    // string with >= 2 occurrences shares a hash, so nothing is lost;
+    // re-grouping on g discards hash collisions
+    val cand = w.join(dupHk, "hk")
+    val dupg = cand.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("g"))
+    val hits = cand.join(dupg, "g")
+      .select(col("doc_id"), col("i"), (col("i") + 49).as("e"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val m = hits.withColumn("pmax",
+      max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+    val isl = m.withColumn("island",
+      sum(when(col("pmax").isNull || col("i") > col("pmax") + 1, 1)
+        .otherwise(0)).over(wDoc))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_chars"),
+        max(col("e") - col("s") + 1).cast("long").as("max_span"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q215DupSpans,
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
