@@ -916,6 +916,9 @@ object TextPipeline {
       |  CAST(MAX(e - s + 1) AS BIGINT) AS max_span
       |FROM sp GROUP BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // the per-char window stream feeds BOTH the phase-1 hash count and
+    // the candidate join — persist it (q201's discipline) or the
+    // corpus explode re-runs for every consumer
     val w = Tables.documents(s, d)
       .filter(length(col("text")) >= 50)
       .select(col("doc_id"),
@@ -924,33 +927,50 @@ object TextPipeline {
       .select(col("doc_id"), col("i"),
         expr("substring(text, i, 50)").as("g"))
       .withColumn("hk", xxhash64(col("g")))
+      .persist()
     // phase 1: count 8-byte hash keys (cheap exchange, no strings)
     val dupHk = w.groupBy(col("hk")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("hk"))
     // phase 2: exact confirm on the candidate subset only — every
     // string with >= 2 occurrences shares a hash, so nothing is lost;
-    // re-grouping on g discards hash collisions
-    val cand = w.join(dupHk, "hk")
+    // re-grouping on g discards hash collisions. cand feeds two
+    // consumers (dupg + hits) — persist the small candidate set too
+    val cand = w.join(dupHk, "hk").persist()
     val dupg = cand.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("g"))
+    // hits is only the duplicated windows — corpus-dup-fraction-sized,
+    // orders of magnitude below w. Materialize it, then RELEASE the
+    // corpus-sized caches so they can't evict downstream queries'
+    // working sets (the bench runs many operators in one executor).
     val hits = cand.join(dupg, "g")
       .select(col("doc_id"), col("i"), (col("i") + 49).as("e"))
+      .persist()
+    hits.count()
+    w.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val m = hits.withColumn("pmax",
       max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
     val isl = m.withColumn("island",
       sum(when(col("pmax").isNull || col("i") > col("pmax") + 1, 1)
         .otherwise(0)).over(wDoc))
-    isl.groupBy(col("doc_id"), col("island"))
+    val spans = isl.groupBy(col("doc_id"), col("island"))
       .agg(min(col("i")).as("s"), max(col("e")).as("e"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("e") - col("s") + 1).cast("long").as("dup_chars"),
         max(col("e") - col("s") + 1).cast("long").as("max_span"))
+      .persist()
+    spans.count() // ≤ one row per doc — the only cache left behind
+    hits.unpersist(blocking = false)
+    spans
   }
 
   val all: Seq[QueryDef] = Seq(
-    q215DupSpans,
+    // headline: the per-character corpus explode — the heaviest
+    // window-materialization shape in the repo (one row per corpus
+    // char), exercising the hash-prefilter/exact-confirm exchange
+    q215DupSpans.copy(headline = true),
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
