@@ -837,10 +837,90 @@ object Analytics {
       when(guard.isNull, when(lhs > rhs, 1L).otherwise(0L)).as("significant"))
   }
 
+  /** SCD2 dimension build — collapse each user's event stream into
+    * slowly-changing-dimension type-2 validity intervals: one row per
+    * STATE CHANGE carrying [valid_from, valid_to) and a version
+    * number, the standard warehouse temporal-dimension shape. This is
+    * the batch materialization of exactly what the reference's MVCC
+    * version chain stores per handle (`/root/reference/dbms/src/
+    * Storages/DeltaMerge/DMVersionFilterBlockInputStream.h:32-41` —
+    * COMPACT mode surfaces the latest version per pk below a read ts;
+    * SCD2 surfaces ALL versions with their validity windows).
+    *
+    * Scale shape: both windows partition on user_id — corpus-scale
+    * cardinality, so per-task work is one user's history; one
+    * exchange serves the dedup-changes window AND the interval-close
+    * window (same partitioning). Ordering is total ((ts, event_id)),
+    * so versions are deterministic under duplicate timestamps.
+    */
+  val q216Scd2: QueryDef = QueryDef(
+    "q216_scd2",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, ts, event_id, event_type
+      |  FROM o WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id
+      |                 ORDER BY ts, event_id) AS valid_to,
+      |  CAST(row_number() OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS BIGINT) AS version
+      |FROM chg""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val chg = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    chg.select(col("user_id"), col("event_type"),
+      col("ts").as("valid_from"),
+      lead(col("ts"), 1).over(w).as("valid_to"),
+      row_number().over(w).cast("long").as("version"))
+  }
+
+  /** Hourly time-series gap fill — zero-fill the missing hours of each
+    * event type's [first, last] activity span, the densification pass
+    * every downstream window/anomaly computation assumes (q199's 3σ
+    * cells silently skip empty hours without it). Spark `sequence`
+    * with an interval step generates each type's hour spine; the spine
+    * is |types| × span-hours — calendar-bounded, NOT corpus-bounded —
+    * and left-joins the one-exchange hourly rollup. Exact integers.
+    */
+  val q217GapFill: QueryDef = QueryDef(
+    "q217_gap_fill",
+    """WITH c AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+      |         FROM c GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(mn, mx,
+      |                            INTERVAL 1 HOUR)) AS h
+      |  FROM span)
+      |SELECT s.event_type, s.h AS hour_ts,
+      |  COALESCE(c.n, 0) AS n,
+      |  CAST(c.n IS NULL AS BIGINT) AS filled
+      |FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.h = c.h""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = c.groupBy(col("event_type"))
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+    spine.join(c, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("hour_ts"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.cast("long").as("filled"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
     q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness,
     q192TimeToConvert, q193EventPaths, q194Attribution, q195Rfm,
-    q199HourlyAnomaly, q208AbTest)
+    q199HourlyAnomaly, q208AbTest, q216Scd2, q217GapFill)
 }
