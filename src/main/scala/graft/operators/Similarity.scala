@@ -276,7 +276,9 @@ object Similarity {
     * pivot and the fixed-order distance sum are derived from `mSub`,
     * so any (mSub, subDim) factorization of the embedding dimension
     * is exact; the left-to-right add order keeps doubles bit-stable. */
-  def pqSearch(e: DataFrame, mSub: Int = 4, subDim: Int = 16, k: Int = 10): DataFrame = {
+  /** PQ codebook: 16 hash-sampled code vectors × mSub subspace slices
+    * (m, start, code_vec, cvm) — broadcast-sized at any corpus scale. */
+  def pqCodebook(e: DataFrame, mSub: Int = 4, subDim: Int = 16): DataFrame = {
     require(mSub * subDim == embedDims,
       s"mSub*subDim must cover the $embedDims-dim embeddings, got $mSub*$subDim")
     val session = e.sparkSession
@@ -285,16 +287,24 @@ object Similarity {
       .orderBy((col("code_vec") % 1000003L) * 2654435761L % 4294967296L, col("code_vec"))
       .limit(16)
     val ms = (0 until mSub).map(m => (m, m * subDim + 1)).toDF("m", "start")
-    val cb = cb16.crossJoin(ms)
+    cb16.crossJoin(ms)
       .select(col("m"), col("start"), col("code_vec"),
         slice(col("cv"), col("start"), lit(subDim)).as("cvm"))
-    // encode: argmin code per (vector, subspace); the N×M×16 expansion
-    // collapses in the map-side partial min_by — only N×M code rows move
-    val enc = e.crossJoin(broadcast(cb))
+  }
+
+  /** PQ encode: argmin code per (vector, subspace); the N×M×16
+    * expansion collapses in the map-side partial min_by — only N×M
+    * code rows move. */
+  def pqCodes(e: DataFrame, cb: DataFrame, subDim: Int = 16): DataFrame =
+    e.crossJoin(broadcast(cb))
       .withColumn("d",
         vec_l2_distance(slice(col("embedding"), col("start"), lit(subDim)), col("cvm")))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("code_vec"), struct(col("d"), col("code_vec"))).as("code"))
+
+  def pqSearch(e: DataFrame, mSub: Int = 4, subDim: Int = 16, k: Int = 10): DataFrame = {
+    val cb = pqCodebook(e, mSub, subDim)
+    val enc = pqCodes(e, cb, subDim)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     // distance lookup table: |Q|·M·16 squared sub-distances, ascending
@@ -532,6 +542,130 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("rnk"), round(col("dist"), 6).as("dist"))
   }
 
+  /** Fused IVF → PQ-ADC → exact re-rank retrieval — the complete
+    * faiss "IVFADC + refine" pipeline SURVEY §2.8 names as the scale
+    * path for the reference's HNSW index
+    * (`/root/reference/dbms/src/Storages/DeltaMerge/Index/VectorIndex/Reader.h:34`):
+    * the coarse quantizer prunes the corpus to nProbe inverted lists,
+    * PQ asymmetric distance scores ONLY the probed candidates from
+    * 8-byte codes (no full vectors touched), and just the ADC top-R
+    * (R = 50) re-rank against exact vectors for the final top-10.
+    *
+    * Scale shape: centroids and PQ codebook are broadcast-sized
+    * (√N-rule centroids ≈ 80 MB at N = 10¹¹, codebook KBs); the
+    * corpus pays one assignment pass and one encode pass (both
+    * map-side-collapsed min_by); a query reads nProbe·N/k code rows
+    * and exactly R full vectors. Deterministic math end to end — fully
+    * oracled, like q56/q58 but composed.
+    */
+  val q218IvfPqRerank: QueryDef = QueryDef(
+    "q218_ivfpq_rerank",
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |              ORDER BY (vec_id % 1000003) * 2654435761 % 4294967296, vec_id LIMIT 32),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckL2Dist("e.embedding", "c.cv")}, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |a2 AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |probe AS (
+       |  SELECT q.qid, q.qv, c.cid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${duckL2Dist("q.qv", "c.cv")}, c.cid) AS rn
+       |  FROM q CROSS JOIN cent c),
+       |p2 AS (SELECT qid, qv, cid FROM probe WHERE rn <= 4),
+       |cand AS (SELECT p2.qid, a2.vec_id FROM p2 JOIN a2 USING (cid)
+       |         WHERE a2.vec_id <> p2.qid),
+       |cb16 AS (SELECT vec_id AS code_vec, embedding AS cv FROM embeddings
+       |         ORDER BY (vec_id % 1000003) * 2654435761 % 4294967296, vec_id LIMIT 16),
+       |ms AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(m)),
+       |cb AS (SELECT m, code_vec, list_slice(cv, m*16+1, m*16+16) AS cvm
+       |       FROM cb16 CROSS JOIN ms),
+       |enc0 AS (
+       |  SELECT e.vec_id, cb.m, cb.code_vec,
+       |    sqrt(${duckL2Sq("list_slice(e.embedding, cb.m*16+1, cb.m*16+16)", "cb.cvm")}) AS d
+       |  FROM embeddings e CROSS JOIN cb),
+       |enc AS (SELECT vec_id, m, code_vec AS code FROM (
+       |  SELECT vec_id, m, code_vec,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_vec) AS rn
+       |  FROM enc0) WHERE rn = 1),
+       |lut AS (SELECT q.qid, cb.m, cb.code_vec,
+       |    ${duckL2Sq("list_slice(q.qv, cb.m*16+1, cb.m*16+16)", "cb.cvm")} AS ld
+       |  FROM q CROSS JOIN cb),
+       |adc0 AS (SELECT l.qid, enc.vec_id,
+       |    MAX(CASE WHEN enc.m = 0 THEN ld END) AS ld0,
+       |    MAX(CASE WHEN enc.m = 1 THEN ld END) AS ld1,
+       |    MAX(CASE WHEN enc.m = 2 THEN ld END) AS ld2,
+       |    MAX(CASE WHEN enc.m = 3 THEN ld END) AS ld3
+       |  FROM enc JOIN lut l ON enc.m = l.m AND enc.code = l.code_vec
+       |  JOIN cand c ON c.qid = l.qid AND c.vec_id = enc.vec_id
+       |  GROUP BY l.qid, enc.vec_id),
+       |adc AS (SELECT qid, vec_id, ((ld0 + ld1) + ld2) + ld3 AS adist FROM adc0),
+       |topr AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |  FROM adc) WHERE rn <= 50),
+       |rer AS (SELECT t.qid, t.vec_id,
+       |    ${duckL2Dist("q.qv", "e.embedding")} AS dist
+       |  FROM topr t JOIN q ON q.qid = t.qid
+       |  JOIN embeddings e ON e.vec_id = t.vec_id),
+       |ranked AS (SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+       |  FROM rer)
+       |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
+       |FROM ranked WHERE rnk <= 10""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cent = ivfCentroids(e, 32)
+    val assigned = ivfAssign(e, cent)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cid"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", vec_l2_distance(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 4)
+      .select(col("qid"), col("cid"))
+    // candidate (qid, vec_id) pairs: the probed inverted lists only
+    val cand = broadcast(probed)
+      .join(assigned.select(col("vec_id"), col("cid")), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    // PQ: codebook broadcast, corpus encoded once, |Q|-sized LUT
+    val cb = pqCodebook(e)
+    val enc = pqCodes(e, cb)
+    val ld = aggregate(
+      zip_with(slice(col("qv"), col("start"), lit(16)), col("cvm"),
+        (x, y) => {
+          val dx = x.cast("double") - y.cast("double")
+          dx * dx
+        }),
+      lit(0.0), (acc, v) => acc + v)
+    val lut = q.crossJoin(cb)
+      .select(col("qid").as("lqid"), col("m").as("lm"),
+        col("code_vec"), ld.as("ld"))
+    val ldCols = (0 until 4).map(m => max(when(col("lm") === m, col("ld"))).as(s"ld$m"))
+    // ADC over candidate code rows only — no full vectors move here
+    val adc = cand.join(enc, "vec_id")
+      .join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("code_vec") &&
+          col("qid") === col("lqid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(ldCols.head, ldCols.tail: _*)
+      .withColumn("adist", (0 until 4).map(m => col(s"ld$m")).reduce(_ + _))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val topR = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= 50).select(col("qid"), col("vec_id"))
+    // refine: exact vectors ONLY for the R survivors per query
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    topR.join(e, "vec_id").join(broadcast(q), "qid")
+      .withColumn("dist", vec_l2_distance(col("qv"), col("embedding")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"), col("rnk"),
+        round(col("dist"), 6).as("dist"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
     * top-20 (q75b's math, fixed-order term sums) fused with the
     * embedding-cosine top-20 (query = vec 0, broadcast) by
@@ -629,5 +763,6 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(
     q50VecNorms, q51KnnBrute, q51bKnnPartial, q51cKnnFiltered, q52VecMetrics,
-    q53AnnLsh, q54EmbedNearDup, q56AnnPq, q58AnnIvf, q187HybridRrf)
+    q53AnnLsh, q54EmbedNearDup, q56AnnPq, q58AnnIvf, q187HybridRrf,
+    q218IvfPqRerank)
 }
