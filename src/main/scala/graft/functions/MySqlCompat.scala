@@ -430,6 +430,129 @@ object MySqlCompat {
   def date_format_mysql(c: Column, fmt: String): Column =
     date_format(c, mysqlPatternToJvm(fmt))
 
+  // ---- the calendar tokens a JVM pattern cannot express ----------
+
+  /** %D — day of month with English ordinal suffix (1st, 2nd, 3rd,
+    * 4th, …, 11th/12th/13th all 'th'). */
+  private def ordinalDay(c: Column): Column = {
+    val d = dayofmonth(c)
+    val suffix = when(d % 100 >= 11 && d % 100 <= 13, "th")
+      .when(d % 10 === 1, "st").when(d % 10 === 2, "nd")
+      .when(d % 10 === 3, "rd").otherwise("th")
+    concat(d.cast("string"), suffix)
+  }
+
+  /** MySQL WEEK(date, 0) — Sunday-start, 00..53: week 1 begins at the
+    * year's first Sunday, earlier days are week 0. */
+  private def weekMode0(c: Column): Column = {
+    val jan1 = trunc(c.cast("date"), "year")
+    val daysBefore = (lit(8) - dayofweek(jan1)) % 7
+    val doy = dayofyear(c)
+    when(doy <= daysBefore, 0)
+      .otherwise(((doy - daysBefore - 1) / 7).cast("int") + 1)
+  }
+
+  /** MySQL WEEK(date, 2) semantics for %V — like mode 0 but 1..53:
+    * days before the first Sunday carry the LAST week of the previous
+    * year (paired with %X). */
+  private def weekMode2(c: Column): Column = {
+    val u = weekMode0(c)
+    val dec31Prev = make_date(year(c) - 1, lit(12), lit(31))
+    when(u > 0, u).otherwise(weekMode0(dec31Prev))
+  }
+
+  /** MySQL WEEK(date, 1) for %u — Monday-start, 00..53 (ISO weeks, but
+    * January days of the previous ISO year read 0 and late-December
+    * days of the next ISO year keep counting upward, not wrapping). */
+  private def weekMode1(c: Column): Column = {
+    val iso = weekofyear(c)
+    when(month(c) === 1 && iso > 50, 0)
+      .when(month(c) === 12 && iso === 1,
+        weekofyear(date_sub(c.cast("date"), 7)) + 1)
+      .otherwise(iso)
+  }
+
+  /** FULL MySQL DATE_FORMAT — the [[date_format_mysql]] token surface
+    * PLUS the calendar tokens with no JVM-pattern equivalent:
+    * %D (ordinal day), %w (0=Sunday weekday), %U/%u (week modes 0/1),
+    * %V/%v (week modes 2/3), %X/%x (the week-years for %V/%v)
+    * (`/root/reference/dbms/src/Functions/FunctionsDateTime.h`
+    * dateFormat; transcript goldens
+    * `tests/delta-merge-test/query/expr/date_format.test`,
+    * `from_unixtime.test` pin every token at once). Composed as a
+    * concat of per-segment codegen expressions — per-row work only. */
+  def mysql_date_format_full(c: Column, fmt: String): Column = {
+    val special: Map[Char, Column => Column] = Map(
+      'D' -> ordinalDay,
+      'w' -> (x => (dayofweek(x) - 1).cast("string")),
+      'U' -> (x => lpad(weekMode0(x).cast("string"), 2, "0")),
+      'u' -> (x => lpad(weekMode1(x).cast("string"), 2, "0")),
+      'V' -> (x => lpad(weekMode2(x).cast("string"), 2, "0")),
+      'v' -> (x => lpad(weekofyear(x).cast("string"), 2, "0")),
+      'X' -> (x => when(weekMode0(x) > 0, year(x))
+        .otherwise(year(x) - 1).cast("string")),
+      'x' -> (x =>
+        year(date_add(x.cast("date"), lit(3) - weekday(x))).cast("string")))
+    // split fmt into maximal runs delegated to the JVM pattern,
+    // interleaved with the special tokens
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val run = new StringBuilder
+    def flushRun(): Unit = if (run.nonEmpty) {
+      segs += date_format(c, mysqlPatternToJvm(run.toString)); run.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length &&
+          special.contains(fmt.charAt(i + 1))) {
+        flushRun(); segs += special(fmt.charAt(i + 1))(c); i += 2
+      } else if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        run.append(fmt.charAt(i)).append(fmt.charAt(i + 1)); i += 2
+      } else { run.append(fmt.charAt(i)); i += 1 }
+    }
+    flushRun()
+    if (segs.isEmpty) lit("") else concat(segs.toSeq: _*)
+  }
+
+  /** The calendar-token surface over a real table: ordinal day, the
+    * Sunday-start week (MySQL %U ≡ C strftime %U), the 0=Sunday
+    * weekday (%w ≡ %w), the ISO week (%v ≡ %V) and ISO week-year
+    * (%x ≡ %G) — the exact token pairs where MySQL and C strftime
+    * agree, so DuckDB can oracle the composition directly. */
+  val q219DateTokens: QueryDef = QueryDef(
+    "q219_date_tokens",
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%U') AS wk_sun,
+      |  strftime(o_orderdate, '%w') AS dow_sun,
+      |  strftime(o_orderdate, '%V') AS wk_iso,
+      |  strftime(o_orderdate, '%G') AS iso_year,
+      |  CAST(day(o_orderdate) AS VARCHAR) ||
+      |    CASE WHEN day(o_orderdate) % 100 BETWEEN 11 AND 13 THEN 'th'
+      |         WHEN day(o_orderdate) % 10 = 1 THEN 'st'
+      |         WHEN day(o_orderdate) % 10 = 2 THEN 'nd'
+      |         WHEN day(o_orderdate) % 10 = 3 THEN 'rd'
+      |         ELSE 'th' END AS day_ord
+      |FROM orders""".stripMargin) { (s, d) =>
+    val o = graft.sources.Tables.orders(s, d)
+    o.select(col("o_orderkey"),
+      mysql_date_format_full(col("o_orderdate"), "%U").as("wk_sun"),
+      mysql_date_format_full(col("o_orderdate"), "%w").as("dow_sun"),
+      mysql_date_format_full(col("o_orderdate"), "%v").as("wk_iso"),
+      mysql_date_format_full(col("o_orderdate"), "%x").as("iso_year"),
+      mysql_date_format_full(col("o_orderdate"), "%D").as("day_ord"))
+  }
+
+  /** MySQL FROM_UNIXTIME(decimal[, fmt]) — epoch seconds (fractional
+    * decimals round half-up to µs) rendered in the given session time
+    * zone (`Functions/FunctionsConversion.h` fromUnixTime;
+    * `tests/delta-merge-test/query/expr/from_unixtime.test` pins the
+    * Asia/Hong_Kong 1979 DST-gap instant 295385400 → 04:30:00). */
+  def mysql_from_unixtime(sec: Column, tz: String): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val micros = round(sec.cast(DecimalType(26, 8)) * 1000000L)
+      .cast("long")
+    from_utc_timestamp(timestamp_micros(micros), tz)
+  }
+
   /** STR_TO_DATE with MySQL tokens (date result). */
   def str_to_date_mysql(c: Column, fmt: String): Column =
     to_date(c, mysqlPatternToJvm(fmt))

@@ -252,5 +252,5 @@ object ScalarQueries {
     MySqlCompat.q126TruncateFrac, MySqlCompat.q127StringFns,
     MySqlCompat.q128DayNumbers, MySqlCompat.q129BitshiftBool,
     MySqlCompat.q132MysqlFormat, MySqlCompat.q133LaxParse,
-    MySqlCompat.q178ExtractUnits)
+    MySqlCompat.q178ExtractUnits, MySqlCompat.q219DateTokens)
 }
