@@ -84,10 +84,11 @@ object Classifier {
     }
   }
 
-  /** `iters` full-batch GD rounds from w = 0. */
+  /** `iters` full-batch GD rounds from w = 0. An empty corpus has a
+    * zero gradient by definition — the weights stay at the origin. */
   def train(feat: DataFrame, iters: Int): Array[Long] = {
     val n = feat.count()
-    require(n > 0, "empty corpus")
+    if (n == 0) return Array.fill(dims)(0L)
     (0 until iters).foldLeft(Array.fill(dims)(0L))((w, _) => step(feat, w, n))
   }
 

@@ -827,11 +827,17 @@ object Curation {
       val bench = grams.filter(col("doc_id") % 41 === 0)
         .withColumnRenamed("doc_id", "bench_id")
       val nBench = bench.count()
-      val bf = bench.stat.bloomFilter("gram", math.max(nBench, 1L), 0.01)
-      val bc = s.sparkContext.broadcast(bf)
-      val mightContain = udf((g: String) => bc.value.mightContainString(g))
-      grams.filter(mightContain(col("gram"))) // no false negatives
-        .join(bench, "gram")                  // exact confirm kills FPs
+      // stat.bloomFilter NPEs on an empty frame (null treeAggregate
+      // buffer); an empty benchmark has an empty result anyway, so
+      // skip the probe stage and let the exact join produce it
+      val prefiltered = if (nBench == 0) grams else {
+        val bf = bench.stat.bloomFilter("gram", nBench, 0.01)
+        val bc = s.sparkContext.broadcast(bf)
+        val mightContain = udf((g: String) => bc.value.mightContainString(g))
+        grams.filter(mightContain(col("gram"))) // no false negatives
+      }
+      prefiltered
+        .join(bench, "gram") // exact confirm kills FPs
         .groupBy(col("bench_id"))
         .agg(countDistinct(col("doc_id")).as("n_contaminated"),
           countDistinct(col("gram")).as("n_grams_hit"))
