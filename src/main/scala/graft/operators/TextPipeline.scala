@@ -833,7 +833,11 @@ object TextPipeline {
       |  CAST(i.i * 1000000 // (s1.n + s2.n - i.i) AS BIGINT) AS jacc_ppm
       |FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id
       |WHERE i.i * 2 >= (s1.n + s2.n - i.i)""".stripMargin) { (s, d) =>
-    val t = docs(s, d)
+    // repartition BEFORE the per-row shingling: the scan's partition
+    // count is an accident of input file layout (one file at bench SF
+    // = one task doing ALL the regex/transform CPU work); per-row
+    // compute must parallelize to cluster width regardless
+    val t = docs(s, d).repartition(32)
       // split materialized once per row (lambda-body expressions
       // re-evaluate per element — see ngramJaccardPairs)
       .select(col("doc_id"), tokens.as("toks"))
@@ -921,6 +925,9 @@ object TextPipeline {
     // corpus explode re-runs for every consumer
     val w = Tables.documents(s, d)
       .filter(length(col("text")) >= 50)
+      // the q201 rule: per-char window construction is pure CPU — give
+      // it cluster-width parallelism, not the scan's file count
+      .repartition(32)
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text) - 49)")).as("i"),
         col("text"))
