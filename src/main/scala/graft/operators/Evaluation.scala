@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Classifier-evaluation harness — the metrics a data pipeline runs
+  * over every trained filter before trusting it at corpus scale:
+  * confusion counts with precision/recall/F1, Cohen's κ chance
+  * correction, and the calibration (reliability) table. Completes the
+  * evaluation family started by q209/q209b (ROC AUC). Beyond the
+  * reference's surface (its aggregate set stops at classic OLAP,
+  * `/root/reference/dbms/src/AggregateFunctions/`), standard
+  * ML-evaluation practice.
+  *
+  * All three share q209's labeled fixture — pos = (lang = 'en'),
+  * score = integer stopword-ppm — and are EXACT integer algebra:
+  * F1 uses the single-division form 2·tp·10⁶ div (2·tp + fp + fn)
+  * (no nested rounded divisions), κ rides DECIMAL(38,0) (N² exceeds
+  * BIGINT at corpus scale), calibration bins are fixed-width integer
+  * buckets. Scale shape: each is ONE corpus pass collapsing to a
+  * single row (or ≤10 bin rows) via map-side-combined aggregates —
+  * nothing keyed by corpus cardinality ever shuffles.
+  */
+object Evaluation {
+  private val thresholdPpm = 60000L
+
+  /** The q209 labeled frame: (doc_id, pos, score). */
+  private def labeled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(col("lang") === "en", 1).otherwise(0).as("pos"),
+      expr("""size(filter(split(trim(text), '\\s+'),
+             |  x -> x IN ('the','a','of','and','to'))) * 1000000L
+             | div size(split(trim(text), '\\s+'))""".stripMargin).as("score"))
+
+  private val labeledSql =
+    """t AS (SELECT doc_id, lang,
+      |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+      |      * 1000000 // len(w) AS score
+      |  FROM t)""".stripMargin
+
+  /** Confusion counts + precision/recall/F1/accuracy at a fixed
+    * threshold, integer ppm with zero-division guards. */
+  val q220EvalPrf: QueryDef = QueryDef(
+    "q220_eval_prf",
+    s"""WITH $labeledSql,
+       |c AS (SELECT
+       |    SUM(CASE WHEN score >= $thresholdPpm AND pos = 1 THEN 1 ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN score >= $thresholdPpm AND pos = 0 THEN 1 ELSE 0 END) AS fp,
+       |    SUM(CASE WHEN score < $thresholdPpm AND pos = 1 THEN 1 ELSE 0 END) AS fn,
+       |    SUM(CASE WHEN score < $thresholdPpm AND pos = 0 THEN 1 ELSE 0 END) AS tn
+       |  FROM s)
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       |  CAST(CASE WHEN tp + fp = 0 THEN 0
+       |       ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm,
+       |  CAST(CASE WHEN tp + fn = 0 THEN 0
+       |       ELSE tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+       |       ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm,
+       |  CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT) AS accuracy_ppm
+       |FROM c""".stripMargin) { (s, d) =>
+    val pred = labeled(s, d)
+      .withColumn("p", (col("score") >= thresholdPpm).cast("long"))
+    pred.agg(
+      sum(when(col("p") === 1 && col("pos") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("p") === 1 && col("pos") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("p") === 0 && col("pos") === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("p") === 0 && col("pos") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0L ELSE tp * 1000000L div (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN 0L ELSE tp * 1000000L div (tp + fn) END")
+          .as("recall_ppm"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0L " +
+          "ELSE 2 * tp * 1000000L div (2 * tp + fp + fn) END").as("f1_ppm"),
+        expr("(tp + tn) * 1000000L div (tp + fp + fn + tn)").as("accuracy_ppm"))
+  }
+
+  /** Cohen's κ — chance-corrected agreement between the thresholded
+    * prediction and the label:
+    * κ = (N·(tp+tn) − pe) / (N² − pe), pe = (tp+fp)(tp+fn)+(fn+tn)(fp+tn).
+    * N² exceeds BIGINT at corpus scale → DECIMAL(38,0) numerators
+    * (≡ DuckDB HUGEINT), truncating division, ppm output. */
+  val q221CohensKappa: QueryDef = QueryDef(
+    "q221_cohens_kappa",
+    s"""WITH $labeledSql,
+       |c AS (SELECT
+       |    SUM(CASE WHEN score >= $thresholdPpm AND pos = 1 THEN 1 ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN score >= $thresholdPpm AND pos = 0 THEN 1 ELSE 0 END) AS fp,
+       |    SUM(CASE WHEN score < $thresholdPpm AND pos = 1 THEN 1 ELSE 0 END) AS fn,
+       |    SUM(CASE WHEN score < $thresholdPpm AND pos = 0 THEN 1 ELSE 0 END) AS tn
+       |  FROM s)
+       |SELECT CAST(tp + fp + fn + tn AS BIGINT) AS n,
+       |  CAST((CAST(tp + fp + fn + tn AS HUGEINT) * (tp + tn)
+       |        - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+       |           + CAST(fn + tn AS HUGEINT) * (fp + tn))) * 1000000
+       |       // (CAST(tp + fp + fn + tn AS HUGEINT) * (tp + fp + fn + tn)
+       |           - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+       |              + CAST(fn + tn AS HUGEINT) * (fp + tn)))
+       |       AS BIGINT) AS kappa_ppm
+       |FROM c""".stripMargin) { (s, d) =>
+    val d38 = "decimal(38,0)"
+    labeled(s, d)
+      .withColumn("p", (col("score") >= thresholdPpm).cast("long"))
+      .agg(
+        sum(when(col("p") === 1 && col("pos") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") === 1 && col("pos") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p") === 0 && col("pos") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("p") === 0 && col("pos") === 0, 1L).otherwise(0L)).as("tn"))
+      .select((col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+        expr(
+          s"""(cast(tp + fp + fn + tn as $d38) * (tp + tn)
+             |  - (cast(tp + fp as $d38) * (tp + fn)
+             |     + cast(fn + tn as $d38) * (fp + tn))) * 1000000
+             | div (cast(tp + fp + fn + tn as $d38) * (tp + fp + fn + tn)
+             |      - (cast(tp + fp as $d38) * (tp + fn)
+             |         + cast(fn + tn as $d38) * (fp + tn)))""".stripMargin)
+          .cast("long").as("kappa_ppm"))
+  }
+
+  /** Calibration / reliability table: fixed-width score bins
+    * (25000-ppm wide, top-capped at bin 9), each with its observed
+    * positive rate and mean score — the curve a probability-calibrated
+    * scorer should put on the diagonal. */
+  val q222Calibration: QueryDef = QueryDef(
+    "q222_calibration",
+    s"""WITH $labeledSql
+       |SELECT least(score // 25000, 9) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+       |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score_ppm
+       |FROM s GROUP BY 1""".stripMargin) { (s, d) =>
+    labeled(s, d)
+      .groupBy(least(expr("score div 25000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(pos) * 1000000L div count(1)").as("pos_rate_ppm"),
+        expr("sum(score) div count(1)").as("mean_score_ppm"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q220EvalPrf, q221CohensKappa, q222Calibration)
+}
