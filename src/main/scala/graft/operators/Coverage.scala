@@ -501,9 +501,67 @@ object Coverage {
         (col("od") < "1992-01-01").as("before_epoch"))
   }
 
+  /** Data-quality constraint audit (the Deequ/Great-Expectations gate
+    * a pipeline runs before trusting a snapshot): completeness,
+    * key uniqueness, referential integrity, and domain-range rules,
+    * each reported as (rule, total, violations, pass). Scale shape:
+    * every rule is one map-side-combined aggregate over its table (the
+    * referential rules ride the existing dimension broadcasts); the
+    * union is |rules| one-row frames — audit cost is a constant number
+    * of corpus passes regardless of rule outcomes. */
+  val q223DqAudit: QueryDef = QueryDef(
+    "q223_dq_audit",
+    """SELECT 'completeness_o_custkey' AS rule,
+      |  CAST(COUNT(*) AS BIGINT) AS total,
+      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      |FROM orders
+      |UNION ALL
+      |SELECT 'unique_o_orderkey', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      |UNION ALL
+      |SELECT 'ref_orders_customer', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'range_l_discount', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.10
+      |       THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |UNION ALL
+      |SELECT 'range_l_quantity', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'ref_lineitem_orders', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin) { (s, d) =>
+    import graft.sources.Tables
+    val ord = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val li = Tables.lineitem(s, d)
+    def rule(name: String, df: org.apache.spark.sql.DataFrame,
+        bad: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("total"),
+        sum(when(bad, 1L).otherwise(0L)).as("violations"))
+        .select(lit(name).as("rule"), col("total"), col("violations"))
+    rule("completeness_o_custkey", ord, col("o_custkey").isNull)
+      .unionAll(ord.agg(count(lit(1)).as("total"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations"))
+        .select(lit("unique_o_orderkey").as("rule"), col("total"), col("violations")))
+      .unionAll(rule("ref_orders_customer",
+        ord.join(cust, col("o_custkey") === col("c_custkey"), "left"),
+        col("c_custkey").isNull))
+      .unionAll(rule("range_l_discount", li,
+        col("l_discount") < 0 || col("l_discount") > 0.10))
+      .unionAll(rule("range_l_quantity", li, col("l_quantity") > 45))
+      .unionAll(rule("ref_lineitem_orders",
+        li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left"),
+        col("o_orderkey").isNull))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q25AggKeyless, q26SortFull, q27MinMaxBy, q28StatAggs, q29DecimalArith,
     q46InExistence, q46bNullAwareSemiFlag, q49SaltedAgg, q55CiCollation,
     q56TidbDivide, q28bTopK, q96BitAggs, q97JsonAggs, q98DecimalOverflow,
-    q99CorrelatedScalar, q100ZeroDate, q130QuantifiedAnyAll)
+    q99CorrelatedScalar, q100ZeroDate, q130QuantifiedAnyAll, q223DqAudit)
 }
