@@ -892,6 +892,42 @@ object Curation {
         least(greatest(col("n_chars"), col("p05")), col("p95")).as("clipped"))
   }
 
+  /** Group k-fold assignment — every SOURCE lands in exactly one of
+    * k folds, so cross-validation never sees the same provenance on
+    * both sides (the leakage-free split scikit-learn's GroupKFold
+    * provides; q86 is the per-document random split that deliberately
+    * ignores provenance). Deterministic Knuth multiplicative hash of
+    * the source id in overflow-free split-half modular arithmetic (the
+    * q204 discipline), so the assignment is bit-identical across
+    * engines and reproducible across runs. Scale shape: a pure per-row
+    * map — fold derives from the source value itself, so there is no
+    * group table to build, no shuffle, and adding documents never
+    * moves an existing source between folds (stability under append,
+    * which a groupBy-then-assign design would not give). */
+  val q224GroupKfold: QueryDef = QueryDef(
+    "q224_group_kfold",
+    """WITH a AS (
+      |  SELECT doc_id, source,
+      |    ( (CAST(substr(source, 4) AS BIGINT) + 1) % 4294967296 % 65536
+      |        * 2654435761 % 4294967296
+      |      + (CAST(substr(source, 4) AS BIGINT) + 1) % 4294967296 // 65536
+      |        * 2654435761 % 65536 * 65536 ) % 4294967296 % 5 AS fold
+      |  FROM documents)
+      |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM a GROUP BY fold""".stripMargin) { (s, d) =>
+    val fold = expr(
+      """( ((cast(substr(source, 4) as bigint) + 1) % 4294967296L) % 65536L
+        |    * 2654435761L % 4294967296L
+        |  + (((cast(substr(source, 4) as bigint) + 1) % 4294967296L) div 65536L
+        |     * 2654435761L) % 65536L * 65536L ) % 4294967296L % 5""".stripMargin)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), fold.as("fold"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
   /** doc_id → distinct word n-grams (shared by q139/q212). */
   def corpusGrams(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
@@ -908,5 +944,6 @@ object Curation {
       q161UrlCanonicalize, q162UnicodeNormalize, q163HtmlStrip,
       q164Boilerplate, q166CharEntropy, q182DsirWeights, q183GopherRules,
       q186SpanDedup, q188CurriculumBuckets, q204EpochShuffle,
-      q205LengthBuckets, q212BloomDecontaminate, q214Winsorize)
+      q205LengthBuckets, q212BloomDecontaminate, q214Winsorize,
+      q224GroupKfold)
 }

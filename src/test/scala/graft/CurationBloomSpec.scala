@@ -41,4 +41,16 @@ class CurationBloomSpec extends SparkTestBase {
         s"prefilter must drop some clean grams (kept $kept of $total)")
     } finally grams.unpersist(blocking = false)
   }
+
+  test("q224 group k-fold: every source lands in exactly one fold") {
+    val out = SparkEntry.queries("q224_group_kfold")(spark, sf).collect()
+    val totalSources = Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    // if any source were split across folds, per-fold distinct counts
+    // would overcount the global distinct total
+    assert(out.map(_.getAs[Long]("n_sources")).sum === totalSources)
+    assert(out.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    assert(out.forall(r => r.getAs[Long]("fold") >= 0 && r.getAs[Long]("fold") < 5))
+  }
 }
