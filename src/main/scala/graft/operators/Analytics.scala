@@ -917,10 +917,51 @@ object Analytics {
         col("n").isNull.cast("long").as("filled"))
   }
 
+  /** Equi-DEPTH histogram — the bucket shape TiDB's ANALYZE actually
+    * builds for the optimizer (equal ROW counts per bucket, boundary
+    * values at exact rank positions; q144 is the equi-width
+    * complement). Exact integer construction: prices lift to cents,
+    * every row gets a GLOBAL rank over (cents, orderkey, linenumber)
+    * via `ScalableSort` (range partition + offsets — never a
+    * single-task ORDER BY), bucket = (rank−1)·8 div N with the total
+    * riding a 1-row broadcast. Per-bucket count/lo/hi/NDV come from
+    * one hash aggregate. Bucket populations differ by at most 1 row
+    * by construction at ANY data skew — the property equi-width loses
+    * on skewed columns. */
+  val q225EquiDepthHist: QueryDef = QueryDef(
+    "q225_equi_depth_hist",
+    """WITH c AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |         l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |r AS (SELECT cents,
+      |    row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS rn
+      |  FROM c),
+      |t AS (SELECT COUNT(*) AS n FROM c)
+      |SELECT CAST((rn - 1) * 8 // t.n AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(cents) AS BIGINT) AS lo_cents,
+      |  CAST(MAX(cents) AS BIGINT) AS hi_cents,
+      |  CAST(COUNT(DISTINCT cents) AS BIGINT) AS ndv
+      |FROM r, t GROUP BY 1""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d).select(
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val ranked = ScalableSort.globalRowNumber(
+      c, "rn", 32, col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val tot = ranked.agg(count(lit(1)).as("tn"))
+    ranked.join(broadcast(tot))
+      .groupBy(expr("(rn - 1) * 8 div tn").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"),
+        countDistinct(col("cents")).as("ndv"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
     q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness,
     q192TimeToConvert, q193EventPaths, q194Attribution, q195Rfm,
-    q199HourlyAnomaly, q208AbTest, q216Scd2, q217GapFill)
+    q199HourlyAnomaly, q208AbTest, q216Scd2, q217GapFill,
+    q225EquiDepthHist)
 }
