@@ -11,15 +11,21 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    CacheHygiene.sweep(spark, "warmup")
     // Headline queries; noop write forces full materialization (a bare
     // count() would let Catalyst prune the computed columns away).
+    // After each query, sweep any cache it left behind (outside the
+    // timed region) — cache hygiene is a per-query invariant, so one
+    // operator's leak can never inflate the queries that follow it.
     val timed = SparkEntry.benchNames.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      CacheHygiene.sweep(spark, name)
+      (name, elapsed, ok)
     }
     // Failed queries report null (not their near-zero failure-path
     // elapsed) and are listed in "failed"; rc is nonzero on any failure.

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query cache hygiene for shared-session harnesses (Bench,
+  * Verify): operators release their corpus-sized persists themselves
+  * (blocking), and deliberately return their SMALL materialized
+  * results persisted (q201 pairs, q215 spans, q210 pairs, cc labels);
+  * the harness sweeps those after consuming each query's output so no
+  * cache — large or small — can leak into the next query's run.
+  *
+  * The round-7 official bench failed its 2× gate solely because
+  * corpus-sized caches leaked across queries (every query after
+  * q215/q201 inflated 2.2–5.6×); this sweep turns that failure mode
+  * into a logged, self-healing invariant instead of a forensic
+  * exercise.
+  */
+object CacheHygiene {
+
+  /** Release everything still persisted; returns the number of
+    * offenders found (0 = the query cleaned up after itself entirely).
+    * Offenders are logged, not fatal: small materialized results are
+    * expected to be swept here by design. */
+  def sweep(spark: SparkSession, tag: String): Int = {
+    // clearCache drops plan-level (DataFrame.persist) entries …
+    spark.sharedState.cacheManager.clearCache()
+    // … then force-release anything still registered at the RDD layer
+    // (clearCache is non-blocking; blocking unpersist here guarantees
+    // the blocks are gone before the next query starts).
+    val left = spark.sparkContext.getPersistentRDDs
+    if (left.nonEmpty) {
+      System.err.println(s"[hygiene] after $tag: sweeping ${left.size} " +
+        s"persisted RDD(s): ${left.keys.toSeq.sorted.mkString(",")}")
+      left.values.foreach(_.unpersist(blocking = true))
+    }
+    left.size
+  }
+}

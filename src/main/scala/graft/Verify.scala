@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query cache hygiene: operators release corpus-sized caches
+      // themselves; this sweeps the small materialized results they
+      // deliberately return persisted, so query N can't slow query N+1
+      CacheHygiene.sweep(spark, name)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

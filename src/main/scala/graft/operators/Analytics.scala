@@ -708,7 +708,7 @@ object Analytics {
     val total = x.agg(count(lit(1)).as("total"))
     def leg(metric: String, rn: String) =
       ScalableSort.globalRowNumber(
-        x.select(col("custkey"), col(metric)), rn, 32,
+        x.select(col("custkey"), col(metric)), rn,
         col(metric), col("custkey"))
         .select(col("custkey"), col(rn))
     x.join(leg("recency", "rn_r"), "custkey")
@@ -948,7 +948,7 @@ object Analytics {
       round(col("l_extendedprice") * 100).cast("long").as("cents"),
       col("l_orderkey"), col("l_linenumber"))
     val ranked = ScalableSort.globalRowNumber(
-      c, "rn", 32, col("cents"), col("l_orderkey"), col("l_linenumber"))
+      c, "rn", col("cents"), col("l_orderkey"), col("l_linenumber"))
     val tot = ranked.agg(count(lit(1)).as("tn"))
     ranked.join(broadcast(tot))
       .groupBy(expr("(rn - 1) * 8 div tn").as("bucket"))

@@ -149,7 +149,7 @@ object Classifier {
           lit(0L), (acc, t) => acc + t).as("score9"))
         .select(col("doc_id"), col("y"), col("score9"),
           (col("score9") > lit(500000000L)).cast("long").as("pred"))
-    } finally feat.unpersist(blocking = false)
+    } finally feat.unpersist(blocking = true)
   }
 
   val all: Seq[QueryDef] = Seq(q211QualityClassifier)

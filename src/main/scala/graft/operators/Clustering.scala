@@ -107,7 +107,7 @@ object Clustering {
       (0 until iters).foldLeft(materialized(init(q, k))) { (c, _) =>
         materialized(update(assign(q, c)))
       }
-    finally q.unpersist(blocking = false)
+    finally q.unpersist(blocking = true)
   }
 
   /** Trained centroids in the float-array shape `Similarity.ivfSearch`

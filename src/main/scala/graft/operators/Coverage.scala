@@ -44,7 +44,7 @@ object Coverage {
       |FROM supplier""".stripMargin) { (s, d) =>
     ScalableSort.globalRowNumber(
       Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal")),
-      "sort_pos", 32, col("s_acctbal").desc, col("s_suppkey"))
+      "sort_pos", col("s_acctbal").desc, col("s_suppkey"))
   }
 
   /** MinCount/MaxCount ≙ min/max fused with the matching row

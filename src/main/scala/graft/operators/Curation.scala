@@ -693,7 +693,7 @@ object Curation {
       expr("length(text) * 1000000L div size(split(trim(text), '\\\\s+'))")
         .as("score"))
     val ranked = graft.operators.ScalableSort.globalRowNumber(
-      scored, "rn", 32, col("score"), col("doc_id"))
+      scored, "rn", col("score"), col("doc_id"))
     val total = scored.agg(count(lit(1)).as("total"))
     ranked.crossJoin(broadcast(total))
       .select(col("doc_id"), col("score"),
@@ -733,7 +733,7 @@ object Curation {
       expr("""( ((doc_id + 1) % 4294967296L) % 65536L * 2654435761L
              |  + (((doc_id + 1) % 4294967296L) div 65536L * 2654435761L) % 65536L * 65536L
              |) % 4294967296L""".stripMargin.replace("\n", " ")).as("key"))
-    graft.operators.ScalableSort.globalRowNumber(k, "pos", 32,
+    graft.operators.ScalableSort.globalRowNumber(k, "pos",
         col("key"), col("doc_id"))
       .select(col("doc_id"), col("key"),
         expr("(pos - 1) % 32").as("shard"),
@@ -841,7 +841,7 @@ object Curation {
         .groupBy(col("bench_id"))
         .agg(countDistinct(col("doc_id")).as("n_contaminated"),
           countDistinct(col("gram")).as("n_grams_hit"))
-    } finally grams.unpersist(blocking = false)
+    } finally grams.unpersist(blocking = true)
   }
 
   /** Per-language winsorization of a document signal — clamp every
@@ -877,7 +877,7 @@ object Curation {
     val docsDf = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val ranked = ScalableSort.globalRowNumber(
-      docsDf, "rn", 32, col("lang"), col("n_chars"), col("doc_id"))
+      docsDf, "rn", col("lang"), col("n_chars"), col("doc_id"))
     val offsets = ranked.groupBy(col("lang"))
       .agg(min(col("rn")).as("lo"), count(lit(1)).as("n"))
     val pos = ranked.join(broadcast(offsets), "lang")

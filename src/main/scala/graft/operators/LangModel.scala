@@ -596,7 +596,7 @@ object LangModel {
       .select(col("doc_id"), col("lang"),
         expr("nll6 div n_bigrams").as("ppl6"))
     val ranked = graft.operators.ScalableSort.globalRowNumber(
-      ppl, "rn", 32, col("lang"), col("ppl6"), col("doc_id"))
+      ppl, "rn", col("lang"), col("ppl6"), col("doc_id"))
     val offsets = ranked.groupBy(col("lang"))
       .agg(min(col("rn")).as("lo"), count(lit(1)).as("n"))
     ranked.join(broadcast(offsets), "lang")
@@ -624,7 +624,7 @@ object LangModel {
     */
   def aucFrom(labeled: DataFrame): DataFrame = {
     val ranked = graft.operators.ScalableSort.globalRowNumber(
-      labeled, "rnk", 32, col("score"), col("doc_id"))
+      labeled, "rnk", col("score"), col("doc_id"))
     ranked.agg(
       sum(col("pos")).cast("long").as("n_pos"),
       (count(lit(1)) - sum(col("pos"))).cast("long").as("n_neg"),
@@ -675,7 +675,7 @@ object LangModel {
     * stopword signal the two legitimately differ. */
   def aucTieCorrectedFrom(labeled: DataFrame): DataFrame = {
     val ranked = graft.operators.ScalableSort.globalRowNumber(
-      labeled, "rnk", 32, col("score"), col("doc_id"))
+      labeled, "rnk", col("score"), col("doc_id"))
     val grp = ranked.groupBy(col("score"))
       .agg(min(col("rnk")).as("lo"), count(lit(1)).as("g"),
         sum(col("pos")).as("p"))

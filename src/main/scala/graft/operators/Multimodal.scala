@@ -656,7 +656,14 @@ object Multimodal {
           struct(least(x, y).as("id1"), greatest(x, y).as("id2"))))))
         .as("p"), col("hamming"))
       .select(col("p.id1"), col("p.id2"), col("hamming").cast("long").as("hamming"))
-    withinPairs.unionAll(starPairs).unionAll(crossPairs)
+    // Materialize the (capped, near-dup-pair-sized) result, then
+    // RELEASE the doc-count-sized rank cache — blocking, so it cannot
+    // linger into the next query of a shared session (the round-7
+    // bench regression). The harness sweeps `out` after consuming it.
+    val out = withinPairs.unionAll(starPairs).unionAll(crossPairs).persist()
+    out.count()
+    ranked.unpersist(blocking = true)
+    out
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -161,7 +161,7 @@ object Pca {
       cen.select(col("vec_id"), proj(col("c"), v).as("proj6"))
         .join(e.select(col("vec_id"), col("label")), "vec_id")
         .select(col("vec_id"), col("label"), col("proj6"))
-    } finally cen.unpersist(blocking = false)
+    } finally cen.unpersist(blocking = true)
   }
 
   // headline: the iterative-trainer representative — repeated bounded

@@ -1,8 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Cluster-width knob for CPU-bound repartitions and range ranks.
+  *
+  * Per-row CPU stages (shingling, per-char window explodes, rank
+  * exchanges) must parallelize to the CLUSTER's width, not the scan's
+  * file count (a single parquet file at small SF = one task doing all
+  * the work) and not a hard-coded constant (32 caps a 1000-core
+  * cluster at 32 tasks). `defaultParallelism` is total scheduler cores
+  * on any deployment; the floor of 32 keeps the tuned local-bench
+  * shape when tests run with fewer local threads.
+  */
+object Par {
+  def width(spark: SparkSession): Int =
+    math.max(32, spark.sparkContext.defaultParallelism)
+}
 
 /** Scale-safe global ordering — the Spark mapping of the reference's
   * full Sort executor (`/root/reference/dbms/src/Flash/Planner/Plans/
@@ -11,51 +25,42 @@ import org.apache.spark.sql.functions._
   *
   * A naive `row_number() OVER (ORDER BY ...)` with no PARTITION BY
   * collapses the whole table into one task — the classic scale-killer.
-  * This operator computes the identical global rank in three bounded
-  * steps, none of which ever sees more than one partition's rows in a
-  * single task:
-  *
-  *   1. `repartitionByRange` on the sort key: partition i holds keys
-  *      strictly before partition i+1's (Spark's RangePartitioner, the
-  *      same machinery `ORDER BY` itself uses — sampled boundaries are
-  *      deterministic for a given input).
-  *   2. Per-partition `row_number()` windowed by the partition id —
-  *      each task ranks only its own range.
-  *   3. Global offset per partition = cumulative row-counts of the
-  *      preceding partitions: a #partitions-row aggregate (bounded by
-  *      cluster width, not data size), broadcast back.
+  * This operator computes the identical global rank with bounded
+  * per-task state: range-partition on the sort key (Spark's
+  * RangePartitioner, the same machinery `ORDER BY` itself uses), sort
+  * within partitions, then `zipWithIndex` assigns contiguous global
+  * indices from per-partition counts.
   */
 object ScalableSort {
 
   /** Append a global `row_number() OVER (ORDER BY sortCols)` column
     * named `out` without a single-partition window.
     *
-    * The locally-ranked frame is PERSISTED before fan-out: the offsets
-    * branch and the output branch both consume it, and if each re-ran
-    * the lineage independently the two range exchanges could pick
-    * DIFFERENT sampled boundaries (observed in practice when the
-    * upstream lineage contains a cached relation — AQE stats differ
-    * between executions, partition counts diverge, and the per-index
-    * sampling seeds then yield different splits). Divergent boundaries
-    * make the offsets table disagree with the pid labels in the output
-    * branch — duplicate and skipped ranks. One materialization makes
-    * the pid→count mapping definitionally consistent; lineage is kept
-    * (fault-tolerant, unlike localCheckpoint), and the cached frame is
-    * exactly the data being ranked — the same footprint an external
-    * merge sort's run files would occupy. */
-  def globalRowNumber(df: DataFrame, out: String, numParts: Int, sortCols: Column*): DataFrame = {
-    val parted = df.repartitionByRange(numParts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    val local = parted.withColumn("__lrn", row_number().over(wLocal).cast("long"))
-      .persist()
-    // Unpartitioned window is over the numParts-row aggregate only —
-    // bounded by cluster width, never by data size.
-    val wCum = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .select(col("__pid"), coalesce(sum(col("__cnt")).over(wCum), lit(0L)).as("__off"))
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(out, col("__off") + col("__lrn"))
-      .drop("__pid", "__lrn", "__off")
+    * Consistency: ranks need ONE view of the range boundaries. If two
+    * separate DataFrame actions each executed the range exchange, the
+    * sampled boundaries could differ between runs (observed under
+    * cached upstream lineage — duplicate/skipped ranks). Dropping to
+    * the RDD layer fixes this structurally: `zipWithIndex` runs its
+    * per-partition count job and its output pass over the SAME RDD, so
+    * the shuffle map stage executes once and the second pass reuses
+    * the shuffle files — boundaries are sampled exactly once, and no
+    * persist is needed (the round-7 internal `.persist()` here leaked
+    * an input-sized cache at every call site and degraded every bench
+    * query that ran after it).
+    *
+    * Note `zipWithIndex` runs its count job eagerly at construction;
+    * callers get a fully-determined frame, not a lazy lineage.
+    */
+  def globalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df
+      .repartitionByRange(Par.width(spark), sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(
+      parted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rdd = parted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
   }
 }

@@ -237,12 +237,12 @@ object TextPipeline {
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") < col("old")).count()
-      labels.unpersist()
+      labels.unpersist(blocking = true)
       labels = next
       converged = changed == 0
       round += 1
     }
-    sym.unpersist()
+    sym.unpersist(blocking = true)
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds — " +
@@ -810,10 +810,24 @@ object TextPipeline {
     * Scale shape: one corpus explode → df counts → `ScalableSort`
     * global rank (range-partitioned, never a single-task window) →
     * per-doc sorted rank arrays; ONE equi-join on prefix tokens
-    * generates candidates (size filter 2·min ≥ max applied in the
-    * join), then one joined verify pass computes exact integer
+    * generates candidates (size filter 2·min ≥ max AND the PPJoin
+    * positional filter — Xiao et al. 2008 — applied in the join),
+    * then one joined verify pass computes exact integer
     * intersection/union on the rank arrays. The oracle is the direct
     * all-pairs join — agreeing with it IS the no-false-negative proof.
+    *
+    * Positional filter: for the FIRST prefix token two sets share, no
+    * common element can precede it in either sorted array, so overlap
+    * ≤ min(n₁ − p₁, n₂ − p₂) with p the token's 0-based position; a
+    * J ≥ ½ pair needs 3·overlap ≥ n₁ + n₂, so rows failing
+    * 3·min(n₁−p₁, n₂−p₂) ≥ n₁+n₂ are pruned before the distinct —
+    * every true pair still survives via its first common prefix token.
+    *
+    * Cache lifecycle (the round-7 lesson): the corpus-sized explode
+    * `e` is released as soon as the rank-array table materializes; the
+    * rank-array table is released once the (much smaller) result pairs
+    * materialize; only the result-sized frame is returned cached, and
+    * the bench/verify harness sweeps that after consuming it.
     */
   val q201SsjoinPrefix: QueryDef = QueryDef(
     "q201_ssjoin_prefix",
@@ -837,7 +851,7 @@ object TextPipeline {
     // count is an accident of input file layout (one file at bench SF
     // = one task doing ALL the regex/transform CPU work); per-row
     // compute must parallelize to cluster width regardless
-    val t = docs(s, d).repartition(32)
+    val t = docs(s, d).repartition(Par.width(s))
       // split materialized once per row (lambda-body expressions
       // re-evaluate per element — see ngramJaccardPairs)
       .select(col("doc_id"), tokens.as("toks"))
@@ -846,7 +860,7 @@ object TextPipeline {
     // rank-array build: persist it or the regex shingling runs twice
     val e = t.select(col("doc_id"), explode(col("sh")).as("w")).persist()
     val dfTab = e.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
-    val ranked = ScalableSort.globalRowNumber(dfTab, "rank", 32,
+    val ranked = ScalableSort.globalRowNumber(dfTab, "rank",
       col("dfc"), col("w")).select(col("w"), col("rank"))
     // The rank-array table feeds THREE consumers (both prefix sides +
     // the verify joins); persist it once (memory-and-disk) or the whole
@@ -858,14 +872,20 @@ object TextPipeline {
       .agg(sort_array(collect_list(col("rank"))).as("rs"))
       .withColumn("n", size(col("rs")))
       .persist()
-    // τ = 0.5 prefix length: n − ⌈n/2⌉ + 1
+    rs.count() // rank arrays are materialized: the shingle stream can go
+    e.unpersist(blocking = true)
+    // τ = 0.5 prefix length: n − ⌈n/2⌉ + 1; posexplode keeps each
+    // prefix token's 0-based position for the positional filter
     val pre = rs.select(col("doc_id"), col("n"),
-      explode(expr("slice(rs, 1, cast(n - ((n + 1) div 2) + 1 as int))")).as("r"))
+      posexplode(expr("slice(rs, 1, cast(n - ((n + 1) div 2) + 1 as int))")))
+      .toDF("doc_id", "n", "p", "r")
     val cand = pre.as("a").join(pre.as("b"),
         col("a.r") === col("b.r") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
+          col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n") &&
+          lit(3) * least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
+            col("a.n") + col("b.n"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    cand
+    val out = cand
       .join(rs.select(col("doc_id").as("d1"), col("rs").as("rs1"), col("n").as("n1")), "d1")
       .join(rs.select(col("doc_id").as("d2"), col("rs").as("rs2"), col("n").as("n2")), "d2")
       .withColumn("inter", size(array_intersect(col("rs1"), col("rs2"))).cast("long"))
@@ -873,6 +893,10 @@ object TextPipeline {
       .where(col("inter") * 2 >= col("uni"))
       .select(col("d1"), col("d2"), col("inter"), col("uni"),
         expr("inter * 1000000L div uni").as("jacc_ppm"))
+      .persist()
+    out.count() // duplicate pairs only — orders of magnitude below corpus
+    rs.unpersist(blocking = true)
+    out
   }
 
   /** Maximal duplicated-substring spans — the Lee et al. 2021
@@ -927,7 +951,7 @@ object TextPipeline {
       .filter(length(col("text")) >= 50)
       // the q201 rule: per-char window construction is pure CPU — give
       // it cluster-width parallelism, not the scan's file count
-      .repartition(32)
+      .repartition(Par.width(s))
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text) - 49)")).as("i"),
         col("text"))
@@ -953,8 +977,10 @@ object TextPipeline {
       .select(col("doc_id"), col("i"), (col("i") + 49).as("e"))
       .persist()
     hits.count()
-    w.unpersist(blocking = false)
-    cand.unpersist(blocking = false)
+    // blocking releases: a lazy unpersist can let a corpus-sized cache
+    // linger into the NEXT bench query (the round-7 2.2x regression)
+    w.unpersist(blocking = true)
+    cand.unpersist(blocking = true)
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val m = hits.withColumn("pmax",
       max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
@@ -968,8 +994,8 @@ object TextPipeline {
         sum(col("e") - col("s") + 1).cast("long").as("dup_chars"),
         max(col("e") - col("s") + 1).cast("long").as("max_span"))
       .persist()
-    spans.count() // ≤ one row per doc — the only cache left behind
-    hits.unpersist(blocking = false)
+    spans.count() // ≤ one row per doc — swept by the harness after use
+    hits.unpersist(blocking = true)
     spans
   }
 

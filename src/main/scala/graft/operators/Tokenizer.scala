@@ -83,12 +83,12 @@ object Tokenizer {
         merges += ((rank, l, r, c))
         val next = words.withColumn("toks", applyMerge("toks", l, r)).cache()
         next.count() // materialize before unpersisting the parent
-        words.unpersist()
+        words.unpersist(blocking = true)
         words = next
         rank += 1
       }
     }
-    words.unpersist()
+    words.unpersist(blocking = true)
     merges.result()
   }
 
@@ -256,7 +256,7 @@ object UnigramTokenizer {
       val lp = quantize(counts)
       counts.toSeq.sortBy { case (p, c) => (-c, p) }
         .map { case (p, c) => (p, c, lp(p)) }
-    } finally words.unpersist()
+    } finally words.unpersist(blocking = true)
   }
 
   /** Corpus Viterbi log-likelihood under a trained vocab — the hard-EM
