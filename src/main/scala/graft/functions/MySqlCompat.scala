@@ -517,27 +517,56 @@ object MySqlCompat {
     * Sunday-start week (MySQL %U ≡ C strftime %U), the 0=Sunday
     * weekday (%w ≡ %w), the ISO week (%v ≡ %V) and ISO week-year
     * (%x ≡ %G) — the exact token pairs where MySQL and C strftime
-    * agree, so DuckDB can oracle the composition directly. */
+    * agree, so DuckDB can oracle the composition directly — PLUS the
+    * two tokens with no strftime equivalent, oracled by an
+    * INDEPENDENT day-of-year derivation:
+    *  - %u (MySQL WEEK mode 1, Monday-start 00..53): week =
+    *    ⌊(doy−1 + isodow(Jan1)−1)/7⌋, plus 1 iff Jan 1's week holds
+    *    ≥ 4 days of the year (isodow(Jan1) ≤ 4) — covers both the
+    *    week-0 January edge and the 53-continuation December edge.
+    *  - %V (MySQL WEEK mode 2, Sunday-start 01..53): the mode-0 count
+    *    ⌊(doy−1 + dow(Jan1))/7⌋ (+1 iff Jan 1 IS a Sunday), falling
+    *    back to the previous year's Dec-31 count when it is 0.
+    * The orders table spans 1992–1998, so every year boundary in that
+    * range (including Sunday-Jan-1 1995 and the ISO-week-1 December
+    * of 1996) exercises the edges. */
   val q219DateTokens: QueryDef = QueryDef(
     "q219_date_tokens",
-    """SELECT o_orderkey,
-      |  strftime(o_orderdate, '%U') AS wk_sun,
-      |  strftime(o_orderdate, '%w') AS dow_sun,
-      |  strftime(o_orderdate, '%V') AS wk_iso,
-      |  strftime(o_orderdate, '%G') AS iso_year,
-      |  CAST(day(o_orderdate) AS VARCHAR) ||
-      |    CASE WHEN day(o_orderdate) % 100 BETWEEN 11 AND 13 THEN 'th'
-      |         WHEN day(o_orderdate) % 10 = 1 THEN 'st'
-      |         WHEN day(o_orderdate) % 10 = 2 THEN 'nd'
-      |         WHEN day(o_orderdate) % 10 = 3 THEN 'rd'
+    """WITH b AS (SELECT o_orderkey, o_orderdate AS d,
+      |    date_trunc('year', o_orderdate) AS j1,
+      |    CAST(date_trunc('year', o_orderdate) - INTERVAL 1 DAY AS DATE) AS pd
+      |  FROM orders),
+      |w AS (SELECT o_orderkey, d,
+      |    (dayofyear(d) - 1 + isodow(j1) - 1) // 7
+      |      + CASE WHEN isodow(j1) <= 4 THEN 1 ELSE 0 END AS m1,
+      |    (dayofyear(d) - 1 + dayofweek(j1)) // 7
+      |      + CASE WHEN dayofweek(j1) = 0 THEN 1 ELSE 0 END AS m0,
+      |    (dayofyear(pd) - 1 + dayofweek(date_trunc('year', pd))) // 7
+      |      + CASE WHEN dayofweek(date_trunc('year', pd)) = 0 THEN 1 ELSE 0 END AS m0p
+      |  FROM b)
+      |SELECT o_orderkey,
+      |  strftime(d, '%U') AS wk_sun,
+      |  strftime(d, '%w') AS dow_sun,
+      |  strftime(d, '%V') AS wk_iso,
+      |  strftime(d, '%G') AS iso_year,
+      |  lpad(CAST(m1 AS VARCHAR), 2, '0') AS wk_mode1,
+      |  lpad(CAST(CASE WHEN m0 >= 1 THEN m0 ELSE m0p END AS VARCHAR), 2, '0')
+      |    AS wk_mode2,
+      |  CAST(day(d) AS VARCHAR) ||
+      |    CASE WHEN day(d) % 100 BETWEEN 11 AND 13 THEN 'th'
+      |         WHEN day(d) % 10 = 1 THEN 'st'
+      |         WHEN day(d) % 10 = 2 THEN 'nd'
+      |         WHEN day(d) % 10 = 3 THEN 'rd'
       |         ELSE 'th' END AS day_ord
-      |FROM orders""".stripMargin) { (s, d) =>
+      |FROM w""".stripMargin) { (s, d) =>
     val o = graft.sources.Tables.orders(s, d)
     o.select(col("o_orderkey"),
       mysql_date_format_full(col("o_orderdate"), "%U").as("wk_sun"),
       mysql_date_format_full(col("o_orderdate"), "%w").as("dow_sun"),
       mysql_date_format_full(col("o_orderdate"), "%v").as("wk_iso"),
       mysql_date_format_full(col("o_orderdate"), "%x").as("iso_year"),
+      mysql_date_format_full(col("o_orderdate"), "%u").as("wk_mode1"),
+      mysql_date_format_full(col("o_orderdate"), "%V").as("wk_mode2"),
       mysql_date_format_full(col("o_orderdate"), "%D").as("day_ord"))
   }
 

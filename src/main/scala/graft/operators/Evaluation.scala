@@ -84,7 +84,11 @@ object Evaluation {
     * prediction and the label:
     * κ = (N·(tp+tn) − pe) / (N² − pe), pe = (tp+fp)(tp+fn)+(fn+tn)(fp+tn).
     * N² exceeds BIGINT at corpus scale → DECIMAL(38,0) numerators
-    * (≡ DuckDB HUGEINT), truncating division, ppm output. */
+    * (≡ DuckDB HUGEINT), truncating division, ppm output.
+    * Degenerate case: N² = pe exactly when both the labels and the
+    * predictions are constant (e.g. a single-language corpus) — κ is
+    * undefined there (no chance-corrected information); emit the 0
+    * sentinel, mirroring q220's zero-division convention. */
   val q221CohensKappa: QueryDef = QueryDef(
     "q221_cohens_kappa",
     s"""WITH $labeledSql,
@@ -95,30 +99,43 @@ object Evaluation {
        |    SUM(CASE WHEN score < $thresholdPpm AND pos = 0 THEN 1 ELSE 0 END) AS tn
        |  FROM s)
        |SELECT CAST(tp + fp + fn + tn AS BIGINT) AS n,
-       |  CAST((CAST(tp + fp + fn + tn AS HUGEINT) * (tp + tn)
+       |  CAST(CASE WHEN CAST(tp + fp + fn + tn AS HUGEINT) * (tp + fp + fn + tn)
+       |             - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+       |                + CAST(fn + tn AS HUGEINT) * (fp + tn)) = 0 THEN 0
+       |       ELSE (CAST(tp + fp + fn + tn AS HUGEINT) * (tp + tn)
        |        - (CAST(tp + fp AS HUGEINT) * (tp + fn)
        |           + CAST(fn + tn AS HUGEINT) * (fp + tn))) * 1000000
        |       // (CAST(tp + fp + fn + tn AS HUGEINT) * (tp + fp + fn + tn)
        |           - (CAST(tp + fp AS HUGEINT) * (tp + fn)
-       |              + CAST(fn + tn AS HUGEINT) * (fp + tn)))
+       |              + CAST(fn + tn AS HUGEINT) * (fp + tn))) END
        |       AS BIGINT) AS kappa_ppm
        |FROM c""".stripMargin) { (s, d) =>
-    val d38 = "decimal(38,0)"
-    labeled(s, d)
+    kappaFrom(labeled(s, d)
       .withColumn("p", (col("score") >= thresholdPpm).cast("long"))
       .agg(
         sum(when(col("p") === 1 && col("pos") === 1, 1L).otherwise(0L)).as("tp"),
         sum(when(col("p") === 1 && col("pos") === 0, 1L).otherwise(0L)).as("fp"),
         sum(when(col("p") === 0 && col("pos") === 1, 1L).otherwise(0L)).as("fn"),
-        sum(when(col("p") === 0 && col("pos") === 0, 1L).otherwise(0L)).as("tn"))
+        sum(when(col("p") === 0 && col("pos") === 0, 1L).otherwise(0L)).as("tn")))
+  }
+
+  /** κ from a 1-row confusion frame (tp, fp, fn, tn) — factored so
+    * contract tests can plant the degenerate constant-label /
+    * constant-prediction cases directly. */
+  private[graft] def kappaFrom(counts: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    counts
       .select((col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
         expr(
-          s"""(cast(tp + fp + fn + tn as $d38) * (tp + tn)
+          s"""CASE WHEN cast(tp + fp + fn + tn as $d38) * (tp + fp + fn + tn)
+             |      - (cast(tp + fp as $d38) * (tp + fn)
+             |         + cast(fn + tn as $d38) * (fp + tn)) = 0 THEN 0
+             |ELSE (cast(tp + fp + fn + tn as $d38) * (tp + tn)
              |  - (cast(tp + fp as $d38) * (tp + fn)
              |     + cast(fn + tn as $d38) * (fp + tn))) * 1000000
              | div (cast(tp + fp + fn + tn as $d38) * (tp + fp + fn + tn)
              |      - (cast(tp + fp as $d38) * (tp + fn)
-             |         + cast(fn + tn as $d38) * (fp + tn)))""".stripMargin)
+             |         + cast(fn + tn as $d38) * (fp + tn))) END""".stripMargin)
           .cast("long").as("kappa_ppm"))
   }
 

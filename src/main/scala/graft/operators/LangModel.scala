@@ -751,8 +751,10 @@ object LangModel {
       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
       |        FROM (SELECT unnest(ws) AS w FROM tok)),
       |lp AS (SELECT t.w1, t.w2, t.w3,
-      |    CAST(round(ln(0.6 * t.c3 / c12.c12 + 0.3 * cb.c / cbw.cw
-      |                  + 0.1 * uni.c1 / tot.t) * 1000000) AS BIGINT) AS lp6
+      |    CAST(round(ln(CAST(0.6 AS DOUBLE) * t.c3 / c12.c12
+      |                  + CAST(0.3 AS DOUBLE) * cb.c / cbw.cw
+      |                  + CAST(0.1 AS DOUBLE) * uni.c1 / tot.t)
+      |               * 1000000) AS BIGINT) AS lp6
       |  FROM c3t t JOIN c12 USING (w1, w2)
       |    JOIN cb ON cb.a = t.w2 AND cb.b = t.w3
       |    JOIN cbw ON cbw.a2 = t.w2

@@ -38,6 +38,25 @@ class EvaluationSpec extends SparkTestBase {
     assert(kappa <= prf.getAs[Long]("accuracy_ppm"))
   }
 
+  test("kappa degenerate cases: constant labels/predictions emit the 0 sentinel; perfect agreement is 1") {
+    import spark.implicits._
+    import graft.operators.Evaluation
+    def k(tp: Long, fp: Long, fn: Long, tn: Long): Long =
+      Evaluation.kappaFrom(Seq((tp, fp, fn, tn)).toDF("tp", "fp", "fn", "tn"))
+        .head().getAs[Long]("kappa_ppm")
+    // N² = pe when labels AND predictions are constant (single-language
+    // corpus): κ undefined → 0 sentinel, mirroring q220's guards
+    assert(k(100, 0, 0, 0) === 0L, "all-positive corpus, all-positive predictor")
+    assert(k(0, 0, 0, 100) === 0L, "all-negative corpus, all-negative predictor")
+    // constant predictions over mixed labels: pe = N(tp+fn)+0 — denominator
+    // nonzero, κ = 0 by algebra (no information beyond chance)
+    assert(k(60, 40, 0, 0) === 0L)
+    // perfect agreement on a mixed corpus: κ = 1 (floor-div ppm)
+    assert(k(60, 0, 0, 40) === 1000000L)
+    // perfect disagreement on a balanced corpus: κ = -1
+    assert(k(0, 50, 50, 0) === -1000000L)
+  }
+
   test("calibration bins cover the corpus exactly once, rates bounded") {
     val bins = SparkEntry.queries("q222_calibration")(spark, sf).collect()
     assert(bins.map(_.getAs[Long]("n")).sum === n)

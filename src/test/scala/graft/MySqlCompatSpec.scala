@@ -57,16 +57,16 @@ class MySqlCompatSpec extends SparkTestBase {
 
   test("scalable global rank of an empty input is empty") {
     val empty = Tables.supplier(spark, sf).filter(col("s_suppkey") < 0)
-    assert(ScalableSort.globalRowNumber(empty, "rn", 8, col("s_acctbal").desc).count() === 0L)
+    assert(ScalableSort.globalRowNumber(empty, "rn", col("s_acctbal").desc).count() === 0L)
   }
 
   test("scalable global rank is a bijection 1..n even over a cached upstream (boundary-divergence regression)") {
     import spark.implicits._
     // Regression: when the rank input's lineage contains a persisted
-    // relation, the offsets branch and the output branch used to
-    // re-execute the range exchange with independently-sampled
-    // boundaries — observed as duplicate AND skipped ranks. The
-    // persist inside globalRowNumber pins one materialization; this
+    // relation, two independently-executed range exchanges used to
+    // sample DIFFERENT boundaries — observed as duplicate AND skipped
+    // ranks. globalRowNumber now runs both its count pass and output
+    // pass over one RDD (shuffle-file reuse pins the boundaries); this
     // asserts bijectivity over exactly the trigger shape, repeatedly
     // (the failure was probabilistic).
     val base = (1L to 50000L).map(i => (i, (i * 2654435761L) % 977L))
@@ -74,7 +74,7 @@ class MySqlCompatSpec extends SparkTestBase {
     val derived = base.groupBy(col("grp"))
       .agg(count(lit(1)).as("c"), sum(col("id")).as("s"))
     for (_ <- 1 to 3) {
-      val rk = ScalableSort.globalRowNumber(derived, "rn", 32, col("c"), col("grp"))
+      val rk = ScalableSort.globalRowNumber(derived, "rn", col("c"), col("grp"))
       val n = rk.count()
       val stats = rk.agg(min(col("rn")), max(col("rn")),
         countDistinct(col("rn"))).head()
