@@ -152,5 +152,8 @@ object Classifier {
     } finally feat.unpersist(blocking = true)
   }
 
-  val all: Seq[QueryDef] = Seq(q211QualityClassifier)
+  // headline: the iterative-trainer-with-bounded-collect shape
+  // (repeated corpus passes over a cached feature frame + 5-value
+  // driver rounds) — promoted per the round-7 review
+  val all: Seq[QueryDef] = Seq(q211QualityClassifier.copy(headline = true))
 }

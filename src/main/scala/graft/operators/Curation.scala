@@ -938,6 +938,140 @@ object Curation {
           .as("gram"))
       .distinct()
 
+  /** Quantile normalization of a per-document signal ACROSS languages —
+    * map every document's within-language rank onto the GLOBAL value
+    * distribution, so each language's n_chars distribution becomes the
+    * corpus-wide quantile function (the cross-corpus score-equating
+    * step run before mixing sources whose quality scorers aren't
+    * calibrated against each other; the microarray-normalization
+    * classic, Bolstad et al. 2003). Deterministic integer mapping:
+    * target global rank = 1 + (lr−1)·(N−1) div max(nl−1, 1).
+    *
+    * Scale shape: the q214 discipline — ONE global `ScalableSort` rank
+    * keyed (lang, value) + a |langs|-row broadcast turns it into
+    * per-language ranks (no per-language funnel); the global value
+    * table is a second ScalableSort; the final lookup is ONE equi-join
+    * on the target rank. */
+  val q228QuantileNormalize: QueryDef = QueryDef(
+    "q228_quantile_normalize",
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS lr,
+      |    COUNT(*) OVER (PARTITION BY lang) AS nl
+      |  FROM documents),
+      |g AS (SELECT n_chars AS gv,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS grank
+      |  FROM documents),
+      |t AS (SELECT doc_id, lang, n_chars,
+      |    1 + (lr - 1) * ((SELECT COUNT(*) FROM documents) - 1)
+      |        // greatest(nl - 1, 1) AS target
+      |  FROM r)
+      |SELECT t.doc_id, t.lang, t.n_chars, CAST(g.gv AS BIGINT) AS norm_chars
+      |FROM t JOIN g ON g.grank = t.target""".stripMargin) { (s, d) =>
+    val docsDf = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val ranked = ScalableSort.globalRowNumber(
+      docsDf, "rn", col("lang"), col("n_chars"), col("doc_id"))
+    val offsets = ranked.groupBy(col("lang"))
+      .agg(min(col("rn")).as("lo"), count(lit(1)).as("nl"))
+    val nAll = docsDf.agg(count(lit(1)).as("n_all"))
+    val glob = ScalableSort.globalRowNumber(
+      docsDf.select(col("n_chars"), col("doc_id")), "grank",
+      col("n_chars"), col("doc_id"))
+      .select(col("grank"), col("n_chars").as("norm_chars"))
+    ranked.join(broadcast(offsets), "lang")
+      .crossJoin(broadcast(nAll))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("1 + (rn - lo) * (n_all - 1) div greatest(nl - 1, 1)").as("target"))
+      .join(glob, col("target") === col("grank"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("norm_chars"))
+  }
+
+  /** Token-budget corpus selection — the greedy knapsack every
+    * "train on the best N tokens" pipeline runs: rank documents by
+    * quality (stopword-density ppm, the q209/q211 fixture signal),
+    * admit in rank order while the RUNNING token total stays within
+    * the budget (half the corpus's tokens here). The running total is
+    * a scale-safe prefix sum: global rank via `ScalableSort`, then a
+    * two-level cumulative — per-block (2²⁰-row) partial sums rolled up
+    * across the ≤ N/2²⁰-row block table, plus a block-local window —
+    * never a single-task corpus-wide ORDER BY window. */
+  val q229TokenBudgetSelect: QueryDef = QueryDef(
+    "q229_token_budget_select",
+    """WITH s AS (SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        x -> list_contains(['the','a','of','and','to'], x)))
+      |      * 1000000 // len(string_split_regex(trim(text), '\s+')) AS score
+      |  FROM documents),
+      |tot AS (SELECT SUM(n_tokens) // 2 AS budget FROM s),
+      |r AS (SELECT doc_id, score, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum FROM s)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score, n_tokens,
+      |  CAST(cum AS BIGINT) AS cum_tokens,
+      |  CAST(CASE WHEN cum <= budget THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM r, tot""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("n_tokens"),
+      expr("""size(filter(split(trim(text), '\\s+'),
+             |  x -> x IN ('the','a','of','and','to'))) * 1000000L
+             | div size(split(trim(text), '\\s+'))""".stripMargin).as("score"))
+    val budget = base.agg(expr("sum(n_tokens) div 2").as("budget"))
+    val ranked = ScalableSort.globalRowNumber(
+      base, "rn", col("score").desc, col("doc_id"))
+      .withColumn("blk", expr("(rn - 1) div 1048576"))
+    import org.apache.spark.sql.expressions.Window
+    // block offsets: ≤ N/2²⁰ rows — the bounded-frame window class
+    val wBlk = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = ranked.groupBy(col("blk"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .select(col("blk"),
+        coalesce(sum(col("bt")).over(wBlk), lit(0L)).cast("long").as("off"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked.join(broadcast(blkOff), "blk")
+      .withColumn("cum_tokens",
+        (col("off") + sum(col("n_tokens")).over(wIn)).cast("long"))
+      .crossJoin(broadcast(budget))
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"),
+        when(col("cum_tokens") <= col("budget"), 1L).otherwise(0L).as("kept"))
+  }
+
+  /** Stratified k-fold assignment — folds balanced WITHIN each class
+    * (scikit StratifiedKFold semantics): rank documents inside their
+    * language by the Knuth-hash pseudorandom key (q204's overflow-free
+    * form), fold = (rank−1) mod k, so every language's docs spread
+    * across the 5 folds with counts differing by at most one.
+    * Complements q224 (group k-fold = leakage-free but unstratified)
+    * and q86 (hash split = unstratified proportions). Scale shape: the
+    * q214 discipline — ONE global rank + a |langs|-row broadcast. */
+  val q233StratifiedKfold: QueryDef = QueryDef(
+    "q233_stratified_kfold",
+    """WITH h AS (SELECT doc_id, lang,
+      |    ( ((doc_id + 1) % 4294967296) % 65536 * 2654435761
+      |      + ((doc_id + 1) % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+      |    ) % 4294967296 AS hv
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, hv,
+      |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS lr
+      |  FROM h)
+      |SELECT doc_id, lang, CAST((lr - 1) % 5 AS BIGINT) AS fold
+      |FROM r""".stripMargin) { (s, d) =>
+    val hv = expr(
+      """( ((doc_id + 1) % 4294967296L) % 65536L * 2654435761L
+        |  + (((doc_id + 1) % 4294967296L) div 65536L * 2654435761L) % 65536L * 65536L
+        |) % 4294967296L""".stripMargin.replace("\n", " "))
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hv.as("hv"))
+    val ranked = ScalableSort.globalRowNumber(
+      h, "rn", col("lang"), col("hv"), col("doc_id"))
+    val offsets = ranked.groupBy(col("lang"))
+      .agg(min(col("rn")).as("lo"))
+    ranked.join(broadcast(offsets), "lang")
+      .select(col("doc_id"), col("lang"),
+        expr("(rn - lo) % 5").as("fold"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
       q139NgramDecontaminate, q140WeightedSample, q146Chunking,
@@ -945,5 +1079,6 @@ object Curation {
       q164Boilerplate, q166CharEntropy, q182DsirWeights, q183GopherRules,
       q186SpanDedup, q188CurriculumBuckets, q204EpochShuffle,
       q205LengthBuckets, q212BloomDecontaminate, q214Winsorize,
-      q224GroupKfold)
+      q224GroupKfold, q228QuantileNormalize, q229TokenBudgetSelect,
+      q233StratifiedKfold)
 }

@@ -158,5 +158,65 @@ object Evaluation {
         expr("sum(score) div count(1)").as("mean_score_ppm"))
   }
 
-  val all: Seq[QueryDef] = Seq(q220EvalPrf, q221CohensKappa, q222Calibration)
+  /** The full ROC curve — one (tp, fp, tpr, fpr) point per DISTINCT
+    * score threshold (predict positive at score ≥ t), the curve whose
+    * trapezoid integral is q209's AUC. Completes the evaluation
+    * family: q209 gives the scalar, this gives the operating points a
+    * threshold choice needs.
+    *
+    * Scale shape: scores are integer ppm, so the per-score group table
+    * is ≤ 1,000,001 rows by CONSTRUCTION (a constant, independent of
+    * corpus size); the cumulative counts still avoid a single-task
+    * million-row ORDER BY window via a two-level rollup — ≤ 101
+    * 10000-ppm blocks cumulated in one bounded window, plus
+    * block-partitioned local windows. */
+  val q226RocCurve: QueryDef = QueryDef(
+    "q226_roc_curve",
+    s"""WITH $labeledSql,
+       |g AS (SELECT score, SUM(pos) AS p, COUNT(*) - SUM(pos) AS q
+       |  FROM s GROUP BY score),
+       |tot AS (SELECT SUM(p) AS tp_all, SUM(q) AS fp_all FROM g),
+       |c AS (SELECT score,
+       |    SUM(p) OVER (ORDER BY score DESC) AS tp,
+       |    SUM(q) OVER (ORDER BY score DESC) AS fp
+       |  FROM g)
+       |SELECT CAST(score AS BIGINT) AS score,
+       |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(CASE WHEN tp_all = 0 THEN 0
+       |       ELSE tp * 1000000 // tp_all END AS BIGINT) AS tpr_ppm,
+       |  CAST(CASE WHEN fp_all = 0 THEN 0
+       |       ELSE fp * 1000000 // fp_all END AS BIGINT) AS fpr_ppm
+       |FROM c, tot""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = labeled(s, d).groupBy(col("score"))
+      .agg(sum(col("pos")).cast("long").as("p"),
+        (count(lit(1)) - sum(col("pos"))).cast("long").as("q"))
+      .withColumn("blk", expr("score div 10000"))
+    val tot = g.agg(sum(col("p")).cast("long").as("tp_all"),
+      sum(col("q")).cast("long").as("fp_all"))
+    // descending cumulative: block offsets over the ≤101-row block
+    // table, then block-local descending windows
+    val wBlk = Window.orderBy(col("blk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = g.groupBy(col("blk"))
+      .agg(sum(col("p")).as("bp"), sum(col("q")).as("bq"))
+      .select(col("blk"),
+        coalesce(sum(col("bp")).over(wBlk), lit(0L)).cast("long").as("op"),
+        coalesce(sum(col("bq")).over(wBlk), lit(0L)).cast("long").as("oq"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.join(broadcast(blkOff), "blk")
+      .select(col("score"),
+        (col("op") + sum(col("p")).over(wIn)).cast("long").as("tp"),
+        (col("oq") + sum(col("q")).over(wIn)).cast("long").as("fp"))
+      .crossJoin(broadcast(tot))
+      .select(col("score"), col("tp"), col("fp"),
+        expr("CASE WHEN tp_all = 0 THEN 0L ELSE tp * 1000000L div tp_all END")
+          .as("tpr_ppm"),
+        expr("CASE WHEN fp_all = 0 THEN 0L ELSE fp * 1000000L div fp_all END")
+          .as("fpr_ppm"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q220EvalPrf, q221CohensKappa, q222Calibration, q226RocCurve)
 }

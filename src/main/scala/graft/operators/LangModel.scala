@@ -801,9 +801,169 @@ object LangModel {
         (-sum(col("lp6"))).cast("long").as("nll6"))
   }
 
+  /** Jensen–Shannon divergence between each language's unigram
+    * distribution and the corpus-global one — the domain-shift /
+    * mixture-diagnostic statistic (Lin 1991): JSD(P‖Q) with
+    * P = lang distribution, Q = corpus distribution, M = (P+Q)/2.
+    * Words ABSENT from the language contribute exactly
+    * ½·ln2·(1 − coverage) (their p = 0 term collapses to q·ln 2), so
+    * the sum runs only over PRESENT (lang, word) pairs plus one
+    * closed-form correction — never a |langs| × |vocab| outer join.
+    *
+    * Determinism: every per-word term is one fixed IEEE sequence from
+    * exact integer counts, quantized to micro-nats (long) before the
+    * sum — the q197/q213 rule — and the correction is a single float
+    * expression of two exact integers. Scale shape: one token explode,
+    * Heaps-bounded (lang, w)/(w) tables, |langs|-row and 1-row
+    * broadcasts. */
+  val q227JsDivergence: QueryDef = QueryDef(
+    "q227_js_divergence",
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |lw AS (SELECT lang, w, COUNT(*) AS clw FROM tok GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(SUM(clw) AS BIGINT) AS tl FROM lw GROUP BY 1),
+      |cw AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY 1),
+      |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+      |terms AS (SELECT lang, cw,
+      |    CAST(round((0.5 * (p * ln(p / m) + q * ln(q / m))) * 1000000)
+      |         AS BIGINT) AS term6
+      |  FROM (SELECT lw.lang, cw.cw, CAST(lw.clw AS DOUBLE) / tl.tl AS p,
+      |          CAST(cw.cw AS DOUBLE) / tt.t AS q,
+      |          (CAST(lw.clw AS DOUBLE) / tl.tl
+      |           + CAST(cw.cw AS DOUBLE) / tt.t) / 2 AS m
+      |        FROM lw JOIN tl USING (lang) JOIN cw USING (w), tt)),
+      |agg AS (SELECT lang, COUNT(*) AS n_words,
+      |    CAST(SUM(term6) AS BIGINT) AS sum6,
+      |    CAST(SUM(cw) AS BIGINT) AS sl
+      |  FROM terms GROUP BY lang)
+      |SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(sum6 + CAST(round(0.5 * ln(2) * (CAST(t - sl AS DOUBLE) / t)
+      |                         * 1000000) AS BIGINT) AS BIGINT) AS jsd6
+      |FROM agg, tt""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val lw = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("clw"))
+    val tl = lw.groupBy(col("lang")).agg(sum(col("clw")).cast("long").as("tl"))
+    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tt = tok.agg(count(lit(1)).cast("long").as("t"))
+    val terms = lw.join(broadcast(tl), "lang").join(cw, "w")
+      .crossJoin(broadcast(tt))
+      .select(col("lang"), col("cw"),
+        (col("clw").cast("double") / col("tl")).as("p"),
+        (col("cw").cast("double") / col("t")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .select(col("lang"), col("cw"),
+        expr("cast(round((0.5 * (p * ln(p / m) + q * ln(q / m))) * 1000000) as bigint)")
+          .as("term6"))
+    terms.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("term6")).cast("long").as("sum6"),
+        sum(col("cw")).cast("long").as("sl"))
+      .crossJoin(broadcast(tt))
+      .select(col("lang"), col("n_words"),
+        (col("sum6") + expr(
+          "cast(round(0.5 * ln(2) * (cast(t - sl as double) / t) * 1000000) as bigint)"))
+          .cast("long").as("jsd6"))
+  }
+
+  /** Per-language χ² keyword extraction — the classic feature-selection
+    * statistic over the (term in language) vs (term elsewhere)
+    * contingency table, top 5 terms per language. All four cell counts
+    * are exact integers; χ² is ONE fixed IEEE sequence (operands
+    * widened to double BEFORE multiplying — a·d at corpus scale
+    * overflows BIGINT), quantized to milli-units, and the ranking
+    * orders by the QUANTIZED value so cross-engine ties cannot differ
+    * by an ulp. Degenerate guards: languages covering the whole corpus
+    * and terms covering the whole corpus are excluded (χ² undefined —
+    * a zero marginal). Scale shape: one token explode, Heaps-bounded
+    * model tables, |langs|-row broadcast, top-k window over the
+    * vocab-bounded per-language table. */
+  val q231Chi2Keywords: QueryDef = QueryDef(
+    "q231_chi2_keywords",
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |lw AS (SELECT lang, w, COUNT(*) AS a FROM tok GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS tl FROM lw GROUP BY 1),
+      |cw AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY 1),
+      |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+      |cells AS (SELECT lang, w, a, tl - a AS b, cw - a AS c,
+      |    (t - tl) - (cw - a) AS d, t
+      |  FROM lw JOIN tl USING (lang) JOIN cw USING (w), tt
+      |  WHERE tl < t AND cw < t),
+      |chi AS (SELECT lang, w, a,
+      |    CAST(round(CAST(t AS DOUBLE)
+      |        * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+      |        * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+      |        / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))
+      |        * 1000) AS BIGINT) AS chi2_milli
+      |  FROM cells),
+      |r AS (SELECT lang, w, a, chi2_milli,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY chi2_milli DESC, w) AS rk
+      |  FROM chi)
+      |SELECT lang, w, CAST(a AS BIGINT) AS cnt, chi2_milli,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 5""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val lw = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("a"))
+    val tl = lw.groupBy(col("lang")).agg(sum(col("a")).cast("long").as("tl"))
+    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tt = tok.agg(count(lit(1)).cast("long").as("t"))
+    val cells = lw.join(broadcast(tl), "lang").join(cw, "w")
+      .crossJoin(broadcast(tt))
+      .filter(col("tl") < col("t") && col("cw") < col("t"))
+      .select(col("lang"), col("w"), col("a"),
+        (col("tl") - col("a")).as("b"), (col("cw") - col("a")).as("c"),
+        (col("t") - col("tl") - (col("cw") - col("a"))).as("d"), col("t"))
+    val chi = cells.select(col("lang"), col("w"), col("a"),
+      expr("""cast(round(cast(t as double)
+             |  * (cast(a as double) * d - cast(b as double) * c)
+             |  * (cast(a as double) * d - cast(b as double) * c)
+             |  / (cast(a + b as double) * (c + d) * (a + c) * (b + d))
+             |  * 1000) as bigint)""".stripMargin).as("chi2_milli"))
+    chi.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("chi2_milli").desc, col("w"))))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("w"), col("a").cast("long").as("cnt"),
+        col("chi2_milli"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Good–Turing count-of-counts smoothing table (Good 1953; the
+    * Simple GT of Gale & Sampson 1995 without the log-linear fit):
+    * N_r = number of word types seen exactly r times, adjusted count
+    * r* = (r+1)·N_{r+1}/N_r in exact integer ppm (0 where N_{r+1} is
+    * empty — the unsmoothed tail the log-linear fit would cover).
+    * The N₁/T mass this table yields is the unseen-event probability
+    * estimate LM smoothing allocates. Scale shape: one token explode →
+    * Heaps-bounded word counts → a count-of-counts table bounded by
+    * the MAXIMUM word frequency — tiny; the r+1 lookup is a self-join
+    * on that tiny table. */
+  val q232GoodTuring: QueryDef = QueryDef(
+    "q232_good_turing",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |wc AS (SELECT w, COUNT(*) AS r FROM tok GROUP BY 1),
+      |coc AS (SELECT r, COUNT(*) AS n_r FROM wc GROUP BY 1)
+      |SELECT a.r, CAST(a.n_r AS BIGINT) AS n_r,
+      |  CAST(COALESCE((a.r + 1) * b.n_r * 1000000 // a.n_r, 0) AS BIGINT)
+      |    AS r_star_ppm
+      |FROM coc a LEFT JOIN coc b ON b.r = a.r + 1""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val wc = tok.groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val coc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    coc.as("a").join(coc.as("b"), col("b.r") === col("a.r") + 1, "left")
+      .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+        coalesce(expr("(a.r + 1) * b.n_r * 1000000L div a.n_r"), lit(0L))
+          .as("r_star_ppm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
-      q213TrigramJmLm,
+      q213TrigramJmLm, q227JsDivergence, q231Chi2Keywords, q232GoodTuring,
       q175TextRank, q176NaiveBayes, q177TfIdf, q196PmiCollocations,
       // headline: the LM-scoring bench representative — two corpus
       // explodes + a Heaps-bounded model join, the axis (corpus-scale

@@ -764,5 +764,8 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     q50VecNorms, q51KnnBrute, q51bKnnPartial, q51cKnnFiltered, q52VecMetrics,
     q53AnnLsh, q54EmbedNearDup, q56AnnPq, q58AnnIvf, q187HybridRrf,
-    q218IvfPqRerank)
+    // headline: the multi-stage ANN chain (broadcast coarse quantizer →
+    // PQ ADC scan → bounded exact rerank) — the heaviest unmeasured
+    // axis after round 7; promoted per the round-7 review
+    q218IvfPqRerank.copy(headline = true))
 }

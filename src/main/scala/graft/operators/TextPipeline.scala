@@ -999,11 +999,103 @@ object TextPipeline {
     spans
   }
 
+  /** Incremental (new-batch-vs-corpus) deduplication — the shape a
+    * crawl pipeline actually runs: the corpus is already deduplicated,
+    * and each incoming batch is checked AGAINST it, not against
+    * itself. Old snapshot = even doc_ids, incoming batch = odd; a new
+    * document is dropped when ≥ half of its distinct 10-word tiles
+    * (q186's disjoint tiles) already occur anywhere in the old
+    * snapshot. Asymmetric by construction: old-vs-old and new-vs-new
+    * pairs are never formed, so the work is |new| × tile-lookup, not
+    * the quadratic self-join — one hash equi-join of the new batch's
+    * tiles against the DISTINCT old tile set. */
+  val q230IncrementalDedup: QueryDef = QueryDef(
+    "q230_incremental_dedup",
+    """WITH words AS (
+      |  SELECT doc_id,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i,
+      |         unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tiles AS (
+      |  SELECT DISTINCT doc_id, string_agg(word, ' ' ORDER BY i) AS span
+      |  FROM words GROUP BY doc_id, (i - 1) // 10),
+      |old AS (SELECT DISTINCT span FROM tiles WHERE doc_id % 2 = 0),
+      |new_t AS (SELECT * FROM tiles WHERE doc_id % 2 = 1),
+      |hits AS (SELECT doc_id, COUNT(*) AS n_hit
+      |         FROM new_t JOIN old USING (span) GROUP BY doc_id)
+      |SELECT n.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tiles,
+      |  CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+      |  CAST(CASE WHEN 2 * COALESCE(MAX(h.n_hit), 0) >= COUNT(*)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS dropped
+      |FROM new_t n LEFT JOIN hits h USING (doc_id)
+      |GROUP BY n.doc_id""".stripMargin) { (s, d) =>
+    val tiles = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(
+          |  sequence(0, cast(ceil(size(w) / 10.0) - 1 as int)),
+          |  k -> array_join(slice(w, k * 10 + 1, 10), ' '))""".stripMargin))
+        .as("span"))
+      .distinct()
+    val old = tiles.filter(col("doc_id") % 2 === 0)
+      .select(col("span")).distinct()
+    val newT = tiles.filter(col("doc_id") % 2 === 1)
+    val hits = newT.join(old, "span")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    newT.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tiles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tiles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_hit"), lit(0L)) * 2 >= col("n_tiles"), 1L)
+          .otherwise(0L).as("dropped"))
+  }
+
+  /** Per-document n-gram novelty — the fraction of a document's
+    * distinct 3-word shingles that occur in NO other document
+    * (leave-one-out novelty). The inverse lens of the dedup family:
+    * q115 measures repetition WITHIN a document, this measures what a
+    * document contributes that the rest of the corpus doesn't — the
+    * signal data-mixing uses to up-weight tail content. Scale shape:
+    * one shingle explode → distinct (doc, shingle) pairs →
+    * document-frequency counts (Heaps-bounded) → one join back; all
+    * shuffles hash-partitioned on high-cardinality keys. */
+  val q234NgramNovelty: QueryDef = QueryDef(
+    "q234_ngram_novelty",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
+      |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' ')
+      |    )) AS sh
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(sh) AS w FROM t),
+      |df AS (SELECT w, COUNT(*) AS dfc FROM e GROUP BY w)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) * 1000000
+      |       // COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM e JOIN df USING (w) GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val t = docs(s, d)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
+    val e = t.select(col("doc_id"), explode(col("sh")).as("w"))
+    val dfTab = e.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    e.join(dfTab, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("n_unique * 1000000L div n_shingles").as("novelty_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     // headline: the per-character corpus explode — the heaviest
     // window-materialization shape in the repo (one row per corpus
     // char), exercising the hash-prefilter/exact-confirm exchange
     q215DupSpans.copy(headline = true),
+    q230IncrementalDedup, q234NgramNovelty,
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
