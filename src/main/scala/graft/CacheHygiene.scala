@@ -22,17 +22,20 @@ object CacheHygiene {
     * Offenders are logged, not fatal: small materialized results are
     * expected to be swept here by design. */
   def sweep(spark: SparkSession, tag: String): Int = {
+    // Record what the query left persisted BEFORE clearing — this is
+    // the regression signal (expected residue: the small materialized
+    // results q201/q215/q210/cc-labels return by design).
+    val left = spark.sparkContext.getPersistentRDDs
+    if (left.nonEmpty)
+      System.err.println(s"[hygiene] after $tag: sweeping ${left.size} " +
+        s"persisted RDD(s): ${left.keys.toSeq.sorted.mkString(",")}")
     // clearCache drops plan-level (DataFrame.persist) entries …
     spark.sharedState.cacheManager.clearCache()
     // … then force-release anything still registered at the RDD layer
     // (clearCache is non-blocking; blocking unpersist here guarantees
     // the blocks are gone before the next query starts).
-    val left = spark.sparkContext.getPersistentRDDs
-    if (left.nonEmpty) {
-      System.err.println(s"[hygiene] after $tag: sweeping ${left.size} " +
-        s"persisted RDD(s): ${left.keys.toSeq.sorted.mkString(",")}")
-      left.values.foreach(_.unpersist(blocking = true))
-    }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     left.size
   }
 }
