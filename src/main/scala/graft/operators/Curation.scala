@@ -1072,6 +1072,79 @@ object Curation {
         expr("(rn - lo) % 5").as("fold"))
   }
 
+  /** Filter-cascade attrition report — the observability table every
+    * multi-stage quality pipeline publishes (how many documents
+    * survive each successive gate): total → ≥50 tokens → English
+    * stopword density ≥ 2% → distinct-token ratio ≥ ½ → language-ID
+    * agreement (q64's scorer). ONE corpus pass computes every gate's
+    * flag; the cumulative-conjunction counts are map-side-combined
+    * aggregates collapsing to a single row, unpivoted to 5 stage rows
+    * — nothing corpus-keyed ever shuffles. */
+  val q237CascadeAttrition: QueryDef = QueryDef(
+    "q237_cascade_attrition",
+    """WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |f AS (SELECT
+      |    CASE WHEN len(w) >= 50 THEN 1 ELSE 0 END AS c2,
+      |    CASE WHEN len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+      |              * 1000000 // len(w) >= 20000 THEN 1 ELSE 0 END AS c3,
+      |    CASE WHEN len(list_distinct(w)) * 2 >= len(w) THEN 1 ELSE 0 END AS c4,
+      |    CASE WHEN (CASE WHEN greatest(en_s, es_s, fr_s, de_s) = 0 THEN 'und'
+      |          WHEN en_s >= greatest(es_s, fr_s, de_s) THEN 'en'
+      |          WHEN es_s >= greatest(fr_s, de_s) THEN 'es'
+      |          WHEN fr_s >= de_s THEN 'fr' ELSE 'de' END) = lang
+      |         THEN 1 ELSE 0 END AS c5
+      |  FROM (SELECT lang, w,
+      |      len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS en_s,
+      |      len(list_filter(w, x -> list_contains(['el','la','de','y','que'], x))) AS es_s,
+      |      len(list_filter(w, x -> list_contains(['le','la','de','et','que'], x))) AS fr_s,
+      |      len(list_filter(w, x -> list_contains(['der','die','das','und','zu'], x))) AS de_s
+      |    FROM t)),
+      |a AS (SELECT COUNT(*) AS s1, SUM(c2) AS s2, SUM(c2 * c3) AS s3,
+      |    SUM(c2 * c3 * c4) AS s4, SUM(c2 * c3 * c4 * c5) AS s5 FROM f)
+      |SELECT 1 AS stage, 'total' AS gate, CAST(s1 AS BIGINT) AS n_surviving FROM a
+      |UNION ALL SELECT 2, 'min_tokens', CAST(s2 AS BIGINT) FROM a
+      |UNION ALL SELECT 3, 'stopword_density', CAST(s3 AS BIGINT) FROM a
+      |UNION ALL SELECT 4, 'distinct_ratio', CAST(s4 AS BIGINT) FROM a
+      |UNION ALL SELECT 5, 'lang_agreement', CAST(s5 AS BIGINT) FROM a"""
+      .stripMargin) { (s, d) =>
+    val stop = Map(
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "fr" -> Seq("le", "la", "de", "et", "que"),
+      "de" -> Seq("der", "die", "das", "und", "zu"))
+    def sc(lang: String) =
+      size(filter(col("w"), x => x.isin(stop(lang).map(lit): _*))).as(s"${lang}_s")
+    val f = Tables.documents(s, d)
+      .select(col("lang"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("lang"), col("w"), sc("en"), sc("es"), sc("fr"), sc("de"))
+      .select(
+        when(size(col("w")) >= 50, 1L).otherwise(0L).as("c2"),
+        when(expr("size(filter(w, x -> x IN ('the','a','of','and','to'))) * 1000000L div size(w)") >= 20000, 1L)
+          .otherwise(0L).as("c3"),
+        when(size(array_distinct(col("w"))) * 2 >= size(col("w")), 1L)
+          .otherwise(0L).as("c4"),
+        when(
+          when(greatest(col("en_s"), col("es_s"), col("fr_s"), col("de_s")) === 0, "und")
+            .when(col("en_s") >= greatest(col("es_s"), col("fr_s"), col("de_s")), "en")
+            .when(col("es_s") >= greatest(col("fr_s"), col("de_s")), "es")
+            .when(col("fr_s") >= col("de_s"), "fr")
+            .otherwise("de") === col("lang"), 1L).otherwise(0L).as("c5"))
+    f.agg(count(lit(1)).as("s1"), sum(col("c2")).as("s2"),
+        sum(col("c2") * col("c3")).as("s3"),
+        sum(col("c2") * col("c3") * col("c4")).as("s4"),
+        sum(col("c2") * col("c3") * col("c4") * col("c5")).as("s5"))
+      .selectExpr(
+        """stack(5,
+          |  1, 'total', cast(s1 as bigint),
+          |  2, 'min_tokens', cast(s2 as bigint),
+          |  3, 'stopword_density', cast(s3 as bigint),
+          |  4, 'distinct_ratio', cast(s4 as bigint),
+          |  5, 'lang_agreement', cast(s5 as bigint)
+          |) as (stage, gate, n_surviving)""".stripMargin)
+      .selectExpr("cast(stage as int) as stage", "gate", "n_surviving")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
       q139NgramDecontaminate, q140WeightedSample, q146Chunking,
@@ -1080,5 +1153,5 @@ object Curation {
       q186SpanDedup, q188CurriculumBuckets, q204EpochShuffle,
       q205LengthBuckets, q212BloomDecontaminate, q214Winsorize,
       q224GroupKfold, q228QuantileNormalize, q229TokenBudgetSelect,
-      q233StratifiedKfold)
+      q233StratifiedKfold, q237CascadeAttrition)
 }

@@ -761,9 +761,111 @@ object Similarity {
       .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(10)
   }
 
+  /** Programmatically unrolled oracle for q236: round r's candidates
+    * exclude sel_r = p1 ∪ … ∪ p(r−1) and subtract the max similarity
+    * to any selected vector — the identical iteration chain as CTEs
+    * (the q202 oracle discipline for driver-bounded iterative ops). */
+  private def mmrOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              |q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+              |rel AS (SELECT e.vec_id, e.embedding,
+              |    1.0 - (${duckCosineDist("e.embedding", "q.qv")}) AS rel
+              |  FROM e, q WHERE e.vec_id <> 0),
+              |p1 AS (SELECT vec_id, embedding, rel AS score FROM rel
+              |       ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+    for (r <- 2 to k) {
+      val selUnion = (1 until r)
+        .map(i => s"SELECT vec_id, embedding FROM p$i").mkString(" UNION ALL ")
+      sb ++= s""",
+                |sel$r AS ($selUnion),
+                |c$r AS (SELECT r.vec_id, r.embedding,
+                |    CAST(0.7 AS DOUBLE) * r.rel - CAST(0.3 AS DOUBLE)
+                |      * MAX(1.0 - (${duckCosineDist("r.embedding", "s.embedding")})) AS score
+                |  FROM rel r, sel$r s
+                |  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel$r)
+                |  GROUP BY r.vec_id, r.embedding, r.rel),
+                |p$r AS (SELECT vec_id, embedding, score FROM c$r
+                |        ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    sb ++= "\n" + (1 to k)
+      .map(r => s"SELECT $r AS rk, vec_id, round(score, 6) AS mmr6 FROM p$r")
+      .mkString("\nUNION ALL ")
+    sb.toString
+  }
+
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    * 1998): greedily pick the candidate maximizing
+    * λ·rel(q, v) − (1−λ)·max_{s∈S} sim(v, s) — the diversity-aware
+    * retrieval head a dedup-conscious RAG pipeline runs instead of
+    * plain top-k. λ = 0.7, k = 5, query = vector 0, cosine throughout.
+    *
+    * Scale shape: the kmeans/PCA driver-bounded-iteration discipline —
+    * the relevance frame is computed ONCE and cached for the k rounds
+    * (released in finally, blocking); each round is one corpus pass
+    * (cross join against the ≤ k-row broadcast selected set, map-side
+    * max) collapsing to ONE collected row; the result is k local rows
+    * with no lineage. Floats follow the q51 bit-parity convention
+    * (identical IEEE cosine sequence both engines; ranking on raw
+    * doubles; rounding only at output). */
+  val q236MmrTopk: QueryDef = QueryDef(
+    "q236_mmr_topk", mmrOracle(5)) { (s, d) =>
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qRow = e.filter(col("vec_id") === 0).select(col("embedding")).take(1)
+    if (qRow.isEmpty) {
+      Seq.empty[(Int, Long, Double)].toDF("rk", "vec_id", "mmr6")
+    } else {
+      val qdf = broadcast(Seq(Tuple1(qRow(0).getSeq[Float](0).toArray))
+        .toDF("qv"))
+      val rel = e.filter(col("vec_id") =!= 0).crossJoin(qdf)
+        .select(col("vec_id"), col("embedding"),
+          (lit(1.0) - vec_cosine_distance(col("embedding"), col("qv"))).as("rel"))
+        .cache()
+      try {
+        var selected = Vector.empty[(Int, Long, Double, Array[Float])]
+        var exhausted = false
+        while (selected.size < 5 && !exhausted) {
+          val rk = selected.size + 1
+          val picked =
+            if (selected.isEmpty)
+              rel.orderBy(col("rel").desc, col("vec_id")).limit(1)
+                .select(col("vec_id"), col("rel").as("score"), col("embedding"))
+                .take(1)
+            else {
+              val selDf = broadcast(
+                selected.map(t => Tuple1(t._4)).toDF("sv"))
+              rel.filter(!col("vec_id").isin(selected.map(_._2): _*))
+                .crossJoin(selDf)
+                .groupBy(col("vec_id"))
+                .agg(first(col("rel")).as("rel"),
+                  first(col("embedding")).as("embedding"),
+                  max(lit(1.0) - vec_cosine_distance(col("embedding"), col("sv")))
+                    .as("maxsim"))
+                .select(col("vec_id"),
+                  (lit(0.7) * col("rel") - lit(0.3) * col("maxsim")).as("score"),
+                  col("embedding"))
+                .orderBy(col("score").desc, col("vec_id")).limit(1)
+                .take(1)
+            }
+          if (picked.isEmpty) exhausted = true
+          else {
+            val r = picked(0)
+            selected :+= ((rk, r.getLong(0), r.getDouble(1),
+              r.getSeq[Float](2).toArray))
+          }
+        }
+        selected.map { case (rk, id, score, _) => (rk, id, score) }
+          .toDF("rk", "vec_id", "score")
+          .select(col("rk"), col("vec_id"), round(col("score"), 6).as("mmr6"))
+      } finally rel.unpersist(blocking = true)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q50VecNorms, q51KnnBrute, q51bKnnPartial, q51cKnnFiltered, q52VecMetrics,
     q53AnnLsh, q54EmbedNearDup, q56AnnPq, q58AnnIvf, q187HybridRrf,
+    q236MmrTopk,
     // headline: the multi-stage ANN chain (broadcast coarse quantizer →
     // PQ ADC scan → bounded exact rerank) — the heaviest unmeasured
     // axis after round 7; promoted per the round-7 review

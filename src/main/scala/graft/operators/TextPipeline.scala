@@ -1090,12 +1090,60 @@ object TextPipeline {
         expr("n_unique * 1000000L div n_shingles").as("novelty_ppm"))
   }
 
+  /** Language-ID confusion matrix — the multi-class quality report a
+    * pipeline runs over its classifier (q64) before trusting its
+    * routing: per (true lang, predicted lang) counts and the per-class
+    * row fraction. Composes q64's scoring directly, so the two stay
+    * definitionally consistent; the aggregate is |langs|² rows —
+    * bounded by the label alphabet, never by corpus size. */
+  val q235LangConfusion: QueryDef = QueryDef(
+    "q235_lang_confusion",
+    s"""WITH p AS (${q64LangId.oracle.get})
+       |SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(COUNT(*) * 1000000
+       |       // SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT) AS frac_ppm
+       |FROM p GROUP BY lang, pred""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = q64LangId.fn(s, d)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("pred"), col("n"),
+        expr("n * 1000000L div tot").as("frac_ppm"))
+  }
+
+  /** Per-source duplication-rate report — the dedup observability
+    * rollup run after q60: for each source, how many of its documents
+    * share their exact content with ANY other document. One content
+    * hash groupBy + one join back; output is |sources| rows. */
+  val q238DupRateBySource: QueryDef = QueryDef(
+    "q238_dup_rate_by_source",
+    """WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      |c AS (SELECT h, COUNT(*) AS cnt FROM h GROUP BY h)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 1000000
+      |       // COUNT(*) AS BIGINT) AS dup_ppm
+      |FROM h JOIN c USING (h) GROUP BY source""".stripMargin) { (s, d) =>
+    val h = docs(s, d).select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"))
+    val c = h.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    h.join(c, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        expr("n_dup_docs * 1000000L div n_docs").as("dup_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     // headline: the per-character corpus explode — the heaviest
     // window-materialization shape in the repo (one row per corpus
     // char), exercising the hash-prefilter/exact-confirm exchange
     q215DupSpans.copy(headline = true),
     q230IncrementalDedup, q234NgramNovelty,
+    q235LangConfusion, q238DupRateBySource,
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
