@@ -957,7 +957,44 @@ object Analytics {
         countDistinct(col("cents")).as("ndv"))
   }
 
+  /** Exponential time-decay weighted engagement per user — the
+    * recency-weighted value rollup behind freshness-aware ranking and
+    * churn features: each event contributes
+    * value · 0.5^(age_hours / 168) (one-week half-life), anchored at
+    * the corpus max timestamp so the result is deterministic for a
+    * given dataset. Float discipline: the per-event term is ONE fixed
+    * IEEE sequence quantized to micro-units (long) BEFORE the per-user
+    * sum — partition order cannot change the result (the q197 rule).
+    * Scale shape: 1-row max-ts broadcast + one user_id exchange. */
+  val q240DecayWeightedValue: QueryDef = QueryDef(
+    "q240_decay_weighted_value",
+    """WITH m AS (SELECT MAX(ts) AS mt FROM events),
+      |t AS (SELECT user_id,
+      |    CAST(round(value * power(0.5,
+      |        CAST((epoch_us(mt) - epoch_us(ts)) // 3600000000 AS DOUBLE)
+      |          / CAST(168 AS DOUBLE)) * 1000000) AS BIGINT) AS term6
+      |  FROM events, m)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(term6) AS BIGINT) AS decayed6
+      |FROM t GROUP BY user_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val m = e.agg(max(col("ts")).as("mt"))
+    // age in WHOLE hours from exact microsecond arithmetic — DuckDB's
+    // date_diff counts boundary crossings, not elapsed time, so both
+    // engines floor-divide the µs delta instead
+    e.crossJoin(broadcast(m))
+      .select(col("user_id"),
+        expr("""cast(round(value * power(0.5,
+               |  cast((unix_micros(mt) - unix_micros(ts)) div 3600000000L as double)
+               |    / cast(168 as double)) * 1000000) as bigint)"""
+          .stripMargin.replace("\n", " ")).as("term6"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("term6")).cast("long").as("decayed6"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
+    q240DecayWeightedValue,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
     q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness,

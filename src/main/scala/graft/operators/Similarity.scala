@@ -862,10 +862,66 @@ object Similarity {
     }
   }
 
+  /** Per-label centroid prototypes + the pairwise centroid cosine
+    * distance matrix — the class-separability report run over an
+    * embedding space before trusting its labels for filtering (and the
+    * drift check between two snapshots' prototypes). Determinism: each
+    * component is quantized to the 1e-6 integer grid BEFORE averaging
+    * (the q202 centered-grid discipline), so the centroid is exact
+    * integer algebra and the one float op per label pair is the
+    * identical IEEE cosine fold both engines run. Scale shape: one
+    * posexplode → (label, dim) integer means (|labels|·dims rows —
+    * bounded by the label alphabet) → a |labels|²-row broadcast self
+    * join; the cosine fold runs interpreted but only over that tiny
+    * matrix, never the corpus. */
+  val q241LabelCentroids: QueryDef = QueryDef(
+    "q241_label_centroids",
+    """WITH g AS (SELECT label,
+      |    generate_subscripts(embedding, 1) AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS x6
+      |  FROM embeddings),
+      |q AS (SELECT label, dim, SUM(x6) // COUNT(*) AS cq
+      |  FROM g GROUP BY label, dim),
+      |c AS (SELECT label, list(cq ORDER BY dim) AS cv FROM q GROUP BY label)
+      |SELECT a.label AS l1, b.label AS l2,
+      |  round(1.0 - (list_reduce(list_transform(list_zip(a.cv, b.cv),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (u,v) -> u+v)
+      |    / (sqrt(list_reduce(list_transform(a.cv,
+      |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (u,v) -> u+v))
+      |       * sqrt(list_reduce(list_transform(b.cv,
+      |           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (u,v) -> u+v)))),
+      |    6) AS dist
+      |FROM c a JOIN c b ON a.label < b.label""".stripMargin) { (s, d) =>
+    val g = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        expr("cast(round(cast(x as double) * 1000000) as bigint)").as("x6"))
+    val q = g.groupBy(col("label"), col("dim"))
+      .agg(expr("sum(x6) div count(1)").as("cq"))
+    val c = q.groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("cq")))),
+        p => p.getField("cq")).as("cv"))
+    val cos = expr(
+      """1.0 - (aggregate(zip_with(cv1, cv2,
+        |    (p, q) -> cast(p as double) * cast(q as double)),
+        |    cast(0 as double), (u, v) -> u + v)
+        |  / (sqrt(aggregate(transform(cv1,
+        |       x -> cast(x as double) * cast(x as double)),
+        |       cast(0 as double), (u, v) -> u + v))
+        |     * sqrt(aggregate(transform(cv2,
+        |         x -> cast(x as double) * cast(x as double)),
+        |         cast(0 as double), (u, v) -> u + v))))""".stripMargin)
+    c.select(col("label").as("l1"), col("cv").as("cv1"))
+      .join(broadcast(c.select(col("label").as("l2"), col("cv").as("cv2"))),
+        col("l1") < col("l2"))
+      .select(col("l1"), col("l2"), round(cos, 6).as("dist"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q50VecNorms, q51KnnBrute, q51bKnnPartial, q51cKnnFiltered, q52VecMetrics,
     q53AnnLsh, q54EmbedNearDup, q56AnnPq, q58AnnIvf, q187HybridRrf,
-    q236MmrTopk,
+    q236MmrTopk, q241LabelCentroids,
     // headline: the multi-stage ANN chain (broadcast coarse quantizer →
     // PQ ADC scan → bounded exact rerank) — the heaviest unmeasured
     // axis after round 7; promoted per the round-7 review

@@ -1137,13 +1137,48 @@ object TextPipeline {
         expr("n_dup_docs * 1000000L div n_docs").as("dup_ppm"))
   }
 
+  /** Per-document out-of-vocabulary rate against a top-V frequency
+    * vocabulary — the tokenizer-coverage diagnostic run when sizing a
+    * vocab budget (what fraction of the corpus falls outside the top
+    * 1000 types). Scale shape: Heaps-bounded word counts → ONE
+    * `ScalableSort` global rank (the vocab table is corpus-vocab-
+    * sized — never a single-task ORDER BY) → the V-row vocabulary
+    * broadcasts into one left join against the token stream. */
+  val q239OovRate: QueryDef = QueryDef(
+    "q239_oov_rate",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |wc AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+      |v AS (SELECT w FROM (
+      |    SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM wc)
+      |  WHERE rn <= 1000)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+      |       // COUNT(*) AS BIGINT) AS oov_ppm
+      |FROM tok LEFT JOIN v ON tok.w = v.w
+      |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val wc = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = ScalableSort.globalRowNumber(wc, "rn", col("cnt").desc, col("w"))
+      .filter(col("rn") <= 1000)
+      .select(col("w"), lit(1).as("inv"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     // headline: the per-character corpus explode — the heaviest
     // window-materialization shape in the repo (one row per corpus
     // char), exercising the hash-prefilter/exact-confirm exchange
     q215DupSpans.copy(headline = true),
     q230IncrementalDedup, q234NgramNovelty,
-    q235LangConfusion, q238DupRateBySource,
+    q235LangConfusion, q238DupRateBySource, q239OovRate,
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
