@@ -918,10 +918,42 @@ object Similarity {
       .select(col("l1"), col("l2"), round(cos, 6).as("dist"))
   }
 
+  /** Hard-negative mining for contrastive training — per query, the
+    * top-10 MOST-similar vectors carrying a DIFFERENT label (the
+    * metric-learning data-prep step: negatives near the decision
+    * boundary are the ones worth training on). q51's broadcast-query
+    * scan shape with the label predicate fused into the scan filter;
+    * same bit-identical cosine fold, same oracle discipline. */
+  val q244HardNegatives: QueryDef = QueryDef(
+    "q244_hard_negatives",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlab
+       |  FROM embeddings WHERE vec_id < 5),
+       |d AS (SELECT q.qid, e.vec_id,
+       |    ${duckCosineDist("q.qvec", "e.embedding")} AS dist
+       |  FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlab),
+       |r AS (SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+       |  FROM d)
+       |SELECT qid, vec_id, rnk, round(dist, 6) AS dist
+       |FROM r WHERE rnk <= 10""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlab"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlab"))
+      .withColumn("dist", vec_cosine_distance(col("qvec"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"), col("rnk"),
+        round(col("dist"), 6).as("dist"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q50VecNorms, q51KnnBrute, q51bKnnPartial, q51cKnnFiltered, q52VecMetrics,
     q53AnnLsh, q54EmbedNearDup, q56AnnPq, q58AnnIvf, q187HybridRrf,
-    q236MmrTopk, q241LabelCentroids,
+    q236MmrTopk, q241LabelCentroids, q244HardNegatives,
     // headline: the multi-stage ANN chain (broadcast coarse quantizer →
     // PQ ADC scan → bounded exact rerank) — the heaviest unmeasured
     // axis after round 7; promoted per the round-7 review

@@ -1172,6 +1172,72 @@ object TextPipeline {
         expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
   }
 
+  /** Train/eval split-leakage audit — for every non-train split, how
+    * many of its documents share exact content with ANY train document
+    * (q86's hash-bucket split rule composed with q60's content-hash
+    * groups): the contamination metric a pipeline must publish before
+    * an eval number is trusted. One content-hash groupBy; the distinct
+    * train-hash set joins hash-partitioned (it is corpus-scale — NOT
+    * broadcast); output is ≤ 2 rows. */
+  val q242SplitLeakage: QueryDef = QueryDef(
+    "q242_split_leakage",
+    """WITH h AS (SELECT doc_id, md5(text) AS h,
+      |    CASE WHEN (doc_id % 1000003) * 2654435761 % 4294967296 % 10 < 8
+      |           THEN 'train'
+      |         WHEN (doc_id % 1000003) * 2654435761 % 4294967296 % 10 = 8
+      |           THEN 'valid' ELSE 'test' END AS split
+      |  FROM documents),
+      |tr AS (SELECT DISTINCT h FROM h WHERE split = 'train')
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_leaked,
+      |  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+      |       // COUNT(*) AS BIGINT) AS leak_ppm
+      |FROM h LEFT JOIN tr ON h.h = tr.h
+      |WHERE split <> 'train' GROUP BY split""".stripMargin) { (s, d) =>
+    val bucket = (col("doc_id") % 1000003L) * 2654435761L % 4294967296L % 10L
+    val h = docs(s, d).select(col("doc_id"), md5(col("text")).as("h"),
+      when(bucket < 8, "train").when(bucket === 8, "valid")
+        .otherwise("test").as("split"))
+    val tr = h.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("intr", lit(1))
+    h.filter(col("split") =!= "train")
+      .join(tr, Seq("h"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("intr").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+      .select(col("split"), col("n_docs"), col("n_leaked"),
+        expr("n_leaked * 1000000L div n_docs").as("leak_ppm"))
+  }
+
+  /** α-smoothed multinomial domain sampling (the mC4/ROOTS recipe,
+    * α = 0.3): sampling weight ∝ count^α flattens the source
+    * distribution so small domains are up-sampled without letting any
+    * one dominate. Deterministic integer algebra: each source's weight
+    * is ONE float op quantized to 1e-6 (long) BEFORE the normalizing
+    * sum, so partition order can't flip a ppm. |sources| rows out. */
+  val q243AlphaSampling: QueryDef = QueryDef(
+    "q243_alpha_sampling",
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, n,
+      |    CAST(round(power(CAST(n AS DOUBLE), 0.3) * 1000000) AS BIGINT) AS w6
+      |  FROM c),
+      |t AS (SELECT SUM(w6) AS tw FROM w)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs, w6,
+      |  CAST(w6 * 1000000 // tw AS BIGINT) AS p_ppm,
+      |  CAST(w6 * 10000 // tw AS BIGINT) AS expected_docs
+      |FROM w, t""".stripMargin) { (s, d) =>
+    val c = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val w = c.select(col("source"), col("n"),
+      expr("cast(round(power(cast(n as double), 0.3) * 1000000) as bigint)")
+        .as("w6"))
+    val t = w.agg(sum(col("w6")).cast("long").as("tw"))
+    w.crossJoin(broadcast(t))
+      .select(col("source"), col("n").as("n_docs"), col("w6"),
+        expr("w6 * 1000000L div tw").as("p_ppm"),
+        expr("w6 * 10000L div tw").as("expected_docs"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     // headline: the per-character corpus explode — the heaviest
     // window-materialization shape in the repo (one row per corpus
@@ -1179,6 +1245,7 @@ object TextPipeline {
     q215DupSpans.copy(headline = true),
     q230IncrementalDedup, q234NgramNovelty,
     q235LangConfusion, q238DupRateBySource, q239OovRate,
+    q242SplitLeakage, q243AlphaSampling,
     q60DedupExact, q61DedupMinhash, q62DedupSimhash, q63NgramJaccard,
     q64LangId, q65Quality, q66TokenCount, q67Fingerprint,
     q68DedupNormalized, q69EditDistance, q77HashEmbedding, q78HeavyHitters,
