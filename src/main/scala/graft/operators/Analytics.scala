@@ -993,8 +993,45 @@ object Analytics {
         sum(col("term6")).cast("long").as("decayed6"))
   }
 
+  /** Key-skew diagnostic: the Gini coefficient of the per-orderkey row
+    * distribution plus the heaviest key's share — the statistic that
+    * tells you whether a join/aggregation key needs salting BEFORE the
+    * job falls over at scale (the planning input to AQE skew handling
+    * and the q49 salting pattern). Exact integer algebra on the sorted
+    * rank formula G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx): ranks come from
+    * `ScalableSort` (never a single-task ORDER BY), the Σi·xᵢ moment
+    * rides DECIMAL(38,0) (it exceeds BIGINT at corpus scale), output
+    * in exact ppm. */
+  val q246KeySkewGini: QueryDef = QueryDef(
+    "q246_key_skew_gini",
+    """WITH c AS (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      |r AS (SELECT cnt,
+      |    row_number() OVER (ORDER BY cnt, l_orderkey) AS i FROM c),
+      |a AS (SELECT COUNT(*) AS n, SUM(cnt) AS s,
+      |    SUM(CAST(i AS HUGEINT) * cnt) AS si, MAX(cnt) AS mx FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS total_rows,
+      |  CAST((2 * si - (n + 1) * CAST(s AS HUGEINT)) * 1000000
+      |       // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm,
+      |  CAST(CAST(mx AS HUGEINT) * 1000000 // s AS BIGINT) AS top1_ppm
+      |FROM a""".stripMargin) { (s, d) =>
+    val c = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    val r = ScalableSort.globalRowNumber(
+      c, "i", col("cnt"), col("l_orderkey"))
+    r.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(expr("cast(i as decimal(38,0)) * cnt")).as("si"),
+        max(col("cnt")).as("mx"))
+      .select(col("n").cast("long").as("n_keys"),
+        col("s").cast("long").as("total_rows"),
+        expr("""cast((2 * si - (n + 1) * cast(s as decimal(38,0))) * 1000000
+               | div (cast(n as decimal(38,0)) * s) as bigint)"""
+          .stripMargin.replace("\n", " ")).as("gini_ppm"),
+        expr("cast(cast(mx as decimal(38,0)) * 1000000 div s as bigint)")
+          .as("top1_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
-    q240DecayWeightedValue,
+    q240DecayWeightedValue, q246KeySkewGini,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
     q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness,

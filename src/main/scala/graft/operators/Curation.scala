@@ -1145,6 +1145,36 @@ object Curation {
       .selectExpr("cast(stage as int) as stage", "gate", "n_surviving")
   }
 
+  /** k-anonymity audit over the release quasi-identifiers — for the
+    * (lang, source, n_chars-centile) tuple, count equivalence classes
+    * smaller than k = 5: documents in those classes are
+    * re-identifiable by their metadata alone (Sweeney 2002), the
+    * governance gate run before publishing a corpus with attributes
+    * attached. One quasi-identifier groupBy (hash-partitioned,
+    * map-side combined) + a 1-row rollup. */
+  val q245KAnonymity: QueryDef = QueryDef(
+    "q245_k_anonymity",
+    """WITH g AS (SELECT lang, source, n_chars // 100 AS size_bucket,
+      |    COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating,
+      |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+      |    AS n_docs_at_risk,
+      |  CAST(MIN(cnt) AS BIGINT) AS min_class_size
+      |FROM g""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("size_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("cnt") < 5, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("cnt") < 5, col("cnt")).otherwise(0L))
+          .cast("long").as("n_docs_at_risk"),
+        min(col("cnt")).as("min_class_size"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
       q139NgramDecontaminate, q140WeightedSample, q146Chunking,
@@ -1153,5 +1183,5 @@ object Curation {
       q186SpanDedup, q188CurriculumBuckets, q204EpochShuffle,
       q205LengthBuckets, q212BloomDecontaminate, q214Winsorize,
       q224GroupKfold, q228QuantileNormalize, q229TokenBudgetSelect,
-      q233StratifiedKfold, q237CascadeAttrition)
+      q233StratifiedKfold, q237CascadeAttrition, q245KAnonymity)
 }
