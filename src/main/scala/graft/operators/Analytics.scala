@@ -1030,8 +1030,87 @@ object Analytics {
           .as("top1_ppm"))
   }
 
+  /** Tie-corrected Spearman rank correlation between two per-document
+    * signals (length vs stopword density) — the signal-agreement
+    * diagnostic run before trusting one quality score as a proxy for
+    * another. Exact construction: Spearman = Pearson over MIDRANKS;
+    * midranks with ties are computed as (min+max) of each value's rank
+    * range — DOUBLED so they stay integers (q209b's tie trick) — via
+    * ONE `ScalableSort` global rank per signal + a per-value rollup.
+    * All six moment sums are exact DECIMAL(38,0) (Σx²y² ≈ 4n³ at
+    * corpus scale — inside 38 digits at n = 10¹¹ but far beyond
+    * BIGINT); the ONLY float ops are the final covariance/variance
+    * ratio and sqrt, one fixed IEEE sequence both engines run on the
+    * identical integer sums. Zero-variance guard → 0 sentinel. */
+  val q247SpearmanSignals: QueryDef = QueryDef(
+    "q247_spearman_signals",
+    """WITH s AS (SELECT doc_id, n_chars AS x,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        t -> list_contains(['the','a','of','and','to'], t)))
+      |      * 1000000 // len(string_split_regex(trim(text), '\s+')) AS y
+      |  FROM documents),
+      |rx AS (SELECT doc_id, x, row_number() OVER (ORDER BY x, doc_id) AS r
+      |       FROM s),
+      |gx AS (SELECT x, MIN(r) + MAX(r) AS x2 FROM rx GROUP BY x),
+      |ry AS (SELECT doc_id, y, row_number() OVER (ORDER BY y, doc_id) AS r
+      |       FROM s),
+      |gy AS (SELECT y, MIN(r) + MAX(r) AS y2 FROM ry GROUP BY y),
+      |j AS (SELECT gx.x2, gy.y2
+      |      FROM s JOIN gx ON s.x = gx.x JOIN gy ON s.y = gy.y),
+      |a AS (SELECT COUNT(*) AS n,
+      |    SUM(CAST(x2 AS HUGEINT)) AS sx, SUM(CAST(y2 AS HUGEINT)) AS sy,
+      |    SUM(CAST(x2 AS HUGEINT) * x2) AS sxx,
+      |    SUM(CAST(y2 AS HUGEINT) * y2) AS syy,
+      |    SUM(CAST(x2 AS HUGEINT) * y2) AS sxy FROM j)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(CASE WHEN n * CAST(sxx AS HUGEINT) - sx * sx = 0
+      |         OR n * CAST(syy AS HUGEINT) - sy * sy = 0 THEN 0
+      |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |         * 1000000) END AS BIGINT) AS rho_ppm
+      |FROM a""".stripMargin) { (s, d) =>
+    val d38 = "decimal(38,0)"
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      col("n_chars").as("x"),
+      expr("""size(filter(split(trim(text), '\\s+'),
+             |  t -> t IN ('the','a','of','and','to'))) * 1000000L
+             | div size(split(trim(text), '\\s+'))""".stripMargin).as("y"))
+    def midranks(valCol: String, out: String) = {
+      val r = ScalableSort.globalRowNumber(
+        base.select(col("doc_id"), col(valCol)), "r",
+        col(valCol), col("doc_id"))
+      r.groupBy(col(valCol))
+        .agg((min(col("r")) + max(col("r"))).as(out))
+    }
+    val j = base
+      .join(midranks("x", "x2"), "x")
+      .join(midranks("y", "y2"), "y")
+    j.agg(count(lit(1)).as("n"),
+        sum(expr(s"cast(x2 as $d38)")).as("sx"),
+        sum(expr(s"cast(y2 as $d38)")).as("sy"),
+        sum(expr(s"cast(x2 as $d38) * x2")).as("sxx"),
+        sum(expr(s"cast(y2 as $d38) * y2")).as("syy"),
+        sum(expr(s"cast(x2 as $d38) * y2")).as("sxy"))
+      .select(col("n").cast("long").as("n"),
+        expr(
+          s"""cast(CASE WHEN n * cast(sxx as $d38) - sx * sx = 0
+             |       OR n * cast(syy as $d38) - sy * sy = 0 THEN 0
+             |     ELSE round((cast(n as double) * cast(sxy as double)
+             |          - cast(sx as double) * cast(sy as double))
+             |       / sqrt((cast(n as double) * cast(sxx as double)
+             |            - cast(sx as double) * cast(sx as double))
+             |         * (cast(n as double) * cast(syy as double)
+             |            - cast(sy as double) * cast(sy as double)))
+             |       * 1000000) END as bigint)""".stripMargin)
+          .as("rho_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
-    q240DecayWeightedValue, q246KeySkewGini,
+    q240DecayWeightedValue, q246KeySkewGini, q247SpearmanSignals,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
     q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness,

@@ -931,6 +931,46 @@ object LangModel {
         col("chi2_milli"), col("rk").cast("long").as("rk"))
   }
 
+  /** Mutual information between the lang and source labels — the
+    * dependence diagnostic a mixing plan checks before treating two
+    * stratification axes as independent (near-zero MI = stratifying by
+    * one won't skew the other). I(L;S) = Σ p·ln(p/(pₗ·pₛ)) over the
+    * |langs|×|sources| contingency cells; every probability is an
+    * exact rational of counts, the per-cell term is ONE fixed IEEE
+    * sequence quantized to micro-nats before the (tiny) integer sum —
+    * the q227 discipline. One corpus groupBy + broadcast marginals. */
+  val q248MutualInfo: QueryDef = QueryDef(
+    "q248_mutual_info",
+    """WITH c AS (SELECT lang, source, COUNT(*) AS c FROM documents
+      |  GROUP BY 1, 2),
+      |cl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM c GROUP BY 1),
+      |cs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM c GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+      |t AS (SELECT CAST(round((CAST(c.c AS DOUBLE) / n.n)
+      |        * ln((CAST(c.c AS DOUBLE) / n.n)
+      |             / ((CAST(cl.cl AS DOUBLE) / n.n)
+      |                * (CAST(cs.cs AS DOUBLE) / n.n)))
+      |        * 1000000) AS BIGINT) AS term6
+      |  FROM c JOIN cl USING (lang) JOIN cs USING (source), n)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(term6) AS BIGINT) AS mi6
+      |FROM t""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+    val cl = c.groupBy(col("lang")).agg(sum(col("c")).cast("long").as("cl"))
+    val cs = c.groupBy(col("source")).agg(sum(col("c")).cast("long").as("cs"))
+    val n = c.agg(sum(col("c")).cast("long").as("n"))
+    c.join(broadcast(cl), "lang").join(broadcast(cs), "source")
+      .crossJoin(broadcast(n))
+      .select(expr(
+        """cast(round((cast(c as double) / n)
+          |  * ln((cast(c as double) / n)
+          |       / ((cast(cl as double) / n) * (cast(cs as double) / n)))
+          |  * 1000000) as bigint)""".stripMargin).as("term6"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("term6")).cast("long").as("mi6"))
+  }
+
   /** Good–Turing count-of-counts smoothing table (Good 1953; the
     * Simple GT of Gale & Sampson 1995 without the log-linear fit):
     * N_r = number of word types seen exactly r times, adjusted count
@@ -964,6 +1004,7 @@ object LangModel {
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
       q213TrigramJmLm, q227JsDivergence, q231Chi2Keywords, q232GoodTuring,
+      q248MutualInfo,
       q175TextRank, q176NaiveBayes, q177TfIdf, q196PmiCollocations,
       // headline: the LM-scoring bench representative — two corpus
       // explodes + a Heaps-bounded model join, the axis (corpus-scale
