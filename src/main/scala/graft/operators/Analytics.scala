@@ -1109,8 +1109,74 @@ object Analytics {
           .as("rho_ppm"))
   }
 
+  /** Population Stability Index between two corpus snapshots — THE
+    * production drift metric: decile the REFERENCE snapshot (even
+    * doc_ids) by n_chars with exact equi-depth ranks (q225's shape),
+    * bucket the CURRENT snapshot (odd doc_ids) against those boundary
+    * VALUES, and report per-decile
+    * (q_b − p_b)·ln(q_b/p_b) in micro-nats — quantized per bucket
+    * (the q227 discipline), 0 where either side's bucket is empty
+    * (the standard zero-cell convention, documented). Scale shape:
+    * ONE ScalableSort rank over the reference half, a 10-row boundary
+    * broadcast joined against the current half, two bounded rollups. */
+  val q249PsiDrift: QueryDef = QueryDef(
+    "q249_psi_drift",
+    """WITH ref AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
+      |cur AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 1),
+      |r AS (SELECT n_chars,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn FROM ref),
+      |nr AS (SELECT COUNT(*) AS nr FROM ref),
+      |rb AS (SELECT n_chars, (rn - 1) * 10 // nr AS b FROM r, nr),
+      |bounds AS (SELECT b, MAX(n_chars) AS hi FROM rb GROUP BY b),
+      |pc AS (SELECT b, COUNT(*) AS n_ref FROM rb GROUP BY b),
+      |ca AS (SELECT c.doc_id,
+      |    COALESCE(MIN(CASE WHEN c.n_chars <= bo.hi THEN bo.b END), 9) AS b
+      |  FROM cur c CROSS JOIN bounds bo GROUP BY c.doc_id),
+      |qc AS (SELECT b, COUNT(*) AS n_cur FROM ca GROUP BY b),
+      |tot AS (SELECT (SELECT COUNT(*) FROM ref) AS nr,
+      |               (SELECT COUNT(*) FROM cur) AS nc)
+      |SELECT pc.b AS bucket, CAST(pc.n_ref AS BIGINT) AS n_ref,
+      |  CAST(COALESCE(qc.n_cur, 0) AS BIGINT) AS n_cur,
+      |  CAST(CASE WHEN qc.n_cur IS NULL OR qc.n_cur = 0 OR pc.n_ref = 0
+      |       THEN 0
+      |       ELSE round((CAST(qc.n_cur AS DOUBLE) / nc
+      |            - CAST(pc.n_ref AS DOUBLE) / nr)
+      |         * ln((CAST(qc.n_cur AS DOUBLE) / nc)
+      |              / (CAST(pc.n_ref AS DOUBLE) / nr))
+      |         * 1000000) END AS BIGINT) AS psi6
+      |FROM pc LEFT JOIN qc ON pc.b = qc.b, tot""".stripMargin) { (s, d) =>
+    val docsDf = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val ref = docsDf.filter(col("doc_id") % 2 === 0)
+    val cur = docsDf.filter(col("doc_id") % 2 === 1)
+    val nr = ref.agg(count(lit(1)).as("nr"))
+    val rb = ScalableSort.globalRowNumber(ref, "rn",
+        col("n_chars"), col("doc_id"))
+      .crossJoin(broadcast(nr))
+      .select(col("n_chars"), expr("(rn - 1) * 10 div nr").as("b"))
+    val bounds = rb.groupBy(col("b")).agg(max(col("n_chars")).as("hi"))
+    val pc = rb.groupBy(col("b")).agg(count(lit(1)).as("n_ref"))
+    val ca = cur.crossJoin(broadcast(bounds))
+      .groupBy(col("doc_id"))
+      .agg(coalesce(min(when(col("n_chars") <= col("hi"), col("b"))), lit(9L))
+        .as("b"))
+    val qc = ca.groupBy(col("b")).agg(count(lit(1)).as("n_cur"))
+    val nc = cur.agg(count(lit(1)).as("nc"))
+    pc.join(qc, Seq("b"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .select(col("b").as("bucket"), col("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        expr(
+          """cast(CASE WHEN n_cur IS NULL OR n_cur = 0 OR n_ref = 0 THEN 0
+            |     ELSE round((cast(n_cur as double) / nc
+            |          - cast(n_ref as double) / nr)
+            |       * ln((cast(n_cur as double) / nc)
+            |            / (cast(n_ref as double) / nr))
+            |       * 1000000) END as bigint)""".stripMargin).as("psi6"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q240DecayWeightedValue, q246KeySkewGini, q247SpearmanSignals,
+    q249PsiDrift,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
     q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness,
