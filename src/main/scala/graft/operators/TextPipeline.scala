@@ -1238,11 +1238,73 @@ object TextPipeline {
         expr("w6 * 10000L div tw").as("expected_docs"))
   }
 
+  /** Triangle count + global clustering coefficient of the near-dup
+    * graph (q114's block-bounded Jaccard edges) — the graph-shape
+    * diagnostic distinguishing chain-like template drift from dense
+    * boilerplate cliques (a high clustering coefficient means the
+    * transitive-closure dedup of q114 is collapsing real clusters,
+    * not chains of borderline pairs). The triangle join is the
+    * classic distributed multi-way self-join: order every edge a < b,
+    * one join builds a<b<c wedges, one more closes them — each a
+    * hash-partitioned equi-join on a vertex key, no broadcast of the
+    * (potentially corpus-scale) edge list. */
+  val q250TriangleCount: QueryDef = QueryDef(
+    "q250_triangle_count",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
+      |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' ')
+      |    )) AS sh
+      |  FROM documents),
+      |b AS (SELECT doc_id, sh, list_sort(sh)[1] AS blk FROM t),
+      |c AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 16),
+      |pr AS (SELECT a.doc_id AS id1, b2.doc_id AS id2,
+      |    CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS j
+      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+      |  JOIN c ON c.blk = a.blk),
+      |e AS (SELECT id1 AS a, id2 AS b FROM pr WHERE j >= 0.5),
+      |deg AS (SELECT v, COUNT(*) AS dg FROM (
+      |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+      |w AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS wedges FROM deg),
+      |tri AS (SELECT COUNT(*) AS t FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+      |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+      |  CAST(COALESCE(wedges, 0) AS BIGINT) AS n_wedges,
+      |  CAST(t AS BIGINT) AS n_triangles,
+      |  CAST(CASE WHEN COALESCE(wedges, 0) = 0 THEN 0
+      |       ELSE 3 * t * 1000000 // wedges END AS BIGINT) AS gcc_ppm
+      |FROM ne, w, tri""".stripMargin) { (s, d) =>
+    val e = ngramJaccardPairs(s, d).filter(col("j") >= 0.5)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg(
+      coalesce(sum(expr("dg * (dg - 1) div 2")), lit(0L))
+        .cast("long").as("n_wedges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    ne.crossJoin(wedges).crossJoin(tri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("""CASE WHEN n_wedges = 0 THEN 0L
+               |ELSE 3 * n_triangles * 1000000L div n_wedges END"""
+          .stripMargin.replace("\n", " ")).as("gcc_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     // headline: the per-character corpus explode — the heaviest
     // window-materialization shape in the repo (one row per corpus
     // char), exercising the hash-prefilter/exact-confirm exchange
     q215DupSpans.copy(headline = true),
+    q250TriangleCount,
     q230IncrementalDedup, q234NgramNovelty,
     q235LangConfusion, q238DupRateBySource, q239OovRate,
     q242SplitLeakage, q243AlphaSampling,
