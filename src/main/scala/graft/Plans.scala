@@ -78,7 +78,11 @@ object Plans {
       // round-8 (cont. 2): leakage anti-join, alpha weights, hard
       // negatives, k-anonymity rollup, Gini rank moment
       "q242_split_leakage", "q243_alpha_sampling", "q244_hard_negatives",
-      "q245_k_anonymity", "q246_key_skew_gini")
+      "q245_k_anonymity", "q246_key_skew_gini",
+      // round-8 (cont. 3): midrank moments, MI cells, PSI decile
+      // broadcast, the triangle multi-way self-join
+      "q247_spearman_signals", "q248_mutual_info", "q249_psi_drift",
+      "q250_triangle_count")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")
