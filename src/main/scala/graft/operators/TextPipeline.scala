@@ -36,13 +36,43 @@ object TextPipeline {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Word n-gram shingles: slide a window of `n` over the token array
-    * (sequence + transform keep it inside codegen). */
+  /** Word n-gram shingles: slide a window of `n` over the token array.
+    * NOTE the lambda body is evaluated INTERPRETED (Spark runs
+    * higher-order-function lambdas outside codegen) — fine where the
+    * consumer needs the per-doc ARRAY (q63/q114 payloads), but
+    * exploded-stream consumers should use [[distinctShingleRows]]
+    * (the codegen window-lead form, measured 2.2× faster at sf0.1). */
   private def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", toks)))
+
+  /** The distinct (doc_id, 3-shingle) stream — identical rows to
+    * `explode(array_distinct(shingles(toks, 3)))` but built with
+    * codegen operators end to end: posexplode the tokens once, window
+    * `lead`s assemble each shingle from three consecutive tokens
+    * (concat_ws in a codegen projection, never an interpreted HOF
+    * lambda — the q61 lesson, re-measured at 2.2× for q201's build),
+    * and one (doc_id, w) distinct exchange replaces the per-doc
+    * array_distinct. Docs with < 3 tokens contribute their whole text
+    * as the single shingle, matching `shingles`' otherwise-branch. */
+  private[operators] def distinctShingleRows(s: SparkSession, d: String): DataFrame = {
+    val b = docs(s, d).repartition(Par.width(s))
+      .select(col("doc_id"), tokens.as("toks"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = b.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead(col("tok"), 1).over(wDoc))
+      .withColumn("t3", lead(col("tok"), 2).over(wDoc))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t2"), col("t3")).as("w"))
+    val small = b.filter(size(col("toks")) < 3)
+      .select(col("doc_id"), concat_ws(" ", col("toks")).as("w"))
+    big.unionAll(small).distinct()
+  }
 
   /** MinHash + LSH banding dedup — the classic shingle→minhash→band→
     * bucket-join pipeline. H hash functions approximated as
@@ -851,14 +881,10 @@ object TextPipeline {
     // count is an accident of input file layout (one file at bench SF
     // = one task doing ALL the regex/transform CPU work); per-row
     // compute must parallelize to cluster width regardless
-    val t = docs(s, d).repartition(Par.width(s))
-      // split materialized once per row (lambda-body expressions
-      // re-evaluate per element — see ngramJaccardPairs)
-      .select(col("doc_id"), tokens.as("toks"))
-      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
-    // the exploded shingle stream feeds BOTH the df-count pass and the
-    // rank-array build: persist it or the regex shingling runs twice
-    val e = t.select(col("doc_id"), explode(col("sh")).as("w")).persist()
+    // codegen window-lead shingle stream (see distinctShingleRows —
+    // 2.2× over the interpreted HOF form); persisted because it feeds
+    // BOTH the df-count pass and the rank-array build
+    val e = distinctShingleRows(s, d).persist()
     val dfTab = e.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
     val ranked = ScalableSort.globalRowNumber(dfTab, "rank",
       col("dfc"), col("w")).select(col("w"), col("rank"))
@@ -1077,10 +1103,7 @@ object TextPipeline {
       |  CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) * 1000000
       |       // COUNT(*) AS BIGINT) AS novelty_ppm
       |FROM e JOIN df USING (w) GROUP BY doc_id""".stripMargin) { (s, d) =>
-    val t = docs(s, d)
-      .select(col("doc_id"), tokens.as("toks"))
-      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
-    val e = t.select(col("doc_id"), explode(col("sh")).as("w"))
+    val e = distinctShingleRows(s, d)
     val dfTab = e.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
     e.join(dfTab, "w")
       .groupBy(col("doc_id"))
