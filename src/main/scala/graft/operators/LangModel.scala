@@ -840,30 +840,39 @@ object LangModel {
       |  CAST(sum6 + CAST(round(0.5 * ln(2) * (CAST(t - sl AS DOUBLE) / t)
       |                         * 1000000) AS BIGINT) AS BIGINT) AS jsd6
       |FROM agg, tt""".stripMargin) { (s, d) =>
+    // the token explode feeds THREE consumers (lang-word counts, word
+    // counts, total) — persist it once, materialize the |langs|-row
+    // result, then release (the q201 cache discipline)
     val tok = Tables.documents(s, d)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-    val lw = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("clw"))
-    val tl = lw.groupBy(col("lang")).agg(sum(col("clw")).cast("long").as("tl"))
-    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val tt = tok.agg(count(lit(1)).cast("long").as("t"))
-    val terms = lw.join(broadcast(tl), "lang").join(cw, "w")
-      .crossJoin(broadcast(tt))
-      .select(col("lang"), col("cw"),
-        (col("clw").cast("double") / col("tl")).as("p"),
-        (col("cw").cast("double") / col("t")).as("q"))
-      .withColumn("m", (col("p") + col("q")) / 2)
-      .select(col("lang"), col("cw"),
-        expr("cast(round((0.5 * (p * ln(p / m) + q * ln(q / m))) * 1000000) as bigint)")
-          .as("term6"))
-    terms.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("term6")).cast("long").as("sum6"),
-        sum(col("cw")).cast("long").as("sl"))
-      .crossJoin(broadcast(tt))
-      .select(col("lang"), col("n_words"),
-        (col("sum6") + expr(
-          "cast(round(0.5 * ln(2) * (cast(t - sl as double) / t) * 1000000) as bigint)"))
-          .cast("long").as("jsd6"))
+      .persist()
+    try {
+      val lw = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("clw"))
+      val tl = lw.groupBy(col("lang")).agg(sum(col("clw")).cast("long").as("tl"))
+      val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val tt = tok.agg(count(lit(1)).cast("long").as("t"))
+      val terms = lw.join(broadcast(tl), "lang").join(cw, "w")
+        .crossJoin(broadcast(tt))
+        .select(col("lang"), col("cw"),
+          (col("clw").cast("double") / col("tl")).as("p"),
+          (col("cw").cast("double") / col("t")).as("q"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .select(col("lang"), col("cw"),
+          expr("cast(round((0.5 * (p * ln(p / m) + q * ln(q / m))) * 1000000) as bigint)")
+            .as("term6"))
+      val out = terms.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("term6")).cast("long").as("sum6"),
+          sum(col("cw")).cast("long").as("sl"))
+        .crossJoin(broadcast(tt))
+        .select(col("lang"), col("n_words"),
+          (col("sum6") + expr(
+            "cast(round(0.5 * ln(2) * (cast(t - sl as double) / t) * 1000000) as bigint)"))
+            .cast("long").as("jsd6"))
+        .persist()
+      out.count() // |langs| rows — swept by the harness after use
+      out
+    } finally tok.unpersist(blocking = true)
   }
 
   /** Per-language χ² keyword extraction — the classic feature-selection
@@ -905,8 +914,11 @@ object LangModel {
       |  CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 5""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // three consumers of the token explode — persist once, release
+    // after the ≤ 5·|langs|-row result materializes (q201 discipline)
     val tok = Tables.documents(s, d)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .persist()
     val lw = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("a"))
     val tl = lw.groupBy(col("lang")).agg(sum(col("a")).cast("long").as("tl"))
     val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
@@ -923,12 +935,17 @@ object LangModel {
              |  * (cast(a as double) * d - cast(b as double) * c)
              |  / (cast(a + b as double) * (c + d) * (a + c) * (b + d))
              |  * 1000) as bigint)""".stripMargin).as("chi2_milli"))
-    chi.withColumn("rk", row_number().over(
-        Window.partitionBy(col("lang"))
-          .orderBy(col("chi2_milli").desc, col("w"))))
-      .filter(col("rk") <= 5)
-      .select(col("lang"), col("w"), col("a").cast("long").as("cnt"),
-        col("chi2_milli"), col("rk").cast("long").as("rk"))
+    try {
+      val out = chi.withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("chi2_milli").desc, col("w"))))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("w"), col("a").cast("long").as("cnt"),
+          col("chi2_milli"), col("rk").cast("long").as("rk"))
+        .persist()
+      out.count() // ≤ 5·|langs| rows — swept by the harness after use
+      out
+    } finally tok.unpersist(blocking = true)
   }
 
   /** Mutual information between the lang and source labels — the
@@ -994,7 +1011,10 @@ object LangModel {
     val tok = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
     val wc = tok.groupBy(col("w")).agg(count(lit(1)).as("r"))
-    val coc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    // both sides of the r+1 self-join read coc — persist the tiny
+    // (max-word-frequency-bounded) table so the corpus explode under
+    // it runs ONCE; swept by the harness after use
+    val coc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r")).persist()
     coc.as("a").join(coc.as("b"), col("b.r") === col("a.r") + 1, "left")
       .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
         coalesce(expr("(a.r + 1) * b.n_r * 1000000L div a.n_r"), lit(0L))

@@ -1103,14 +1103,22 @@ object TextPipeline {
       |  CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) * 1000000
       |       // COUNT(*) AS BIGINT) AS novelty_ppm
       |FROM e JOIN df USING (w) GROUP BY doc_id""".stripMargin) { (s, d) =>
-    val e = distinctShingleRows(s, d)
-    val dfTab = e.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
-    e.join(dfTab, "w")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        expr("n_unique * 1000000L div n_shingles").as("novelty_ppm"))
+    // the shingle stream feeds BOTH the df-count pass and the join —
+    // persist it once, materialize the per-doc result, release
+    // (the q201 cache discipline)
+    val e = distinctShingleRows(s, d).persist()
+    try {
+      val dfTab = e.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+      val out = e.join(dfTab, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          expr("n_unique * 1000000L div n_shingles").as("novelty_ppm"))
+        .persist()
+      out.count() // one row per doc — swept by the harness after use
+      out
+    } finally e.unpersist(blocking = true)
   }
 
   /** Language-ID confusion matrix — the multi-class quality report a
@@ -1181,18 +1189,26 @@ object TextPipeline {
       |       // COUNT(*) AS BIGINT) AS oov_ppm
       |FROM tok LEFT JOIN v ON tok.w = v.w
       |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    // the token stream feeds BOTH the vocab count and the OOV join —
+    // persist once, materialize the per-doc result, release
     val tok = docs(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val wc = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val vocab = ScalableSort.globalRowNumber(wc, "rn", col("cnt").desc, col("w"))
-      .filter(col("rn") <= 1000)
-      .select(col("w"), lit(1).as("inv"))
-    tok.join(broadcast(vocab), Seq("w"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+      .persist()
+    try {
+      val wc = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val vocab = ScalableSort.globalRowNumber(wc, "rn", col("cnt").desc, col("w"))
+        .filter(col("rn") <= 1000)
+        .select(col("w"), lit(1).as("inv"))
+      val out = tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+        .persist()
+      out.count() // one row per doc — swept by the harness after use
+      out
+    } finally tok.unpersist(blocking = true)
   }
 
   /** Train/eval split-leakage audit — for every non-train split, how
