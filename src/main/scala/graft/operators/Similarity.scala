@@ -899,9 +899,13 @@ object Similarity {
         expr("cast(round(cast(x as double) * 1000000) as bigint)").as("x6"))
     val q = g.groupBy(col("label"), col("dim"))
       .agg(expr("sum(x6) div count(1)").as("cq"))
+    // both sides of the pair join read the centroid table — persist the
+    // tiny |labels|-row frame so the corpus posexplode under it runs
+    // once (swept by the harness after use)
     val c = q.groupBy(col("label"))
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("cq")))),
         p => p.getField("cq")).as("cv"))
+      .persist()
     val cos = expr(
       """1.0 - (aggregate(zip_with(cv1, cv2,
         |    (p, q) -> cast(p as double) * cast(q as double)),
