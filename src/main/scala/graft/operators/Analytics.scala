@@ -1174,9 +1174,62 @@ object Analytics {
             |       * 1000000) END as bigint)""".stripMargin).as("psi6"))
   }
 
+  /** Burstiness (Fano factor) of the hourly event-rate per event type —
+    * variance-to-mean of the per-hour counts over the DENSE hour spine
+    * (q217's calendar-bounded densification: silent hours are real
+    * zeros, not missing rows — skipping them would understate variance).
+    * F ≈ 1 is Poisson traffic; F ≫ 1 flags bursty load the ingest path
+    * must buffer for. Exact integer algebra:
+    * F = n·Σx² − (Σx)² over n·Σx, in ppm; the moment sums ride
+    * DECIMAL(38,0) (n·Σx² exceeds BIGINT at corpus scale). */
+  val q251Burstiness: QueryDef = QueryDef(
+    "q251_burstiness",
+    """WITH b AS (SELECT MIN(date_trunc('hour', ts)) AS lo,
+      |    MAX(date_trunc('hour', ts)) AS hi FROM events),
+      |spine AS (SELECT event_type, h
+      |  FROM (SELECT DISTINCT event_type FROM events),
+      |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      |        FROM b)),
+      |c AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT s.event_type, COALESCE(c.x, 0) AS x
+      |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.h = c.h),
+      |a AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS s, SUM(CAST(x AS HUGEINT) * x) AS ss
+      |  FROM d GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+      |  CAST(s AS BIGINT) AS n_events,
+      |  CAST(CASE WHEN s = 0 THEN 0
+      |       ELSE (n * ss - s * s) * 1000000 // (CAST(n AS HUGEINT) * s) END
+      |       AS BIGINT) AS fano_ppm
+      |FROM a""".stripMargin) { (s, d) =>
+    val d38 = "decimal(38,0)"
+    val e = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val bounds = e.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val types = e.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val c = e.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
+    spine.join(c, Seq("event_type", "h"), "left")
+      .select(col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("s"),
+        sum(expr(s"cast(x as $d38) * x")).as("ss"))
+      .select(col("event_type"), col("n").cast("long").as("n_hours"),
+        col("s").as("n_events"),
+        expr(
+          s"""cast(CASE WHEN s = 0 THEN 0
+             |ELSE (n * ss - cast(s as $d38) * s) * 1000000
+             |     div (cast(n as $d38) * s) END as bigint)"""
+            .stripMargin.replace("\n", " ")).as("fano_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(q122Pivot, q123Funnel, q124CohortRetention,
     q240DecayWeightedValue, q246KeySkewGini, q247SpearmanSignals,
-    q249PsiDrift,
+    q249PsiDrift, q251Burstiness,
     q135SequenceMatch, q136MaxIntersections, q143Unpivot, q144Histogram,
     q145AnalyzeProfile, q148MovingMedian, q149MadOutliers, q150Benford,
     q151RatioToReport, q165RegrAggs, q190CohortFunnel, q191Stickiness,
