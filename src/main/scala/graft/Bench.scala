@@ -17,7 +17,18 @@ object Bench {
     // After each query, sweep any cache it left behind (outside the
     // timed region) — cache hygiene is a per-query invariant, so one
     // operator's leak can never inflate the queries that follow it.
-    val timed = SparkEntry.benchNames.map { name =>
+    // Optional subset (scale-proof runs time a handful of headliners at
+    // 10x/100x without paying for the full suite); full run by default.
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) if qs.trim.nonEmpty =>
+        val want = qs.split(",").map(_.trim).filter(_.nonEmpty)
+        val known = SparkEntry.queries.keySet
+        want.filterNot(known).foreach(q =>
+          System.err.println(s"[bench] unknown query in SPARK_GRAFT_QUERIES: $q"))
+        want.filter(known).toSeq
+      case _ => SparkEntry.benchNames
+    }
+    val timed = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
@@ -35,6 +46,10 @@ object Bench {
     val failed = timed.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = timed.collect { case (_, v, true) => v }.sum
+    // Regression bands (stderr-only; the driver JSON contract is
+    // unchanged and band breaches never fail the bench).
+    if (sfDir.endsWith("sf0.1"))
+      BenchBands.check(timed.collect { case (k, v, true) => (k, v) })
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (timed.exists(!_._3)) sys.exit(1)

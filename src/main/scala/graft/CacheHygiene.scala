@@ -24,16 +24,25 @@ object CacheHygiene {
   def sweep(spark: SparkSession, tag: String): Int = {
     // Record what the query left persisted BEFORE clearing — this is
     // the regression signal (expected residue: the small materialized
-    // results q201/q215/q210/cc-labels return by design).
+    // results q201/q215/q210/cc-labels return by design). The snapshot
+    // also keeps the RDD HANDLES: clearCache unpersists plan-level
+    // caches NON-blocking and deregisters their RDDs immediately, so a
+    // post-clearCache scan of getPersistentRDDs would never see them —
+    // blocking on the snapshot handles is what actually guarantees the
+    // blocks are gone before the next query starts.
     val left = spark.sparkContext.getPersistentRDDs
     if (left.nonEmpty)
       System.err.println(s"[hygiene] after $tag: sweeping ${left.size} " +
         s"persisted RDD(s): ${left.keys.toSeq.sorted.mkString(",")}")
-    // clearCache drops plan-level (DataFrame.persist) entries …
+    // Release the snapshot handles' blocks FIRST, synchronously (this
+    // is the actual guarantee) …
+    left.values.foreach(_.unpersist(blocking = true))
+    // … then drop the plan-level (DataFrame.persist) cacheManager
+    // entries; their RDDs' blocks are already gone, so clearCache's
+    // non-blocking unpersist has nothing left to release
+    // asynchronously. Final pass catches anything registered between
+    // the snapshot and here.
     spark.sharedState.cacheManager.clearCache()
-    // … then force-release anything still registered at the RDD layer
-    // (clearCache is non-blocking; blocking unpersist here guarantees
-    // the blocks are gone before the next query starts).
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     left.size

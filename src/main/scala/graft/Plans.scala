@@ -91,10 +91,18 @@ object Plans {
     sb.append("for top-k, no unpartitioned `Window` over raw relations, and\n")
     sb.append("exchange counts matching the shuffle budget in `PlanShapeSpec`.\n")
     picked.foreach { q =>
+      // NOTE: q.fn is not guaranteed to be lazy — ScalableSort-based
+      // operators run real jobs at construction (zipWithIndex's eager
+      // count), and the multi-consumer operators deliberately return
+      // persisted frames. Sweep after every query so plan generation
+      // keeps the same per-query cache invariant as Bench/Verify
+      // (harmless at sf0.01; without it 20+ persisted results
+      // accumulate across the 90+-plan run).
       val df = q.fn(spark, sfDir)
       sb.append(s"\n## ${q.name}\n\n```\n")
       sb.append(df.queryExecution.explainString(FormattedMode).trim)
       sb.append("\n```\n")
+      CacheHygiene.sweep(spark, q.name)
     }
     Files.createDirectories(Paths.get(out).getParent)
     Files.writeString(Paths.get(out), sb.toString)

@@ -1074,11 +1074,16 @@ object Analytics {
       |         * 1000000) END AS BIGINT) AS rho_ppm
       |FROM a""".stripMargin) { (s, d) =>
     val d38 = "decimal(38,0)"
+    // the regex-split + stopword-filter HOF feeds THREE consumers (two
+    // globalRowNumber rank passes — both EAGER — plus the final join):
+    // persist it once, materialize the 1-row result, release blocking
+    // (the q227/q231 cache discipline)
     val base = Tables.documents(s, d).select(col("doc_id"),
       col("n_chars").as("x"),
       expr("""size(filter(split(trim(text), '\\s+'),
              |  t -> t IN ('the','a','of','and','to'))) * 1000000L
              | div size(split(trim(text), '\\s+'))""".stripMargin).as("y"))
+      .persist()
     def midranks(valCol: String, out: String) = {
       val r = ScalableSort.globalRowNumber(
         base.select(col("doc_id"), col(valCol)), "r",
@@ -1086,10 +1091,11 @@ object Analytics {
       r.groupBy(col(valCol))
         .agg((min(col("r")) + max(col("r"))).as(out))
     }
+    try {
     val j = base
       .join(midranks("x", "x2"), "x")
       .join(midranks("y", "y2"), "y")
-    j.agg(count(lit(1)).as("n"),
+    val out = j.agg(count(lit(1)).as("n"),
         sum(expr(s"cast(x2 as $d38)")).as("sx"),
         sum(expr(s"cast(y2 as $d38)")).as("sy"),
         sum(expr(s"cast(x2 as $d38) * x2")).as("sxx"),
@@ -1107,6 +1113,10 @@ object Analytics {
              |            - cast(sy as double) * cast(sy as double)))
              |       * 1000000) END as bigint)""".stripMargin)
           .as("rho_ppm"))
+      .persist()
+    out.count() // 1 row — swept by the harness after use
+    out
+    } finally base.unpersist(blocking = true)
   }
 
   /** Population Stability Index between two corpus snapshots — THE

@@ -1120,7 +1120,10 @@ object Curation {
       .select(col("lang"), col("w"), sc("en"), sc("es"), sc("fr"), sc("de"))
       .select(
         when(size(col("w")) >= 50, 1L).otherwise(0L).as("c2"),
-        when(expr("size(filter(w, x -> x IN ('the','a','of','and','to'))) * 1000000L div size(w)") >= 20000, 1L)
+        // c3 reuses en_s from the preceding select — recomputing the
+        // stopword filter here would run a second interpreted HOF pass
+        // per row in a query advertised as one corpus pass
+        when(expr("en_s * 1000000L div size(w)") >= 20000, 1L)
           .otherwise(0L).as("c3"),
         when(size(array_distinct(col("w"))) * 2 >= size(col("w")), 1L)
           .otherwise(0L).as("c4"),

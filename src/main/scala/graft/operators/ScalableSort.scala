@@ -48,8 +48,18 @@ object ScalableSort {
     * an input-sized cache at every call site and degraded every bench
     * query that ran after it).
     *
-    * Note `zipWithIndex` runs its count job eagerly at construction;
-    * callers get a fully-determined frame, not a lazy lineage.
+    * EAGER-EXECUTION CONTRACT: `zipWithIndex` runs its count job at
+    * construction, so CALLING this method executes the whole upstream
+    * lineage — callers get a fully-determined frame, not a lazy plan.
+    * Consequences for call sites: (a) plan-only harnesses (Plans.scala)
+    * pay real compute and must sweep caches per query; (b) an operator
+    * that feeds the same expensive upstream into globalRowNumber more
+    * than once (q247's two midrank passes over the tokenized corpus)
+    * must persist that upstream FIRST or it recomputes per call —
+    * cheap pruned scans (q228's 3-column double rank) are fine; (c) the
+    * lineage downstream of the returned frame starts from an RDD scan,
+    * so whole-stage codegen resumes only after the next exchange
+    * (see docs/PLANS.md "RDD-layer codegen boundary").
     */
   def globalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the bench-regression-band table (round-9 VERDICT ask #1):
+  * every banded query must still be a headliner (a renamed/dropped
+  * headliner would silently lose its regression check), bands must be
+  * sane, and the check must flag exactly the out-of-band queries. */
+class BenchBandsSpec extends AnyFunSuite {
+
+  test("every banded query is a current headline query") {
+    val headliners = SparkEntry.benchNames.toSet
+    val orphans = BenchBands.baseline.keySet -- headliners
+    assert(orphans.isEmpty,
+      s"banded but no longer headline: ${orphans.mkString(", ")}")
+  }
+
+  test("every BENCH_r08-era headliner has a band") {
+    // All 22 r8 headliners are banded; only queries promoted to
+    // headline AFTER r8 may be temporarily band-less.
+    assert(BenchBands.baseline.size >= 22)
+    BenchBands.baseline.values.foreach(v => assert(v > 0.0))
+  }
+
+  test("band math: baseline*ratio+slack, breaches flagged exactly") {
+    val name = "q1_agg"
+    val band = BenchBands.bandFor(name).get
+    assert(math.abs(band - (1.204 * BenchBands.Ratio + BenchBands.SlackSec)) < 1e-9)
+    assert(BenchBands.check(Seq(name -> (band - 0.01))).isEmpty)
+    assert(BenchBands.check(Seq(name -> (band + 0.01))) === Seq(name))
+    // unknown query → no breach (flagged as no-band, not failed)
+    assert(BenchBands.check(Seq("q_new_headliner" -> 99.0)).isEmpty)
+  }
+}
