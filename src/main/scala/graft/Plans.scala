@@ -90,6 +90,21 @@ object Plans {
     sb.append("`BroadcastHashJoin` for dimension sides, `TakeOrderedAndProject`\n")
     sb.append("for top-k, no unpartitioned `Window` over raw relations, and\n")
     sb.append("exchange counts matching the shuffle budget in `PlanShapeSpec`.\n")
+    sb.append("\n## RDD-layer codegen boundary (accepted trade)\n\n")
+    sb.append("Plans that rank via `ScalableSort.globalRowNumber` (q26, q204,\n")
+    sb.append("q214, q225, q228, q229, q233, q247, ...) show `Scan ExistingRDD`\n")
+    sb.append("where the rank is produced: the operator drops to `zipWithIndex`\n")
+    sb.append("so the range-exchange boundaries are sampled exactly once (rank\n")
+    sb.append("consistency without any persist — the round-7 leak class).\n")
+    sb.append("Consequence: lineage DOWNSTREAM of the rank starts outside\n")
+    sb.append("whole-stage codegen and rejoins it only after the next exchange,\n")
+    sb.append("so a `WholeStageCodegen` span is deliberately split there. The\n")
+    sb.append("trade is measured-acceptable (Verify dropped to 165 s when the\n")
+    sb.append("zipWithIndex rank replaced the persist+window form; rank-family\n")
+    sb.append("queries read at or below their prior bench bands) and buys\n")
+    sb.append("bit-stable ranks at every scale — re-proved by the 10x DuckDB\n")
+    sb.append("hash checks. Revisit only if a rank feeds a long codegen-only\n")
+    sb.append("pipeline with no intervening exchange (none today does).\n")
     picked.foreach { q =>
       // NOTE: q.fn is not guaranteed to be lazy — ScalableSort-based
       // operators run real jobs at construction (zipWithIndex's eager

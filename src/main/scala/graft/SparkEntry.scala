@@ -25,7 +25,7 @@ object SparkEntry {
       operators.Analytics.all ++ operators.Clustering.all ++
       operators.SqlFrontier.all ++ operators.LangModel.all ++
       operators.Pca.all ++ operators.Classifier.all ++
-      operators.Evaluation.all ++
+      operators.Evaluation.all ++ operators.SkewRemedy.all ++
       functions.BigIntSum.all ++ functions.ApproxTopK.all ++
       streaming.Ingest.all ++
       operators.Multimodal.all
