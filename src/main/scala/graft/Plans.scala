@@ -82,7 +82,9 @@ object Plans {
       // round-8 (cont. 3): midrank moments, MI cells, PSI decile
       // broadcast, the triangle multi-way self-join
       "q247_spearman_signals", "q248_mutual_info", "q249_psi_drift",
-      "q250_triangle_count", "q251_burstiness")
+      "q250_triangle_count", "q251_burstiness",
+      // round-9: hot-cold salted skew join
+      "q252_salted_skew_join")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")
