@@ -1178,6 +1178,50 @@ object Curation {
         min(col("cnt")).as("min_class_size"))
   }
 
+  /** Purged temporal train/test split with an embargo gap — the
+    * leakage-safe split for time-ordered data (de Prado's purged
+    * k-fold reduced to one holdout): first 70% of events by time →
+    * train, next 10% → embargo (DISCARDED so train labels can't bleed
+    * into test through windowed features that straddle the boundary),
+    * last 20% → test. Contrast with q86 (random hash split — correct
+    * for i.i.d. docs, leakage-prone for time series) and q242 (audits
+    * a split, doesn't produce one).
+    *
+    * Scale shape: ONE global rank via [[ScalableSort.globalRowNumber]]
+    * (range exchange, never a single-partition window), a driver-side
+    * scalar count for the boundaries, then a 3-row rollup. Ties on ts
+    * break by event_id, so the split is bit-stable across engines.
+    * first_rn/last_rn prove each split is a CONTIGUOUS rank interval. */
+  val q254EmbargoSplit: QueryDef = QueryDef(
+    "q254_embargo_split",
+    """WITH r AS (SELECT event_id, ts,
+      |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM events)
+      |SELECT CASE WHEN rn * 10 <= n * 7 THEN 'train'
+      |            WHEN rn * 10 <= n * 8 THEN 'embargo'
+      |            ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+      |  CAST(MIN(rn) AS BIGINT) AS first_rn,
+      |  CAST(MAX(rn) AS BIGINT) AS last_rn
+      |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"), col("ts"))
+    // one scalar — the split boundaries need the total BEFORE the
+    // per-row classification (bounded driver value, not a collect)
+    val n = e.count()
+    val ranked = ScalableSort.globalRowNumber(e, "rn", col("ts"), col("event_id"))
+    ranked
+      .select(col("ts"), col("rn"),
+        when(col("rn") * 10 <= n * 7, "train")
+          .when(col("rn") * 10 <= n * 8, "embargo")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+        min(col("rn")).as("first_rn"), max(col("rn")).as("last_rn"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q117Decontaminate, q119DomainMixture, q138SequencePack,
       q139NgramDecontaminate, q140WeightedSample, q146Chunking,
@@ -1186,5 +1230,6 @@ object Curation {
       q186SpanDedup, q188CurriculumBuckets, q204EpochShuffle,
       q205LengthBuckets, q212BloomDecontaminate, q214Winsorize,
       q224GroupKfold, q228QuantileNormalize, q229TokenBudgetSelect,
-      q233StratifiedKfold, q237CascadeAttrition, q245KAnonymity)
+      q233StratifiedKfold, q237CascadeAttrition, q245KAnonymity,
+      q254EmbargoSplit)
 }

@@ -1021,10 +1021,123 @@ object LangModel {
           .as("r_star_ppm"))
   }
 
+  /** Pairwise source-vocabulary Jaccard overlap — the corpus-mixture
+    * redundancy diagnostic (how much of source A's vocabulary source B
+    * already covers; high overlap between two crawls predicts high
+    * near-dup rates before any expensive pair-join runs).
+    *
+    * Scale shape: the distinct (source, word) stream shuffles on the
+    * high-cardinality word; the self-join on `word` emits at most
+    * C(|sources|, 2) rows PER WORD (sources are a bounded set, like
+    * q238), so the pair exchange is |vocab| × O(|sources|²) — never a
+    * corpus cross join. Vocabulary sizes are a |sources|-row broadcast.
+    * Exact ppm via integer division, q246 discipline. */
+  val q253VocabOverlap: QueryDef = QueryDef(
+    "q253_vocab_overlap",
+    """WITH sv AS (SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM sv GROUP BY 1),
+      |i AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_common,
+      |  CAST(va.v AS BIGINT) AS v_a, CAST(vb.v AS BIGINT) AS v_b,
+      |  CAST(n_common * 1000000 // (va.v + vb.v - n_common) AS BIGINT)
+      |    AS jacc_ppm
+      |FROM i JOIN vs va ON va.source = i.source_a
+      |       JOIN vs vb ON vb.source = i.source_b""".stripMargin) { (s, d) =>
+    // the distinct (source, word) stream feeds THREE consumers (both
+    // self-join sides + the vocab sizes) — persist once, materialize
+    // the |sources|²-bounded result, release (q201 cache discipline)
+    val sv = docs(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().persist()
+    try {
+      val vs = sv.groupBy(col("source")).agg(count(lit(1)).as("v"))
+      val inter = sv.as("a")
+        .join(sv.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val out = inter
+        .join(broadcast(vs.select(col("source").as("source_a"), col("v").as("v_a"))), "source_a")
+        .join(broadcast(vs.select(col("source").as("source_b"), col("v").as("v_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          col("v_a"), col("v_b"),
+          expr("n_common * 1000000L div (v_a + v_b - n_common)").as("jacc_ppm"))
+        .persist()
+      out.count() // |sources|²-bounded — swept by the harness after use
+      out
+    } finally sv.unpersist(blocking = true)
+  }
+
+  /** Held-out perplexity of an add-one-smoothed unigram LM — the
+    * standard quality gate for a trained corpus model (CCNet uses the
+    * same train-on-corpus/score-held-out loop with a KenLM; the
+    * smoothing here is Laplace so the oracle stays closed-form).
+    * Train split = doc_id % 10 < 8 (q86's bucket convention), held-out
+    * = the rest; p(w) = (c(w)+1)/(T+V+1), unseen words share one
+    * smoothed mass bucket.
+    *
+    * Determinism: ln is quantized to integer micro-nats PER DISTINCT
+    * (lang, word) — one `ln` per vocabulary entry, multiplied by the
+    * held-out count m — so the cross-entropy sum is exact BIGINT
+    * algebra in both engines (the q170/q227 discipline). */
+  val q256HeldoutPerplexity: QueryDef = QueryDef(
+    "q256_heldout_perplexity",
+    """WITH tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM tok WHERE w <> ''),
+      |cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok2
+      |  WHERE doc_id % 10 < 8 GROUP BY 1),
+      |tv AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM cw),
+      |hw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS m FROM tok2
+      |  WHERE doc_id % 10 >= 8 GROUP BY 1, 2),
+      |terms AS (SELECT lang, m, COALESCE(c, 0) AS c,
+      |    CAST(round(ln((COALESCE(c, 0) + 1.0) / (t + v + 1)) * 1000000)
+      |         AS BIGINT) AS term6
+      |  FROM hw LEFT JOIN cw USING (w), tv)
+      |SELECT lang, CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN c = 0 THEN m ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST((-SUM(m * term6)) // SUM(m) AS BIGINT) AS xent6
+      |FROM terms GROUP BY lang""".stripMargin) { (s, d) =>
+    // the token explode feeds the train-vocabulary counts AND the
+    // held-out counts — persist once, materialize the |langs|-row
+    // result, release (q227 cache discipline)
+    val tok = docs(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").persist()
+    try {
+      val cw = tok.filter(col("doc_id") % 10 < 8)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tv = cw.agg(sum(col("c")).cast("long").as("t"),
+        count(lit(1)).cast("long").as("v"))
+      val hw = tok.filter(col("doc_id") % 10 >= 8)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("m"))
+      val out = hw.join(cw, Seq("w"), "left").crossJoin(broadcast(tv))
+        .select(col("lang"), col("m"), coalesce(col("c"), lit(0L)).as("c"),
+          expr("cast(round(ln((coalesce(c, 0) + 1.0) / (t + v + 1)) * 1000000) as bigint)")
+            .as("term6"))
+        .groupBy(col("lang"))
+        .agg(sum(col("m")).cast("long").as("n_tokens"),
+          sum(when(col("c") === 0, col("m")).otherwise(0L))
+            .cast("long").as("n_oov"),
+          expr("cast((-sum(m * term6)) div sum(m) as bigint)").as("xent6"))
+        .persist()
+      out.count() // |langs| rows — swept by the harness after use
+      out
+    } finally tok.unpersist(blocking = true)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170UnigramLm, q171EncodingQa, q172ZipfSlope, q174BigramLm,
       q213TrigramJmLm, q227JsDivergence, q231Chi2Keywords, q232GoodTuring,
-      q248MutualInfo,
+      q248MutualInfo, q253VocabOverlap, q256HeldoutPerplexity,
       q175TextRank, q176NaiveBayes, q177TfIdf, q196PmiCollocations,
       // headline: the LM-scoring bench representative — two corpus
       // explodes + a Heaps-bounded model join, the axis (corpus-scale

@@ -1371,12 +1371,132 @@ object TextPipeline {
     } finally e.unpersist(blocking = true)
   }
 
+  /** Per-crawl novelty yield curve — "how much NEW content does each
+    * successive crawl batch add?" (the decision input for stopping a
+    * crawl: the marginal novel-document rate decays as the frontier
+    * saturates). Batch = doc_id % 5 stands in for crawl epoch; a
+    * content hash is NOVEL in the first batch that contains it.
+    *
+    * Scale shape: one hash-partitioned groupBy to (batch, hash), one
+    * vocabulary-sized groupBy for first-batch, one equi-join back —
+    * all shuffles keyed on the content hash, never a pair join. */
+  val q255CrawlNovelty: QueryDef = QueryDef(
+    "q255_crawl_novelty",
+    """WITH hb AS (SELECT doc_id % 5 AS batch, md5(text) AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |f AS (SELECT h, MIN(batch) AS first_b FROM hb GROUP BY 1)
+      |SELECT batch, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hashes,
+      |  CAST(SUM(CASE WHEN first_b = batch THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(SUM(CASE WHEN first_b = batch THEN 1 ELSE 0 END) * 1000000
+      |       // COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM hb JOIN f USING (h) GROUP BY 1""".stripMargin) { (s, d) =>
+    // the (batch, hash) rollup feeds the first-batch table AND the
+    // final join — persist once, materialize the 5-row result, release
+    val hb = docs(s, d)
+      .select((col("doc_id") % 5).as("batch"), md5(col("text")).as("h"))
+      .groupBy(col("batch"), col("h")).agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val first = hb.groupBy(col("h")).agg(min(col("batch")).as("first_b"))
+      val out = hb.join(first, "h")
+        .groupBy(col("batch"))
+        .agg(sum(col("n")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_hashes"),
+          sum(when(col("first_b") === col("batch"), 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000L div n_hashes"))
+        .persist()
+      out.count() // 5 rows — swept by the harness after use
+      out
+    } finally hb.unpersist(blocking = true)
+  }
+
+  /** PageRank over the near-dup graph (3 damped iterations, d=0.85) —
+    * ranks the "hub" documents of duplicate clusters: a doc similar to
+    * many well-connected docs is the canonical candidate a curation
+    * pass keeps (and the representative a human reviews). Same bounded
+    * edge list as q250 (3-shingle blocking, Jaccard ≥ 0.5, bucket cap).
+    *
+    * Determinism: pure BIGINT algebra — ranks start at 10¹² per node,
+    * each hop transfers `r div deg` (integer division) and applies the
+    * damping as `(85 · Σ) div 100`, so three iterations are exactly
+    * reproducible across engines and partitionings (no float
+    * summation order anywhere). Bound: node ranks stay below
+    * |nodes| · 10¹² total mass, so BIGINT holds for any dup graph up
+    * to ~10⁶ nodes — and the dup graph is candidate-capped (≤16 per
+    * block), never corpus-sized. */
+  val q257PagerankDupgraph: QueryDef = QueryDef(
+    "q257_pagerank_dupgraph",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
+      |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' ')
+      |    )) AS sh
+      |  FROM documents),
+      |b AS (SELECT doc_id, sh, list_sort(sh)[1] AS blk FROM t),
+      |c AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 16),
+      |pr AS (SELECT a.doc_id AS id1, b2.doc_id AS id2,
+      |    CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) AS j
+      |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+      |  JOIN c ON c.blk = a.blk),
+      |e AS (SELECT id1 AS a, id2 AS b FROM pr WHERE j >= 0.5),
+      |ed AS (SELECT a AS src, b AS dst FROM e
+      |       UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
+      |r0 AS (SELECT src AS v, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+      |s1 AS (SELECT ed.dst AS v, CAST(SUM(r0.r // deg.dg) AS BIGINT) AS sc
+      |  FROM ed JOIN deg USING (src) JOIN r0 ON r0.v = ed.src GROUP BY 1),
+      |r1 AS (SELECT v, CAST(150000000000 + (85 * sc) // 100 AS BIGINT) AS r
+      |  FROM s1),
+      |s2 AS (SELECT ed.dst AS v, CAST(SUM(r1.r // deg.dg) AS BIGINT) AS sc
+      |  FROM ed JOIN deg USING (src) JOIN r1 ON r1.v = ed.src GROUP BY 1),
+      |r2 AS (SELECT v, CAST(150000000000 + (85 * sc) // 100 AS BIGINT) AS r
+      |  FROM s2),
+      |s3 AS (SELECT ed.dst AS v, CAST(SUM(r2.r // deg.dg) AS BIGINT) AS sc
+      |  FROM ed JOIN deg USING (src) JOIN r2 ON r2.v = ed.src GROUP BY 1),
+      |r3 AS (SELECT v, CAST(150000000000 + (85 * sc) // 100 AS BIGINT) AS r
+      |  FROM s3)
+      |SELECT r3.v AS doc_id, deg.dg AS degree, r3.r AS pr12
+      |FROM r3 JOIN deg ON deg.src = r3.v""".stripMargin) { (s, d) =>
+    // the symmetrized degree-annotated edge list feeds every one of
+    // the three rank hops — persist it once (bounded: ≤ 2 × the
+    // candidate-capped pair count), materialize, release
+    val e = ngramJaccardPairs(s, d).filter(col("j") >= 0.5)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val ed = e.unionAll(e.select(col("dst"), col("src")))
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    val edd = ed.join(deg, "src").persist()
+    try {
+      var r = edd.select(col("src").as("v")).distinct()
+        .withColumn("r", lit(1000000000000L))
+      for (_ <- 1 to 3) {
+        r = edd.join(r, edd("src") === r("v"))
+          .select(col("dst"), expr("r div dg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).cast("long").as("sc"))
+          .select(col("dst").as("v"),
+            expr("150000000000L + (85L * sc) div 100").as("r"))
+      }
+      val out = r
+        .join(deg, r("v") === deg("src"))
+        .select(col("v").as("doc_id"), col("dg").as("degree"),
+          col("r").as("pr12"))
+        .persist()
+      out.count() // dup-graph-node rows — swept by the harness after use
+      out
+    } finally edd.unpersist(blocking = true)
+  }
+
   val all: Seq[QueryDef] = Seq(
     // headline: the per-character corpus explode — the heaviest
     // window-materialization shape in the repo (one row per corpus
     // char), exercising the hash-prefilter/exact-confirm exchange
     q215DupSpans.copy(headline = true),
-    q250TriangleCount,
+    q250TriangleCount, q255CrawlNovelty, q257PagerankDupgraph,
     q230IncrementalDedup, q234NgramNovelty,
     q235LangConfusion, q238DupRateBySource, q239OovRate,
     q242SplitLeakage, q243AlphaSampling,

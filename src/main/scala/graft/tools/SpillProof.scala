@@ -14,6 +14,18 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * `tools/check_oracle.py` so the under-pressure results are
   * hash-verified unchanged, not just "didn't crash".
   *
+  * Two ways to engage the spill paths:
+  *  - heap pressure alone (no threshold): realistic, but local[32] on a
+  *    small heap gives each task ~heap/64 of execution memory — an
+  *    operator holding a non-spillable page then dies with
+  *    UNABLE_TO_ACQUIRE_MEMORY instead of spilling (observed: q215 at
+  *    10×/2 GiB), and comfortably-sized queries never spill at all.
+  *  - SPARK_GRAFT_SPILL_THRESHOLD=<n>: force the EXTERNAL paths
+  *    deterministically — UnsafeExternalSorter (sort/shuffle/agg
+  *    fallback), window and sort-merge-join row buffers all spill
+  *    after n elements. This drives the same spill code a 100 TB
+  *    deployment relies on, with measurable bytes, regardless of heap.
+  *
   * Usage: runMain graft.tools.SpillProof <sfDir> <outDir> <q1,q2,...>
   * Prints one JSON line per query:
   *   {"query":...,"sec":...,"memSpilledBytes":...,"diskSpilledBytes":...}
@@ -23,7 +35,15 @@ object SpillProof {
     val Array(sfDir, outDir, namesS) = args.take(3)
     val names = namesS.split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    var builder = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    sys.env.get("SPARK_GRAFT_SPILL_THRESHOLD").foreach { th =>
+      builder = builder
+        .config("spark.shuffle.spill.numElementsForceSpillThreshold", th)
+        .config("spark.sql.windowExec.buffer.spill.threshold", th)
+        .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", th)
+        .config("spark.sql.cartesianProductExec.buffer.spill.threshold", th)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
