@@ -19,15 +19,16 @@ object Bench {
     // operator's leak can never inflate the queries that follow it.
     // Optional subset (scale-proof runs time a handful of headliners at
     // 10x/100x without paying for the full suite); full run by default.
-    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
-      case Some(qs) if qs.trim.nonEmpty =>
-        val want = qs.split(",").map(_.trim).filter(_.nonEmpty)
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES").exists(_.trim.nonEmpty)
+    val names =
+      if (subset) {
+        val want = sys.env("SPARK_GRAFT_QUERIES")
+          .split(",").map(_.trim).filter(_.nonEmpty)
         val known = SparkEntry.queries.keySet
         want.filterNot(known).foreach(q =>
           System.err.println(s"[bench] unknown query in SPARK_GRAFT_QUERIES: $q"))
         want.filter(known).toSeq
-      case _ => SparkEntry.benchNames
-    }
+      } else SparkEntry.benchNames
     val timed = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -47,10 +48,15 @@ object Bench {
       .mkString("[", ",", "]")
     val total = timed.collect { case (_, v, true) => v }.sum
     // Regression bands (stderr-only; the driver JSON contract is
-    // unchanged and band breaches never fail the bench).
-    if (sfDir.endsWith("sf0.1"))
+    // unchanged and band breaches never fail the bench). Subset runs
+    // skip the band check: scale-proof subsets run at other SFs/configs
+    // and their no-band hints for non-headliners would only mislead.
+    if (sfDir.endsWith("sf0.1") && !subset)
       BenchBands.check(timed.collect { case (k, v, true) => (k, v) })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // "subset":true marks a partial run so its total can never be
+    // mistaken for an official 22-headliner reading.
+    val subsetMark = if (subset) s""""subset":true,"nQueries":${names.size},""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$subsetMark"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (timed.exists(!_._3)) sys.exit(1)
   }

@@ -2,15 +2,16 @@ package graft
 
 /** Per-query bench regression bands (round-9 VERDICT ask #1).
   *
-  * Baselines are the DRIVER-context readings from `BENCH_r08.json` —
-  * the first clean official run for all 22 headliners (sf0.1,
-  * local[32], cache hygiene in force). The builder box runs the same
-  * code 1.5–2.5× faster than the driver context (box-load variance,
-  * verified round 8: 16 carried queries agree within noise), so a
-  * BUILDER reading that exceeds a DRIVER baseline by `Ratio` is a real
-  * plan/code regression, not environment — `graft.Bench` flags it on
-  * stderr at the end of every run, catching the regression before the
-  * driver's official run does.
+  * Baselines are the best official DRIVER-context readings per query —
+  * min of `BENCH_r08.json` and `BENCH_r09.json` (sf0.1, local[32],
+  * cache hygiene in force). Builder-vs-driver relative speed is NOT
+  * stable (round 8 measured the builder 1.5–2.5× faster; round 10
+  * measured it 1.1–1.9× SLOWER on several queries under box load), so
+  * a single local breach is a SIGNAL to re-run, not a verdict: treat a
+  * breach as a real plan/code regression only when it repeats across
+  * fresh-JVM runs (the round-10 q131 protocol, docs/BENCH_NOTES.md).
+  * `graft.Bench` flags breaches on stderr at the end of every full
+  * run, catching regressions before the driver's official run does.
   *
   * Band = baseline × Ratio + SlackSec. `Ratio` absorbs run-to-run
   * variance on a loaded box; `SlackSec` keeps sub-second queries from
@@ -26,30 +27,30 @@ object BenchBands {
   val Ratio = 1.25
   val SlackSec = 0.5
 
-  /** query name → BENCH_r08.json driver seconds. */
+  /** query name → best driver seconds (min of BENCH_r08, BENCH_r09). */
   val baseline: Map[String, Double] = Map(
-    "q1_agg" -> 1.204,
-    "q5_join_inner" -> 1.669,
-    "q16_rollup" -> 0.948,
-    "q19_distinct_agg" -> 1.032,
-    "q90_tpch_q5" -> 1.636,
-    "q101_tpch_q17" -> 1.301,
+    "q1_agg" -> 0.988,
+    "q5_join_inner" -> 1.398,
+    "q16_rollup" -> 0.784,
+    "q19_distinct_agg" -> 1.022,
+    "q90_tpch_q5" -> 1.384,
+    "q101_tpch_q17" -> 0.989,
     "q40_window_rank" -> 1.085,
-    "q43_window_rows_frame" -> 1.609,
-    "q51_knn_bruteforce" -> 0.611,
-    "q218_ivfpq_rerank" -> 1.950,
-    "q215_dup_spans" -> 4.503,
-    "q61_dedup_minhash" -> 1.719,
-    "q85_stratified_sample" -> 0.783,
-    "q201_ssjoin_prefix" -> 10.206,
-    "q186_span_dedup" -> 1.651,
+    "q43_window_rows_frame" -> 1.479,
+    "q51_knn_bruteforce" -> 0.584,
+    "q218_ivfpq_rerank" -> 1.566,
+    "q215_dup_spans" -> 4.071,
+    "q61_dedup_minhash" -> 1.424,
+    "q85_stratified_sample" -> 0.608,
+    "q201_ssjoin_prefix" -> 4.542,
+    "q186_span_dedup" -> 0.740,
     "q123_funnel" -> 1.069,
     "q131_kmeans_embed" -> 2.884,
-    "q197_kneser_ney" -> 2.676,
-    "q209_auc_eval" -> 1.996,
-    "q202_pca_power" -> 4.041,
-    "q211_quality_classifier" -> 2.066,
-    "q73_sessionize" -> 0.920)
+    "q197_kneser_ney" -> 1.411,
+    "q209_auc_eval" -> 0.846,
+    "q202_pca_power" -> 1.954,
+    "q211_quality_classifier" -> 0.979,
+    "q73_sessionize" -> 0.580)
 
   def bandFor(name: String): Option[Double] =
     baseline.get(name).map(_ * Ratio + SlackSec)
@@ -63,11 +64,11 @@ object BenchBands {
         case Some(band) if sec > band =>
           System.err.println(
             f"[bands] BREACH $name: $sec%.2f s > band $band%.2f s " +
-              f"(r8 driver baseline ${baseline(name)}%.2f s x $Ratio + $SlackSec)")
+              f"(driver baseline ${baseline(name)}%.2f s x $Ratio + $SlackSec)")
           Some(name)
         case None =>
-          System.err.println(s"[bands] no-band $name (newer than BENCH_r08; " +
-            "add its first official driver reading to BenchBands.baseline)")
+          System.err.println(s"[bands] no-band $name (no official driver " +
+            "reading yet; add its first one to BenchBands.baseline)")
           None
         case _ => None
       }

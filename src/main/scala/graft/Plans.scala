@@ -84,7 +84,14 @@ object Plans {
       "q247_spearman_signals", "q248_mutual_info", "q249_psi_drift",
       "q250_triangle_count", "q251_burstiness",
       // round-9: hot-cold salted skew join
-      "q252_salted_skew_join")
+      "q252_salted_skew_join",
+      // round-9 (cont.): word-keyed vocab-overlap self-join, range-
+      // exchange embargo split, hash-keyed novelty rollup, unigram-LM
+      // perplexity scoring join, iterative BIGINT PageRank (the
+      // returned frames are persisted materializations — the cached
+      // plan under InMemoryTableScan is the reviewable shape)
+      "q253_vocab_overlap", "q254_embargo_split", "q255_crawl_novelty",
+      "q256_heldout_perplexity", "q257_pagerank_dupgraph")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")

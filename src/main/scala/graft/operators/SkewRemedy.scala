@@ -30,6 +30,18 @@ import graft.sources.Tables
   */
 object SkewRemedy {
 
+  /** The salting plumbing owns these column names for the duration of
+    * the join; a caller frame already carrying one would corrupt the
+    * join silently (ambiguous resolution), so fail fast instead. */
+  private def requireNoReserved(fact: DataFrame, dim: DataFrame,
+      reserved: Seq[String]): Unit = {
+    val clash = reserved.filter(r =>
+      fact.columns.contains(r) || dim.columns.contains(r))
+    require(clash.isEmpty,
+      s"SkewRemedy reserves column name(s) ${clash.mkString(",")}; " +
+        "rename them on the input frames before salting")
+  }
+
   /** Uniformly salted equi-join: every dim row is replicated `salts`×.
     * Right for a dim that is small-but-not-broadcastable or a fact
     * where most keys are hot. Cost: dim shuffle volume ×`salts`.
@@ -38,7 +50,10 @@ object SkewRemedy {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       saltSrc: Column, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val sf = fact.withColumn("_salt", pmod(saltSrc, lit(salts)))
+    requireNoReserved(fact, dim, Seq("_salt"))
+    // coalesce: a null saltSrc would yield a null _salt and silently
+    // DROP the row from the inner join — null salts land in bucket 0
+    val sf = fact.withColumn("_salt", coalesce(pmod(saltSrc, lit(salts)), lit(0)))
     val sd = dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     sf.join(sd.hint("shuffle_hash"), keys :+ "_salt").drop("_salt")
   }
@@ -62,6 +77,7 @@ object SkewRemedy {
       saltSrc: Column, salts: Int, hotShare: Double): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(hotShare > 0 && hotShare <= 1, s"hotShare in (0,1], got $hotShare")
+    requireNoReserved(fact, dim, Seq("_salt", "_hot"))
     val kc = keys.map(col)
     val counts = fact.groupBy(kc: _*).agg(count(lit(1)).as("_kcnt"))
     val tot = fact.agg(count(lit(1)).as("_tot"))
@@ -70,8 +86,11 @@ object SkewRemedy {
       .select(kc: _*)
       .withColumn("_hot", lit(true))
     val sf = fact.join(broadcast(hot), keys, "left_outer")
+      // coalesce: a null saltSrc on a hot-key row would yield a null
+      // _salt and silently DROP the row from the inner join
       .withColumn("_salt",
-        when(col("_hot"), pmod(saltSrc, lit(salts))).otherwise(lit(0)))
+        when(col("_hot"), coalesce(pmod(saltSrc, lit(salts)), lit(0)))
+          .otherwise(lit(0)))
       .drop("_hot")
     val sd = dim.join(broadcast(hot), keys, "left_outer")
       .withColumn("_salt", explode(

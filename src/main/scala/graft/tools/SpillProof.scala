@@ -32,6 +32,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   */
 object SpillProof {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: runMain graft.tools.SpillProof <sfDir> <outDir> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, namesS) = args.take(3)
     val names = namesS.split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,10 +81,15 @@ object SpillProof {
       graft.CacheHygiene.sweep(spark, name)
       // listener events are posted asynchronously (and the bus is
       // private[spark], so no waitUntilEmpty): the job is complete when
-      // write() returns, so a short settle covers the posting lag
+      // write() returns, so a short settle covers the posting lag. The
+      // counters reset at the top of the NEXT iteration (i.e. after
+      // this settle), but an event outliving the settle on a loaded box
+      // would still bleed forward — "settleMs" records the window so a
+      // reader can judge that residual race.
       Thread.sleep(1000)
       println(f"""{"query":"$name","ok":$ok,"sec":$sec%.2f,""" +
-        s""""memSpilledBytes":${mem.get},"diskSpilledBytes":${disk.get}}""")
+        s""""memSpilledBytes":${mem.get},"diskSpilledBytes":${disk.get},""" +
+        s""""settleMs":1000}""")
     }
     spark.stop()
   }
