@@ -27,7 +27,8 @@ object BenchBands {
   val Ratio = 1.25
   val SlackSec = 0.5
 
-  /** query name → best driver seconds (min of BENCH_r08, BENCH_r09). */
+  /** query name → best driver seconds (min of BENCH_r08–r10; only
+    * q123 improved in the r10 official run — 0.802 vs 1.069). */
   val baseline: Map[String, Double] = Map(
     "q1_agg" -> 0.988,
     "q5_join_inner" -> 1.398,
@@ -44,7 +45,7 @@ object BenchBands {
     "q85_stratified_sample" -> 0.608,
     "q201_ssjoin_prefix" -> 4.542,
     "q186_span_dedup" -> 0.740,
-    "q123_funnel" -> 1.069,
+    "q123_funnel" -> 0.802,
     "q131_kmeans_embed" -> 2.884,
     "q197_kneser_ney" -> 1.411,
     "q209_auc_eval" -> 0.846,

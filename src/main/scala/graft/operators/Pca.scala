@@ -155,13 +155,18 @@ object Pca {
        |SELECT f.vec_id, e.label, CAST(f.p AS BIGINT) AS proj6
        |FROM f JOIN e ON f.vec_id = e.vec_id""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
+    // Persist-materialize-release discipline (same as q201/q215): the
+    // cache stays in place through the RETURNED DataFrame's final
+    // action — an eager unpersist here would make the timed action
+    // re-derive centeredGrid (quantize → posexplode mean → broadcast
+    // crossJoin) from scratch, one extra corpus pass that round 10
+    // measured as the q202 bench breach. The harness (Bench/Verify/
+    // SpillProof) sweeps it via CacheHygiene after consuming output.
     val cen = centeredGrid(e).cache()
-    try {
-      val v = powerIteration(cen, iters = 3)
-      cen.select(col("vec_id"), proj(col("c"), v).as("proj6"))
-        .join(e.select(col("vec_id"), col("label")), "vec_id")
-        .select(col("vec_id"), col("label"), col("proj6"))
-    } finally cen.unpersist(blocking = true)
+    val v = powerIteration(cen, iters = 3)
+    cen.select(col("vec_id"), proj(col("c"), v).as("proj6"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("proj6"))
   }
 
   // headline: the iterative-trainer representative — repeated bounded

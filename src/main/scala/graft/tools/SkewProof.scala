@@ -50,13 +50,23 @@ object SkewProof {
 
     val recording = new AtomicBoolean(false)
     val stages = TrieMap.empty[Int, StageStats]
+    // Stage IDs are monotonically increasing within a SparkContext, so
+    // a per-run floor (max stage ID seen before the run starts) lets
+    // the listener drop straggler TaskEnd events from a PREVIOUS mode
+    // that outlive its settle window — without it they'd land in the
+    // next mode's freshly-cleared map as phantom stages.
+    val stageFloor = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val maxStageSeen = new java.util.concurrent.atomic.AtomicInteger(-1)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (recording.get && t.taskMetrics != null) {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        maxStageSeen.getAndAccumulate(t.stageId, math.max)
+        if (recording.get && t.taskMetrics != null &&
+            t.stageId > stageFloor.get) {
           val rec = t.taskMetrics.shuffleReadMetrics.recordsRead
           val s = stages.getOrElseUpdate(t.stageId, new StageStats)
           s.synchronized { s.total += rec; if (rec > s.maxTask) s.maxTask = rec }
         }
+      }
     })
 
     // q252's derived-skew shape: skew_key = 0 for half the keyspace
@@ -77,12 +87,16 @@ object SkewProof {
 
     def run(mode: String, joined: => DataFrame): Unit = {
       stages.clear()
+      stageFloor.set(maxStageSeen.get) // only stages born in this run count
       recording.set(true)
       val t0 = System.nanoTime()
       val rows = rollup(joined).collect().sortBy(_.getLong(0))
       val sec = (System.nanoTime() - t0) / 1e9
+      // Settle BEFORE disabling the gate: late async TaskEnd events
+      // posted during the window are exactly what the settle exists to
+      // catch (SpillProof's caveat) — closing the gate first drops them.
+      Thread.sleep(1000)
       recording.set(false)
-      Thread.sleep(1000) // listener settle (same caveat as SpillProof)
       graft.CacheHygiene.sweep(spark, mode)
       val sig = rows.map(r => s"${r.getLong(0)}:${r.getLong(2)}").mkString(",")
       val shuffling = stages.toSeq.filter(_._2.total > 0)
@@ -105,7 +119,7 @@ object SkewProof {
     // Mode A — what a naive engine does: one (key)-hashed shuffle-hash
     // join; the hot key's entire fact share serializes through 1 task.
     run("unsalted", {
-      val f = fact; fact.join(dim(f).hint("shuffle_hash"), "skew_key")
+      val f = fact; f.join(dim(f).hint("shuffle_hash"), "skew_key")
     })
     // Mode B — the remediation under test.
     run("salted_x8", {
