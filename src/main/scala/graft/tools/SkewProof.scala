@@ -47,6 +47,19 @@ object SkewProof {
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Measure the DISTRIBUTION PROPERTY of key-hash partitioning, not
+    // AQE's runtime patches over it. At toy scale AQE's partition
+    // coalescing folds the whole (few-MB) shuffle into ONE task in
+    // both modes — every stage reads 1000000 ppm and the comparison is
+    // meaningless. Coalescing off restores the 32 reducer buckets a
+    // real cluster's thousands of reducers are the limit of; skew-join
+    // splitting off because it remediates only JOIN probe reads (by
+    // duplicating the build side per split) — the salted path under
+    // test also bounds the downstream AGGREGATION on the same keys,
+    // which AQE cannot split, so the fair unsalted baseline is the
+    // plain hash partitioning both stages would see.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
 
     val recording = new AtomicBoolean(false)
     val stages = TrieMap.empty[Int, StageStats]
