@@ -991,15 +991,22 @@ object TextPipeline {
     // phase 2: exact confirm on the candidate subset only — every
     // string with >= 2 occurrences shares a hash, so nothing is lost;
     // re-grouping on g discards hash collisions. cand feeds two
-    // consumers (dupg + hits) — persist the small candidate set too
-    val cand = w.join(dupHk, "hk").persist()
+    // consumers (dupg + hits) — persist the small candidate set too.
+    // shuffle_hash, NOT broadcast: dupHk/dupg are CORPUS-DERIVED (the
+    // duplicated-window set grows linearly with data); Catalyst's
+    // post-HAVING row estimate reads them as broadcastable at any SF,
+    // and at 100x the broadcast collect is 5+ GB of task results —
+    // the driver dies at maxResultSize. The shuffle join also reuses
+    // the aggregation's exchange on the same key (probe side is
+    // already hash-partitioned on hk/g by the count that built it).
+    val cand = w.join(dupHk.hint("shuffle_hash"), "hk").persist()
     val dupg = cand.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("g"))
     // hits is only the duplicated windows — corpus-dup-fraction-sized,
     // orders of magnitude below w. Materialize it, then RELEASE the
     // corpus-sized caches so they can't evict downstream queries'
     // working sets (the bench runs many operators in one executor).
-    val hits = cand.join(dupg, "g")
+    val hits = cand.join(dupg.hint("shuffle_hash"), "g")
       .select(col("doc_id"), col("i"), (col("i") + 49).as("e"))
       .persist()
     hits.count()
