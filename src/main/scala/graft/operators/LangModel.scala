@@ -352,9 +352,17 @@ object LangModel {
         .select(col("cls"), col("w"),
           round(log((col("c") + 1.0) / (col("cw") + col("v"))) * 1000000)
             .cast("long").as("lp6"))
-      val present = w.select(col("doc_id"), col("w")).join(lp, "w")
+      // tf-compress before the model join: scoring joins the |classes|
+      // model rows per WORD, so feeding raw token occurrences multiplies
+      // the shuffle by the within-doc repetition factor for nothing —
+      // Σ_tokens lp6 = Σ_(distinct w) tf·lp6 exactly (integer algebra),
+      // and the matched-token count is Σ tf. Cuts the 100× reading from
+      // 602 s to the family's linear band.
+      val tf = w.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val present = tf.join(lp, "w")
         .groupBy(col("doc_id"), col("cls"))
-        .agg(sum(col("lp6")).cast("long").as("sl"), count(lit(1)).as("cp"))
+        .agg(sum(col("lp6") * col("tf")).cast("long").as("sl"),
+          sum(col("tf")).cast("long").as("cp"))
       val scored = dt.crossJoin(broadcast(cstat))
         .join(present, Seq("doc_id", "cls"), "left")
         .select(col("doc_id"), col("cls"),
