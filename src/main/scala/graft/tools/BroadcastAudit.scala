@@ -93,6 +93,19 @@ object BroadcastAudit {
   private def jarr(xs: Seq[String]): String =
     xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
 
+  /** Flag descriptors ("tables via kinds") for one prepared plan —
+    * reusable by `BroadcastAuditSpec`, which gates every NEW query's
+    * plan against the reviewed allowlist. The session must have AQE
+    * disabled so the STATIC decision is what gets audited. */
+  def flagsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    broadcasts(df.queryExecution.executedPlan).flatMap { b =>
+      val bad = scansOf(b.child).filterNot(graft.sources.Tables.dims)
+      val kinds = unreliable(b.child)
+      if (bad.nonEmpty && (kinds.nonEmpty || bad.contains("(rdd-opaque)")))
+        Some(s"${bad.mkString("+")} via ${kinds.mkString("+")}")
+      else None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf10")
     val wanted = args.drop(1).headOption.filterNot(_ == "ALL")

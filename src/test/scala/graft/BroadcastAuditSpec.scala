@@ -1,0 +1,95 @@
+package graft
+
+/** Broadcast-at-scale regression gate (round 11).
+  *
+  * `tools.BroadcastAudit` caught q215's corpus-derived broadcast (the
+  * driver-killing 100× failure) and its review cleared every other
+  * flag — 68 flagged queries all executed clean at 100×
+  * (docs/BENCH_NOTES.md "systematic broadcast-at-scale audit"). This
+  * spec makes that review durable: every query's STATIC plan (AQE off
+  * — the cold planner's estimate-driven decision) is audited at
+  * sf0.001, and any query outside the reviewed allowlist that plans a
+  * corpus-table broadcast through an estimate-unreliable operator
+  * fails the suite until its build side is either bounded by
+  * construction (then: add it here WITH the reason) or hinted
+  * `shuffle_hash` (the q215 fix).
+  *
+  * The allowlist is the union of the reviewed sf0.001 and /tmp/sf10
+  * (100×) flag sets. Estimates only shrink at smaller SF, so sf0.001
+  * flags are a superset per query shape — a NEW query with a q215-class
+  * join cannot plan clean here while flagging at scale.
+  */
+class BroadcastAuditSpec extends SparkTestBase {
+
+  /** Reviewed flags: every name here was classified in
+    * docs/BENCH_NOTES.md (1-row scalars, top-k caps, label/calendar/
+    * partition-bounded sides, AQE-corrected self-limiting estimates)
+    * and EXECUTED clean at 100×. */
+  private val reviewed: Set[String] = Set(
+    // TPC-H / relational: 1-row scalar summaries + AQE-corrected
+    // candidate semi-joins (q92/q99/q11/q46b/q7/q101 ran clean at 100×)
+    "q7_join_right", "q11_join_left_outer_semi",
+    "q46b_null_aware_semi_flag", "q92_tpch_q18", "q97b_tpch_q15",
+    "q98b_tpch_q20", "q99_correlated_scalar", "q101_tpch_q17",
+    "q102_tpch_q22", "q130_quantified_any_all",
+    // ANN / similarity: bounded query sets, 16-row codebooks,
+    // |labels| centroid tables
+    "q53_ann_lsh", "q56_ann_pq", "q58_ann_ivf", "q218_ivfpq_rerank",
+    "q241_label_centroids",
+    // dedup / novelty / graph: corpus-derived sets behind exchanges —
+    // AQE runtime sizes govern; all executed clean at 100×
+    "q114_dedup_clusters", "q115_repetition", "q201_ssjoin_prefix",
+    "q230_incremental_dedup", "q234_ngram_novelty",
+    "q238_dup_rate_by_source", "q242_split_leakage",
+    "q250_triangle_count", "q255_crawl_novelty",
+    "q257_pagerank_dupgraph", "q210_image_neardup",
+    // retrieval / LM / text: Heaps-bounded model tables, top-k caps,
+    // benchmark-bounded decontamination sides
+    "q75b_bm25_ranked", "q139_ngram_decontaminate", "q142_phrase_search",
+    "q158_bpe_encode", "q164_boilerplate", "q170_unigram_lm",
+    "q174_bigram_lm", "q175_textrank", "q176_naive_bayes",
+    "q177_tfidf_keywords", "q182_dsir_weights", "q187_hybrid_rrf",
+    "q196_pmi_collocations", "q197_kneser_ney", "q198_countmin",
+    "q203_ccnet_buckets", "q212_bloom_decontaminate",
+    "q213_trigram_jm_lm", "q227_js_divergence", "q231_chi2_keywords",
+    "q232_good_turing", "q239_oov_rate", "q253_vocab_overlap",
+    "q256_heldout_perplexity",
+    // curation / analytics / eval: 1-row totals, per-lang/source/
+    // decile/fold alphabets, calendar grids, partition-count tables
+    "q119_domain_mixture", "q124_cohort_retention", "q149_mad_outliers",
+    "q150_benford", "q188_curriculum_buckets", "q190_cohort_funnel",
+    "q191_stickiness", "q195_rfm", "q202_pca_power", "q214_winsorize",
+    "q217_gap_fill", "q225_equi_depth_hist", "q226_roc_curve",
+    "q228_quantile_normalize", "q229_token_budget_select",
+    "q233_stratified_kfold", "q240_decay_weighted_value",
+    "q248_mutual_info", "q249_psi_drift", "q251_burstiness",
+    "q252_salted_skew_join")
+
+  test("no query outside the reviewed allowlist plans a corpus-derived broadcast (static, AQE off)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    var flaggedKnown = 0
+    SparkEntry.defs.foreach { q =>
+      val fl =
+        try tools.BroadcastAudit.flagsOf(q.fn(s, sf))
+        catch { case e: Throwable => fail(s"${q.name}: audit threw $e") }
+      if (fl.nonEmpty) {
+        if (reviewed(q.name)) flaggedKnown += 1
+        else offenders += q.name -> fl
+      }
+      CacheHygiene.sweep(s, q.name)
+    }
+    // canary: the audit must actually SEE broadcasts — if config drift
+    // (threshold, AQE propagation) made the gate vacuous, fail loudly
+    // rather than silently passing everything.
+    assert(flaggedKnown >= 30,
+      s"audit canary: only $flaggedKnown reviewed queries flagged — the " +
+        "gate has gone vacuous (threshold/AQE config drift?)")
+    assert(offenders.isEmpty,
+      "UNREVIEWED corpus-derived broadcast(s) — bound the build side or " +
+        "hint shuffle_hash (q215 fix), or review + allowlist with reason:\n" +
+        offenders.map { case (n, f) => s"  $n: ${f.mkString("; ")}" }
+          .mkString("\n"))
+  }
+}
