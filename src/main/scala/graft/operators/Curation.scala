@@ -836,11 +836,20 @@ object Curation {
         val mightContain = udf((g: String) => bc.value.mightContainString(g))
         grams.filter(mightContain(col("gram"))) // no false negatives
       }
-      prefiltered
+      // persist-materialize-release (the q202/q212 discipline): the
+      // returned frame must be MATERIALIZED before the finally releases
+      // `grams`, or the timed final action re-derives the corpus gram
+      // explode for BOTH join sides from scratch. The result is
+      // |bench docs|-bounded (corpus/41 rows), so the persisted frame
+      // the harness sweeps is small.
+      val out = prefiltered
         .join(bench, "gram") // exact confirm kills FPs
         .groupBy(col("bench_id"))
         .agg(countDistinct(col("doc_id")).as("n_contaminated"),
           countDistinct(col("gram")).as("n_grams_hit"))
+        .persist()
+      out.count()
+      out
     } finally grams.unpersist(blocking = true)
   }
 
