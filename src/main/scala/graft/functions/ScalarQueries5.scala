@@ -216,7 +216,7 @@ object ScalarQueries5 {
   val q189MySqlRegexp: QueryDef = QueryDef(
     "q189_mysql_regexp",
     """SELECT doc_id,
-      |  regexp_extract(text, '[a-z]+a[a-z]*') AS first_a_word,
+      |  NULLIF(regexp_extract(text, '[a-z]+a[a-z]*'), '') AS first_a_word,
       |  regexp_extract_all(text, '[a-z]+a[a-z]*')[2] AS second_a_word,
       |  CAST(CASE WHEN regexp_matches(text, 'join')
       |       THEN length(regexp_extract(text, '^(.*?)join', 1)) + 1

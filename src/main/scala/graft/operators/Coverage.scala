@@ -49,19 +49,30 @@ object Coverage {
 
   /** MinCount/MaxCount ≙ min/max fused with the matching row
     * (`AggregateFunctionMinMaxAny.cpp:160-161`) — Spark min_by/max_by,
-    * DuckDB arg_min/arg_max. o_totalprice is continuous so ties are
-    * absent in this data; a production caller needing total ordering
-    * adds a unique tiebreak to the ordering struct. */
+    * DuckDB arg_min/arg_max. argmax over a NON-unique value is
+    * under-determined ("any of the ties" in MySQL and both engines) —
+    * the 10× copy-scaled data duplicates every o_totalprice tenfold
+    * and exposed exactly that divergence — so the ordering value
+    * carries a unique tiebreak BY CONSTRUCTION: exact cents · 10¹⁰ +
+    * orderkey, one orderable BIGINT with no overlap between the two
+    * fields (cents ≤ ~6·10⁷, keys < 10¹⁰ at any tested SF, product
+    * < 2⁶³). Same discipline as every rank in the repo: total order
+    * or it isn't deterministic. */
   val q27MinMaxBy: QueryDef = QueryDef(
     "q27_minmax_by",
     """SELECT o_orderstatus,
-      |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-      |  arg_max(o_orderkey, o_totalprice) AS dearest_order,
+      |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |                      * 10000000000 + o_orderkey) AS cheapest_order,
+      |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |                      * 10000000000 + o_orderkey) AS dearest_order,
       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val tiebroken = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long") * 10000000000L + col("o_orderkey")
     Tables.orders(s, d).groupBy(col("o_orderstatus")).agg(
-      min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
-      max_by(col("o_orderkey"), col("o_totalprice")).as("dearest_order"),
+      min_by(col("o_orderkey"), tiebroken).as("cheapest_order"),
+      max_by(col("o_orderkey"), tiebroken).as("dearest_order"),
       min(col("o_totalprice")).as("min_price"),
       max(col("o_totalprice")).as("max_price"))
   }
