@@ -508,6 +508,15 @@ object LangModel {
     * model tables (pair counts, left/right continuation counts) are
     * Heaps-bounded derivatives of it, and scoring is a single
     * (w1,w2)-keyed join; continuation totals ride a 1-row broadcast.
+    *
+    * The q176 tf-compression rewrite (Σ lp6 over raw bigrams ≡
+    * Σ tf·lp6 over per-(doc, bigram) counts) was evaluated in r12 and
+    * REJECTED on measurement: distinct-(doc, bigram)/raw-bigram ratio
+    * is 0.965 on this corpus shape (bigrams barely repeat within a
+    * document, unlike q176's unigrams), so pre-compressing adds a
+    * (doc, w1, w2) exchange to save 3.5% of the scoring-join shuffle —
+    * a wash at sf0.1 (medians 3.52 s vs 3.55 s, 3-run fresh-JVM
+    * subset harness). See docs/BENCH_NOTES.md "r12 q197 run-down".
     */
   val q197KneserNey: QueryDef = QueryDef(
     "q197_kneser_ney",
