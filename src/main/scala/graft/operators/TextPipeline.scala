@@ -1032,6 +1032,30 @@ object TextPipeline {
     spans
   }
 
+  /** q215's phase-1 candidate-join SHAPE, parameterized by the
+    * `shuffle_hash` hint — used ONLY by `BroadcastAuditSpec` to prove
+    * the audit gate is NECESSARY, not merely sufficient: the unhinted
+    * variant is the exact pre-fix round-11 plan whose corpus-derived
+    * broadcast collect killed the driver at 100× (maxResultSize), and
+    * the audit must flag it; the hinted variant must plan clean.
+    * Plan-only (no persist/count) — nothing executes. Kept adjacent to
+    * [[q215DupSpans]] so a shape change there is visibly a drift here.
+    */
+  private[graft] def dupSpanCandidateShape(
+      s: SparkSession, d: String, hinted: Boolean): DataFrame = {
+    val w = Tables.documents(s, d)
+      .filter(length(col("text")) >= 50)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 49)")).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        expr("substring(text, i, 50)").as("g"))
+      .withColumn("hk", xxhash64(col("g")))
+    val dupHk = w.groupBy(col("hk")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("hk"))
+    w.join(if (hinted) dupHk.hint("shuffle_hash") else dupHk, "hk")
+  }
+
   /** Incremental (new-batch-vs-corpus) deduplication — the shape a
     * crawl pipeline actually runs: the corpus is already deduplicated,
     * and each incoming batch is checked AGAINST it, not against

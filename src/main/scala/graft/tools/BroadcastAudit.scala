@@ -33,13 +33,22 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   * be bounded by construction (top-k, k centroids, a capped vocab).
   * The verdict per flag lives in docs/BENCH_NOTES.md.
   *
+  * Cost note: the audit itself only PLANS, but queries that
+  * materialize inside their builder fn (persist + count, the
+  * q215/q201/q212 cache discipline) run those jobs while being
+  * "planned" — budget minutes per such query at /tmp/sf10, and read
+  * an "error" line for them as a runtime failure, not a planner one.
+  *
   * Usage: runMain graft.tools.BroadcastAudit <sfDir> [q1,q2,...|ALL]
   * One JSON line per query with a nonzero result, plus a summary line.
   */
 object BroadcastAudit {
   private def scansOf(p: SparkPlan): Seq[String] = {
     val names = scala.collection.mutable.ListBuffer.empty[String]
-    p.foreach {
+    // subquery-aware: a corpus scan feeding the build side THROUGH a
+    // planned scalar/exists subquery must be attributed too, or the
+    // gate has a silent false negative (r11 ADVICE)
+    p.foreachWithSubqueries {
       case f: FileSourceScanExec =>
         val loc = f.relation.location.rootPaths.mkString(",")
         graft.sources.Tables.all.foreach(t =>
@@ -68,7 +77,7 @@ object BroadcastAudit {
     * over-estimates by orders of magnitude.) */
   private def unreliable(p: SparkPlan): Seq[String] = {
     val kinds = scala.collection.mutable.LinkedHashSet.empty[String]
-    p.foreach { n =>
+    p.foreachWithSubqueries { n =>
       val c = n.getClass.getSimpleName
       if (c.contains("Aggregate")) kinds += "agg"
       else if (c.contains("Join")) kinds += "join"
@@ -125,7 +134,11 @@ object BroadcastAudit {
       val t0 = System.nanoTime()
       try {
         val df = q.fn(spark, sfDir)
-        val plan = df.queryExecution.executedPlan // prepares, never runs
+        // Prepares the plan; queries that materialize INSIDE their fn
+        // (q215/q201/q212-style persist+count) execute those jobs here
+        // — at /tmp/sf10 that is minutes per such query, and a runtime
+        // failure in one is reported below as an audit "error" line.
+        val plan = df.queryExecution.executedPlan
         val bs = broadcasts(plan)
         totalB += bs.size
         val flags = bs.flatMap { b =>

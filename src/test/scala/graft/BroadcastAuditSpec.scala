@@ -71,14 +71,17 @@ class BroadcastAuditSpec extends SparkTestBase {
     val offenders = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     var flaggedKnown = 0
     SparkEntry.defs.foreach { q =>
-      val fl =
-        try tools.BroadcastAudit.flagsOf(q.fn(s, sf))
-        catch { case e: Throwable => fail(s"${q.name}: audit threw $e") }
-      if (fl.nonEmpty) {
-        if (reviewed(q.name)) flaggedKnown += 1
-        else offenders += q.name -> fl
-      }
-      CacheHygiene.sweep(s, q.name)
+      // finally-sweep: a failing fn/audit must not leave the query's
+      // persisted frames behind for every later suite in this JVM
+      try {
+        val fl =
+          try tools.BroadcastAudit.flagsOf(q.fn(s, sf))
+          catch { case e: Throwable => fail(s"${q.name}: audit threw $e") }
+        if (fl.nonEmpty) {
+          if (reviewed(q.name)) flaggedKnown += 1
+          else offenders += q.name -> fl
+        }
+      } finally CacheHygiene.sweep(s, q.name)
     }
     // canary: the audit must actually SEE broadcasts — if config drift
     // (threshold, AQE propagation) made the gate vacuous, fail loudly
@@ -91,5 +94,28 @@ class BroadcastAuditSpec extends SparkTestBase {
         "hint shuffle_hash (q215 fix), or review + allowlist with reason:\n" +
         offenders.map { case (n, f) => s"  $n: ${f.mkString("; ")}" }
           .mkString("\n"))
+  }
+
+  test("gate necessity: the unhinted q215 candidate join flags; the hinted shape plans clean") {
+    // The allowlist test above proves the reviewed set is SUFFICIENT
+    // (nothing new sneaks in); this proves the audit is NECESSARY —
+    // stripping q215's shuffle_hash hint reconstructs the exact
+    // pre-fix plan whose corpus-derived broadcast killed the 100×
+    // driver, and the audit must go red on it. Guards the regression
+    // where a refactor drops the hint and everything still passes at
+    // small SF.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val bad = tools.BroadcastAudit.flagsOf(
+      operators.TextPipeline.dupSpanCandidateShape(s, sf, hinted = false))
+    assert(bad.nonEmpty,
+      "audit did NOT flag the unhinted q215 candidate join — the exact " +
+        "plan that died at 100× would pass the gate")
+    assert(bad.exists(f => f.contains("documents") && f.contains("agg")),
+      s"flag should attribute the documents scan via an aggregate: $bad")
+    val good = tools.BroadcastAudit.flagsOf(
+      operators.TextPipeline.dupSpanCandidateShape(s, sf, hinted = true))
+    assert(good.isEmpty,
+      s"the hinted (shipped) shape should plan with zero flags: $good")
   }
 }
