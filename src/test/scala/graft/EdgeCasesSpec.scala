@@ -52,4 +52,27 @@ class EdgeCasesSpec extends SparkTestBase {
       e.getMessage.contains("overflow") || e.getMessage.contains("INVALID"))
     assert(df.select(expr("try_cast(s AS BIGINT)")).first().isNullAt(0))
   }
+
+  test("q27 tiebreak guard: boundary cents pack exactly, one cent over raises") {
+    import org.apache.spark.sql.functions.col
+    // maxCents = (2^63-1 - (1e10-1)) / 1e10 = 922,337,202 -> $9,223,372.02
+    val ok = Seq((9223372.02, 9999999999L)).toDF("price", "key")
+      .select(operators.Coverage.centsKeyTiebreak(col("price"), col("key")))
+      .first().getLong(0)
+    assert(ok == 922337202L * 10000000000L + 9999999999L) // < 2^63, no wrap
+    val e = intercept[Exception] {
+      Seq((9223372.03, 0L)).toDF("price", "key")
+        .select(operators.Coverage.centsKeyTiebreak(col("price"), col("key")))
+        .collect()
+    }
+    assert(e.getMessage.contains("packing bound") ||
+      Option(e.getCause).exists(_.getMessage.contains("packing bound")))
+    val k = intercept[Exception] {
+      Seq((1.00, 10000000000L)).toDF("price", "key") // key = 1e10: out of range
+        .select(operators.Coverage.centsKeyTiebreak(col("price"), col("key")))
+        .collect()
+    }
+    assert(k.getMessage.contains("packing bound") ||
+      Option(k.getCause).exists(_.getMessage.contains("packing bound")))
+  }
 }
