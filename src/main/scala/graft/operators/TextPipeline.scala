@@ -81,18 +81,28 @@ object TextPipeline {
     * equi-join on (band, bucket-hash). Not ANSI-expressible (xxhash64)
     * → rows-only check. */
   val q61DedupMinhash: QueryDef = QueryDef.noOracle("q61_dedup_minhash") { (s, d) =>
-    val numHashes = 16; val bandSize = 4
+    lshPairsFromBands(minhashBands(docs(s, d)))
+  }.copy(headline = true)
+
+  /** (doc_id, band, bucket) MinHash banding rows for a document set —
+    * the unit q61 joins on and the unit the incremental LSH index
+    * ([[graft.streaming.Ingest.streamLshIngest]]) stores per segment.
+    * A document's rows depend only on its own text, so index
+    * maintenance is append-only by construction.
+    *
+    * Shingle hashes without materializing shingle strings: explode
+    * tokens with position, hash each token once, and combine 3
+    * consecutive token hashes with window `lead`s into the 3-gram
+    * hash. Everything stays in whole-stage codegen (array
+    * higher-order-function folds benched ~10x slower — they evaluate
+    * interpreted), and the window partition key (doc_id) matches the
+    * signature groupBy key, so the two stages share one shuffle. */
+  private[graft] def minhashBands(docsDf: DataFrame,
+      numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
     val nBands = numHashes / bandSize
-    // Shingle hashes without materializing shingle strings: explode
-    // tokens with position, hash each token once, and combine 3
-    // consecutive token hashes with window `lead`s into the 3-gram
-    // hash. Everything stays in whole-stage codegen (array
-    // higher-order-function folds benched ~10x slower — they evaluate
-    // interpreted), and the window partition key (doc_id) matches the
-    // signature groupBy key, so the two stages share one shuffle.
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shh = docs(s, d)
+    val shh = docsDf
       .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
       .withColumn("h1", xxhash64(col("tok")))
       .withColumn("h2", lead(col("h1"), 1).over(wDoc))
@@ -105,23 +115,30 @@ object TextPipeline {
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(k => col(s"m$k")): _*).as("sig"))
-    val banded = sig.select(
+    sig.select(
       col("doc_id"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)).as("bucket"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    // One groupBy on (band, bucket) replaces round 1's count-prefilter
-    // aggregate + filter-join + self-join (three extra shuffles and a
-    // persisted-and-leaked signature cache): collect each bucket's
-    // membership, drop degenerate buckets (> maxBucket members =
-    // common-shingle collision skew, not a near-dup cluster — the cap
-    // bounds pair output at cap² per bucket regardless of input skew),
-    // and emit the id1<id2 pairs straight from the sorted member array.
-    // The pair-expansion HOF runs interpreted, but only over ≤ cap-size
-    // arrays, one per bucket — not over the corpus.
-    val maxBucket = 32
+  }
+
+  /** Candidate near-dup pairs from banding rows. One groupBy on
+    * (band, bucket) replaces round 1's count-prefilter aggregate +
+    * filter-join + self-join (three extra shuffles and a
+    * persisted-and-leaked signature cache): collect each bucket's
+    * membership, drop degenerate buckets (> maxBucket members =
+    * common-shingle collision skew, not a near-dup cluster — the cap
+    * bounds pair output at cap² per bucket regardless of input skew),
+    * and emit the id1<id2 pairs straight from the sorted member array.
+    * The pair-expansion HOF runs interpreted, but only over ≤ cap-size
+    * arrays, one per bucket — not over the corpus. Works identically
+    * over freshly computed bands and over the UNION of stored index
+    * segments (grouping ignores segment boundaries), which is what
+    * makes batch-incremental index maintenance ≡ full rebuild. */
+  private[graft] def lshPairsFromBands(banded: DataFrame,
+      maxBucket: Int = 32): DataFrame =
     banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -131,7 +148,6 @@ object TextPipeline {
         .as("p"))
       .select(col("p.id1"), col("p.id2"))
       .distinct()
-  }.copy(headline = true)
 
   /** SimHash fingerprint: 64-bit signature where bit b = sign of the
     * sum over tokens of ±1 votes from xxhash64(token) bit b. Near-dups

@@ -168,6 +168,33 @@ object Ingest {
         .write.mode("append").partitionBy("tbucket").parquet(indexPath)
     }
 
+  /** Incremental MinHash-LSH index maintenance — the delta-merge
+    * posture applied to near-dup detection (r11 VERDICT ask #6): each
+    * micro-batch computes (doc_id, band, bucket) banding rows for its
+    * OWN documents only ([[graft.operators.TextPipeline.minhashBands]]
+    * — a document's rows depend on nothing but its own text) and
+    * appends them as an immutable segment partitioned by
+    * (band, bucket-hash). Existing segments are never rewritten;
+    * ingest cost per batch is O(batch shingles), never O(corpus).
+    * Reference analog: index build during continuous Delta-layer
+    * ingest rather than rebuild
+    * (`/root/reference/dbms/src/Storages/DeltaMerge/DeltaMergeStore_Ingest.cpp`).
+    *
+    * Read side needs NO merge step: candidate pairs come from grouping
+    * the segment UNION on (band, bucket)
+    * ([[graft.operators.TextPipeline.lshPairsFromBands]]), which is
+    * segment-boundary-blind — so batch-incremental maintenance is
+    * ≡ a full q61 rebuild by construction (`StreamingSpec` proves it).
+    * A new-batch-vs-corpus probe equi-joins the batch's banding rows
+    * against the stored index, partition-pruned on (band, bbucket). */
+  def streamLshIngest(spark: SparkSession, inputDir: String,
+      indexPath: String, buckets: Int = 16): Unit =
+    runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { batch =>
+      graft.operators.TextPipeline.minhashBands(batch)
+        .withColumn("bbucket", pmod(abs(hash(col("bucket"))), lit(buckets)))
+        .write.mode("append").partitionBy("band", "bbucket").parquet(indexPath)
+    }
+
   /** Read-side merge of postings segments: per term, concatenate the
     * per-segment sorted lists and re-sort (each segment is disjoint in
     * doc_id, so this is a k-way list merge), summing document

@@ -508,4 +508,46 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("incremental MinHash-LSH index: appended segments yield the full-rebuild candidate pairs") {
+    import graft.operators.TextPipeline
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-inc-lsh")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/index"
+    def indexFiles(): Set[String] = {
+      val d = new java.io.File(idx)
+      if (!d.exists) Set.empty
+      else {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+        walk(d).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+      }
+    }
+    // batch 1: half the corpus becomes the first banding segment
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in)
+    Ingest.streamLshIngest(spark, in, idx)
+    val files1 = indexFiles()
+    assert(files1.nonEmpty)
+    // batch 2 arrives as NEW source files → a second immutable segment
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(in)
+    Ingest.streamLshIngest(spark, in, idx)
+    assert(files1.subsetOf(indexFiles()),
+      "incremental ingest must not rewrite existing segments")
+    // candidate pairs over the segment UNION equal a full q61 rebuild —
+    // banding rows are per-document and pair grouping is segment-blind
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = pairs(TextPipeline.lshPairsFromBands(
+      spark.read.parquet(idx).select(col("doc_id"), col("band"), col("bucket"))))
+    val direct = pairs(TextPipeline.lshPairsFromBands(TextPipeline.minhashBands(docs)))
+    assert(stored === direct && stored.nonEmpty,
+      "stream-built LSH index must yield the batch-built candidate pairs")
+    // a new-batch probe partition-prunes to its (band, bucket-hash)
+    val probe = spark.read.parquet(idx)
+      .filter(col("band") === 0 && col("bbucket") === 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bbucket"),
+      s"band probe over the streamed index must partition-prune:\n$plan")
+  }
 }
