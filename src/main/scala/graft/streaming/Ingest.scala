@@ -195,6 +195,32 @@ object Ingest {
         .write.mode("append").partitionBy("band", "bbucket").parquet(indexPath)
     }
 
+  /** Dedup-at-ingest probe — the production read of the LSH index: a
+    * NEW batch of documents is banded (O(batch) work) and equi-joined
+    * against the STORED index on (band, bbucket, bucket), yielding
+    * (new_doc, old_doc) near-dup candidates without ever re-banding
+    * the corpus — the q230 asymmetric new-vs-corpus shape on top of
+    * the incremental index. Self-pairs are excluded so an
+    * already-ingested document never pairs with itself; buckets larger
+    * than
+    * `maxBucket` on the index side are skipped as degenerate
+    * (boilerplate skew, the q61 cap discipline — bounds join fan-out
+    * at cap per probe row regardless of index skew). */
+  def lshProbe(spark: SparkSession, indexPath: String, batchDocs: DataFrame,
+      buckets: Int = 16, maxBucket: Int = 32): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+      .groupBy(col("band"), col("bbucket"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("old_ids"))
+      .filter(size(col("old_ids")) <= maxBucket)
+    val probe = graft.operators.TextPipeline.minhashBands(batchDocs)
+      .withColumn("bbucket", pmod(abs(hash(col("bucket"))), lit(buckets)))
+      .withColumnRenamed("doc_id", "new_doc")
+    probe.join(idx, Seq("band", "bbucket", "bucket"))
+      .select(col("new_doc"), explode(col("old_ids")).as("old_doc"))
+      .filter(col("new_doc") =!= col("old_doc"))
+      .distinct()
+  }
+
   /** Read-side merge of postings segments: per term, concatenate the
     * per-segment sorted lists and re-sort (each segment is disjoint in
     * doc_id, so this is a k-way list merge), summing document

@@ -40,7 +40,16 @@ object SpillProof {
     val Array(sfDir, outDir, namesS) = args.take(3)
     val names = namesS.split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    var builder = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: size the exchanges to the data
+    // instead of the default cores=32 — the knob every 100 TB cluster
+    // sets (~2-3x total cores / ~128 MB per partition). The r12 100x
+    // runs show it IS the memory-pressure story: 32 partitions puts
+    // ~80M group keys in one hash-agg task and dies AGGREGATE_OUT_OF-
+    // _MEMORY at 16 GiB, while 256 partitions (or the spill threshold)
+    // completes with identical hashes (docs/BENCH_NOTES.md r12).
+    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(cpus.toInt)
+    var builder = graft.GraftSession.builder(s"local[$cpus]", parts)
     sys.env.get("SPARK_GRAFT_SPILL_THRESHOLD").foreach { th =>
       builder = builder
         .config("spark.shuffle.spill.numElementsForceSpillThreshold", th)

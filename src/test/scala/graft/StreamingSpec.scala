@@ -550,4 +550,36 @@ class StreamingSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("bbucket"),
       s"band probe over the streamed index must partition-prune:\n$plan")
   }
+
+  test("LSH dedup-at-ingest probe: new batch vs stored index equals the direct cross-pair set") {
+    import graft.operators.TextPipeline
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-lsh-probe")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/index"
+    // corpus = even half, already indexed incrementally
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in)
+    Ingest.streamLshIngest(spark, in, idx)
+    // probe the odd half WITHOUT re-banding the corpus
+    val got = Ingest.lshProbe(spark, idx, docs.filter(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent expectation: band everything in batch, cross-join the
+    // halves on (band, bucket) with the old-side degenerate-bucket cap —
+    // no stored index, no bbucket path
+    val bandsAll = TextPipeline.minhashBands(docs)
+    val evenGroups = bandsAll.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("old_ids"))
+      .filter(size(col("old_ids")) <= 32)
+    val expected = bandsAll.filter(col("doc_id") % 2 === 1)
+      .withColumnRenamed("doc_id", "new_doc")
+      .join(evenGroups, Seq("band", "bucket"))
+      .select(col("new_doc"), explode(col("old_ids")).as("old_doc"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected && got.nonEmpty,
+      s"probe must equal the direct cross-pair set (got ${got.size}, expected ${expected.size})")
+    // asymmetry: only (new=odd, old=even) pairs — the corpus was never re-banded
+    assert(got.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
+  }
 }
