@@ -1030,23 +1030,53 @@ object TextPipeline {
     // linger into the NEXT bench query (the round-7 2.2x regression)
     w.unpersist(blocking = true)
     cand.unpersist(blocking = true)
+    val spans = mergeSpans(hits).persist()
+    spans.count() // ≤ one row per doc — swept by the harness after use
+    hits.unpersist(blocking = true)
+    spans
+  }
+
+  /** q215's gaps-and-islands merge: (doc_id, i, e) window hits →
+    * per-document MAXIMAL dup spans with count/char/max stats. Windows
+    * PARTITION BY doc_id — per-document work bounded by document
+    * length, never a global funnel. Shared by the batch q215 pass and
+    * the incremental probe ([[graft.streaming.Ingest.dupSpanProbe]]),
+    * which is what makes the two provably consistent. */
+  private[graft] def mergeSpans(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val m = hits.withColumn("pmax",
       max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
     val isl = m.withColumn("island",
       sum(when(col("pmax").isNull || col("i") > col("pmax") + 1, 1)
         .otherwise(0)).over(wDoc))
-    val spans = isl.groupBy(col("doc_id"), col("island"))
+    isl.groupBy(col("doc_id"), col("island"))
       .agg(min(col("i")).as("s"), max(col("e")).as("e"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("e") - col("s") + 1).cast("long").as("dup_chars"),
         max(col("e") - col("s") + 1).cast("long").as("max_span"))
-      .persist()
-    spans.count() // ≤ one row per doc — swept by the harness after use
-    hits.unpersist(blocking = true)
-    spans
   }
+
+  /** One row per 50-char window position: (doc_id, i, hk) with
+    * hk = xxhash64 of the window text — q215's phase-1 stream without
+    * the window strings (8-byte keys on the wire, the two-phase
+    * discipline). Per-document work only, so a BATCH's windows cost
+    * O(batch chars) — the unit the incremental ExactSubstr index
+    * ingests and probes. */
+  private[graft] def charWindowHashes(docsDf: DataFrame): DataFrame =
+    docsDf.filter(length(col("text")) >= 50)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 49)")).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(expr("substring(text, i, 50)")).as("hk"))
+
+  /** Per-batch PARTIAL window-hash counts — the mergeable aggregate
+    * state of q215's phase 1 (counts merge by addition, the
+    * ColumnAggregateFunction discipline the agg-MV surface uses). */
+  private[graft] def dupSpanPartial(batch: DataFrame): DataFrame =
+    charWindowHashes(batch).groupBy(col("hk")).agg(count(lit(1)).as("c"))
 
   /** q215's phase-1 candidate-join SHAPE, parameterized by the
     * `shuffle_hash` hint — used ONLY by `BroadcastAuditSpec` to prove

@@ -221,6 +221,49 @@ object Ingest {
       .distinct()
   }
 
+  /** Incremental ExactSubstr (q215) index maintenance — the
+    * delta-merge posture applied to the Lee-et-al dup-span pass: each
+    * micro-batch appends its PARTIAL 50-char-window hash counts
+    * ([[graft.operators.TextPipeline.dupSpanPartial]], 8-byte keys,
+    * counts merge by addition like the agg-MV states) as an immutable
+    * segment. Ingest cost per batch is O(batch chars), never
+    * O(corpus); nothing existing is rewritten. The same asymptotic
+    * unit as the paper's suffix array (one entry per char), stored as
+    * mergeable aggregate state instead of a monolithic index. */
+  def streamDupSpanMaintain(spark: SparkSession, inputDir: String,
+      statePath: String): Unit =
+    runAvailableNow(spark, inputDir, s"$statePath-ckpt") { batch =>
+      graft.operators.TextPipeline.dupSpanPartial(batch)
+        .write.mode("append").parquet(statePath)
+    }
+
+  /** Fold the window-hash segments to the duplicated-hash set
+    * (total count ≥ 2). Identical to q215 phase 1 over the full
+    * history — counts are exact BIGINTs, so the fold is exact, not
+    * approximate. */
+  def dupHashView(segments: DataFrame): DataFrame =
+    segments.groupBy(col("hk"))
+      .agg(sum(col("c")).cast("long").as("c"))
+      .filter(col("c") >= 2).select(col("hk"))
+
+  /** Dedup-at-ingest probe for dup spans: mark the MAXIMAL duplicated
+    * spans of a NEW batch against everything ingested so far (batch
+    * included), re-windowing only the batch — O(batch chars) — and
+    * joining its hashes against the folded state. Span merge reuses
+    * q215's gaps-and-islands kernel, so on a fully-ingested corpus the
+    * probe of any doc subset equals the batch q215 rows for those docs
+    * (modulo 64-bit hash collisions, which q215's exact-confirm phase
+    * exists to kill at full-corpus scale; `StreamingSpec` asserts
+    * exact equality on the test corpus). */
+  def dupSpanProbe(spark: SparkSession, statePath: String,
+      batchDocs: DataFrame): DataFrame = {
+    val dup = dupHashView(spark.read.parquet(statePath))
+    val hits = graft.operators.TextPipeline.charWindowHashes(batchDocs)
+      .join(dup.hint("shuffle_hash"), "hk") // corpus-derived: never broadcast (q215 rule)
+      .select(col("doc_id"), col("i"), (col("i") + 49).as("e"))
+    graft.operators.TextPipeline.mergeSpans(hits)
+  }
+
   /** Read-side merge of postings segments: per term, concatenate the
     * per-segment sorted lists and re-sort (each segment is disjoint in
     * doc_id, so this is a k-way list merge), summing document

@@ -582,4 +582,50 @@ class StreamingSpec extends SparkTestBase {
     // asymmetry: only (new=odd, old=even) pairs — the corpus was never re-banded
     assert(got.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
   }
+
+  test("incremental ExactSubstr index: merged counts equal phase 1; probe equals q215's rows") {
+    import graft.operators.TextPipeline
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-inc-dupspan")
+    val in = base.toString + "/in"
+    val state = base.toString + "/state"
+    def stateFiles(): Set[String] = {
+      val d = new java.io.File(state)
+      if (!d.exists) Set.empty
+      else {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+        walk(d).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+      }
+    }
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in)
+    Ingest.streamDupSpanMaintain(spark, in, state)
+    val files1 = stateFiles()
+    assert(files1.nonEmpty)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(in)
+    Ingest.streamDupSpanMaintain(spark, in, state)
+    assert(files1.subsetOf(stateFiles()),
+      "incremental ingest must not rewrite existing segments")
+    // folded segment counts ≡ from-scratch phase-1 dup-hash set (exact
+    // BIGINT sums — cross-batch duplicates only exist in the fold)
+    val merged = Ingest.dupHashView(spark.read.parquet(state))
+      .collect().map(_.getLong(0)).toSet
+    val direct = TextPipeline.dupSpanPartial(docs).filter(col("c") >= 2)
+      .select(col("hk")).collect().map(_.getLong(0)).toSet
+    assert(merged === direct && merged.nonEmpty,
+      "merged window-hash state must equal the batch phase-1 dup set")
+    // probing HALF the corpus against the full state reproduces the
+    // batch q215 pass restricted to those docs — without re-windowing
+    // the other half
+    def spanRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val probe = spanRows(Ingest.dupSpanProbe(spark, state,
+      docs.filter(col("doc_id") % 2 === 1)))
+    val full = spanRows(TextPipeline.q215DupSpans.fn(spark, sf)
+      .filter(col("doc_id") % 2 === 1))
+    CacheHygiene.sweep(spark, "q215_dup_spans")
+    assert(probe === full && probe.nonEmpty,
+      s"probe must equal q215's rows for the probed docs (probe ${probe.size}, q215 ${full.size})")
+  }
 }
