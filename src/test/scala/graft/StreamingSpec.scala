@@ -627,5 +627,27 @@ class StreamingSpec extends SparkTestBase {
     CacheHygiene.sweep(spark, "q215_dup_spans")
     assert(probe === full && probe.nonEmpty,
       s"probe must equal q215's rows for the probed docs (probe ${probe.size}, q215 ${full.size})")
+    // the q215 broadcast rule applies to the probe too: the folded
+    // dup-hash state is corpus-derived, so the probe join must plan as
+    // a shuffle join — a refactor dropping the hint would reintroduce
+    // the 100x driver-OOM class at ingest time
+    val pplan = Ingest.dupSpanProbe(spark, state,
+      docs.filter(col("doc_id") % 2 === 1)).queryExecution.executedPlan.toString
+    assert(pplan.contains("ShuffledHashJoin") && !pplan.contains("BroadcastHashJoin"),
+      s"dupSpanProbe must shuffle-join the corpus-derived state:\n$pplan")
+    // empty probe batches are a no-op, not an error (a crawl tick with
+    // no new docs)
+    assert(Ingest.dupSpanProbe(spark, state,
+      docs.filter(col("doc_id") < 0)).isEmpty)
+  }
+
+  test("LSH probe with an empty batch is a no-op") {
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-lsh-empty")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/index"
+    docs.limit(50).write.mode("overwrite").parquet(in)
+    Ingest.streamLshIngest(spark, in, idx)
+    assert(Ingest.lshProbe(spark, idx, docs.filter(col("doc_id") < 0)).isEmpty)
   }
 }
