@@ -318,35 +318,77 @@ object Ingest {
         hll_union_agg(col("users_hll")).as("users_hll"))
 
   /** Background compaction: rewrite the segment pile as ONE folded
-    * segment. Read-side results are unchanged (fold is associative).
-    *
-    * Crash safety ≙ the reference's atomic segment replacement in
-    * delta-merge (`DeltaMergeStore_InternalBg.cpp`): the folded
-    * generation is fully written to a sibling temp path FIRST, then
-    * promoted with two filesystem renames. The live segment pile is
-    * never deleted before the replacement is durable — an executor or
-    * driver loss mid-compaction leaves either the old generation live
-    * (crash before promote) or the old generation parked at
-    * `<path>.compact-old` (crash between renames; recovery = rename it
-    * back or re-promote the committed temp). */
-  def compactAggState(spark: SparkSession, statePath: String): Unit = {
+    * segment. Read-side results are unchanged (fold is associative);
+    * crash safety via [[promoteCompacted]]'s atomic promote. */
+  def compactAggState(spark: SparkSession, statePath: String): Unit =
+    promoteCompacted(spark, statePath) { tmp =>
+      aggViewOf(spark.read.parquet(statePath))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Atomic segment-pile replacement shared by every compactor: the
+    * folded generation is fully written to a sibling temp path FIRST,
+    * then promoted with two filesystem renames. The live pile is never
+    * deleted before the replacement is durable — a crash mid-compaction
+    * leaves either the old generation live (crash before promote) or
+    * parked at `<path>.compact-old` (crash between renames; recovery =
+    * rename it back or re-promote the committed temp). ≙ the
+    * reference's atomic segment replacement in delta-merge
+    * (`DeltaMergeStore_InternalBg.cpp`). */
+  private def promoteCompacted(spark: SparkSession, livePath: String)(
+      writeTmp: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
-    val folded = aggViewOf(spark.read.parquet(statePath))
-    val tmpPath = statePath + ".compact-tmp"
-    folded.write.mode("overwrite").parquet(tmpPath)
-    val live = new Path(statePath)
+    val tmpPath = livePath + ".compact-tmp"
+    writeTmp(tmpPath)
+    val live = new Path(livePath)
     val tmp = new Path(tmpPath)
-    val old = new Path(statePath + ".compact-old")
+    val old = new Path(livePath + ".compact-old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(old, true)
     if (!fs.rename(live, old))
-      throw new java.io.IOException(s"compactAggState: demote failed for $live")
+      throw new java.io.IOException(s"compaction: demote failed for $live")
     if (!fs.rename(tmp, live)) {
       fs.rename(old, live) // roll back so the pile stays readable
-      throw new java.io.IOException(s"compactAggState: promote failed for $tmp")
+      throw new java.io.IOException(s"compaction: promote failed for $tmp")
     }
     fs.delete(old, true)
   }
+
+  /** Compact the ExactSubstr window-hash pile: per-segment partial
+    * counts fold by addition into ONE (hk, c) generation — the state
+    * stops growing with the number of batches and tracks only the
+    * distinct-window cardinality. Read results are unchanged (the
+    * fold is the same sum `dupHashView` performs). */
+  def compactDupSpanState(spark: SparkSession, statePath: String): Unit =
+    promoteCompacted(spark, statePath) { tmp =>
+      spark.read.parquet(statePath).groupBy(col("hk"))
+        .agg(sum(col("c")).cast("long").as("c"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Compact the postings segment pile into one folded generation
+    * (the Lucene forceMerge analog), preserving the term-hash bucket
+    * partitioning a term probe prunes on. */
+  def compactPostings(spark: SparkSession, indexPath: String,
+      buckets: Int = 16): Unit =
+    promoteCompacted(spark, indexPath) { tmp =>
+      mergePostingsSegments(
+          spark.read.parquet(indexPath).drop("tbucket"))
+        .withColumn("tbucket", pmod(abs(hash(col("term"))), lit(buckets)))
+        .write.mode("overwrite").partitionBy("tbucket").parquet(tmp)
+    }
+
+  /** Compact the LSH banding pile: banding rows are immutable facts
+    * (no fold needed), so compaction rewrites the accumulated
+    * small-file segments as one generation per (band, bucket-hash)
+    * partition — file-count hygiene for a long-running ingest,
+    * read-identical by construction. */
+  def compactLshIndex(spark: SparkSession, indexPath: String): Unit =
+    promoteCompacted(spark, indexPath) { tmp =>
+      spark.read.parquet(indexPath)
+        .repartition(col("band"), col("bbucket"))
+        .write.mode("overwrite").partitionBy("band", "bbucket").parquet(tmp)
+    }
 
   // ------------------------------------------------------------ queries
   /** MVCC snapshot as a verifiable query (read_ts fixed). */

@@ -650,4 +650,72 @@ class StreamingSpec extends SparkTestBase {
     Ingest.streamLshIngest(spark, in, idx)
     assert(Ingest.lshProbe(spark, idx, docs.filter(col("doc_id") < 0)).isEmpty)
   }
+
+  test("segment-pile compaction preserves reads for postings, LSH, and dup-span state") {
+    import graft.operators.TextPipeline
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-compact")
+    val in = base.toString + "/in"
+    // two-batch piles for all three index kinds over the same corpus
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in)
+    val (post, lsh, span) =
+      (base.toString + "/post", base.toString + "/lsh", base.toString + "/span")
+    Ingest.streamPostingsIngest(spark, in, post)
+    Ingest.streamLshIngest(spark, in, lsh)
+    Ingest.streamDupSpanMaintain(spark, in, span)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(in)
+    Ingest.streamPostingsIngest(spark, in, post)
+    Ingest.streamLshIngest(spark, in, lsh)
+    Ingest.streamDupSpanMaintain(spark, in, span)
+
+    // postings: merged view identical across compaction; pruning preserved
+    def postView = Ingest.mergePostingsSegments(
+        spark.read.parquet(post).drop("tbucket"))
+      .collect().map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val postBefore = postView
+    Ingest.compactPostings(spark, post)
+    assert(postView === postBefore && postBefore.nonEmpty,
+      "postings compaction must not change the merged view")
+    val pplan = spark.read.parquet(post)
+      .filter(col("tbucket") === 3).queryExecution.executedPlan.toString
+    assert(pplan.contains("PartitionFilters") && pplan.contains("tbucket"),
+      "compacted postings must still partition-prune on tbucket")
+
+    // LSH: candidate pairs identical; partition pruning preserved;
+    // the pile actually shrank (file-count hygiene is the point)
+    def lshPairs = TextPipeline.lshPairsFromBands(
+        spark.read.parquet(lsh).select(col("doc_id"), col("band"), col("bucket")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshBefore = lshPairs
+    val lshFilesBefore = spark.read.parquet(lsh).inputFiles.length
+    Ingest.compactLshIndex(spark, lsh)
+    assert(lshPairs === lshBefore && lshBefore.nonEmpty,
+      "LSH compaction must not change candidate pairs")
+    assert(spark.read.parquet(lsh).inputFiles.length < lshFilesBefore,
+      "LSH compaction must shrink the segment pile")
+    val lplan = spark.read.parquet(lsh)
+      .filter(col("band") === 0 && col("bbucket") === 3)
+      .queryExecution.executedPlan.toString
+    assert(lplan.contains("PartitionFilters") && lplan.contains("bbucket"))
+
+    // dup-span: folded dup set identical; probe result identical;
+    // the compacted state has one row per distinct hk
+    def dupSet = Ingest.dupHashView(spark.read.parquet(span))
+      .collect().map(_.getLong(0)).toSet
+    def probeRows = Ingest.dupSpanProbe(spark, span,
+        docs.filter(col("doc_id") % 2 === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val (dupBefore, probeBefore) = (dupSet, probeRows)
+    Ingest.compactDupSpanState(spark, span)
+    assert(dupSet === dupBefore && dupBefore.nonEmpty,
+      "dup-span compaction must not change the folded dup-hash set")
+    assert(probeRows === probeBefore,
+      "dup-span compaction must not change probe results")
+    val st = spark.read.parquet(span)
+    assert(st.count() === st.select(col("hk")).distinct().count(),
+      "compacted state must hold exactly one row per distinct window hash")
+    // a second compaction is a no-op fold of one segment
+    Ingest.compactDupSpanState(spark, span)
+    assert(dupSet === dupBefore)
+  }
 }
