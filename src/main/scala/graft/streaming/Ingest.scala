@@ -354,6 +354,38 @@ object Ingest {
     fs.delete(old, true)
   }
 
+  /** Recover a segment pile after a crash mid-[[promoteCompacted]] —
+    * the executable form of the choreography's recovery contract.
+    * States, in program order of the promote:
+    *  - live exists (crash before demote, or after completion): the
+    *    pile is authoritative; any leftover tmp/old generation is
+    *    garbage and is removed.
+    *  - live missing, tmp exists (crash between the two renames): the
+    *    fold was fully durable BEFORE the demote started (writeTmp
+    *    completes first), so promote it and drop the parked old.
+    *  - live missing, only old (promote rename failed and rollback
+    *    also crashed): roll the old generation back.
+    * Idempotent; returns the action taken. */
+  def recoverCompaction(spark: SparkSession, livePath: String): String = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(livePath)
+    val tmp = new Path(livePath + ".compact-tmp")
+    val old = new Path(livePath + ".compact-old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) {
+      fs.delete(tmp, true); fs.delete(old, true); "live-intact"
+    } else if (fs.exists(tmp)) {
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"recoverCompaction: promote failed for $tmp")
+      fs.delete(old, true); "promoted-tmp"
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(s"recoverCompaction: rollback failed for $old")
+      "rolled-back"
+    } else throw new java.io.IOException(
+      s"recoverCompaction: nothing to recover at $livePath")
+  }
+
   /** Compact the ExactSubstr window-hash pile: per-segment partial
     * counts fold by addition into ONE (hk, c) generation — the state
     * stops growing with the number of batches and tracks only the

@@ -718,4 +718,39 @@ class StreamingSpec extends SparkTestBase {
     Ingest.compactDupSpanState(spark, span)
     assert(dupSet === dupBefore)
   }
+
+  test("compaction crash recovery: every interrupted state restores an equivalent pile") {
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft-compact-crash")
+    val in = base.toString + "/in"
+    val state = base.toString + "/span"
+    val docs = Tables.documents(spark, sf)
+    docs.limit(200).write.mode("overwrite").parquet(in)
+    Ingest.streamDupSpanMaintain(spark, in, state)
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dupSet = Ingest.dupHashView(spark.read.parquet(state))
+      .collect().map(_.getLong(0)).toSet
+    val want = dupSet
+    def foldedToTmp(): Unit =
+      spark.read.parquet(state).groupBy(col("hk"))
+        .agg(sum(col("c")).cast("long").as("c"))
+        .write.mode("overwrite").parquet(state + ".compact-tmp")
+    // crash AFTER the fold, BEFORE the demote: live intact + stale tmp
+    foldedToTmp()
+    assert(Ingest.recoverCompaction(spark, state) === "live-intact")
+    assert(!fs.exists(new Path(state + ".compact-tmp")) && dupSet === want)
+    // crash BETWEEN the renames: live parked at .compact-old, tmp durable
+    foldedToTmp()
+    assert(fs.rename(new Path(state), new Path(state + ".compact-old")))
+    assert(Ingest.recoverCompaction(spark, state) === "promoted-tmp")
+    assert(dupSet === want && !fs.exists(new Path(state + ".compact-old")))
+    // crash with only the parked old generation (promote + rollback lost)
+    assert(fs.rename(new Path(state), new Path(state + ".compact-old")))
+    assert(Ingest.recoverCompaction(spark, state) === "rolled-back")
+    assert(dupSet === want)
+    // recovery is idempotent; nothing-to-recover is loud, not silent
+    assert(Ingest.recoverCompaction(spark, state) === "live-intact")
+    fs.delete(new Path(state), true)
+    intercept[java.io.IOException] { Ingest.recoverCompaction(spark, state) }
+  }
 }
