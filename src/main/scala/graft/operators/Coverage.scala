@@ -88,8 +88,12 @@ object Coverage {
     import org.apache.spark.sql.types.DecimalType
     val maxCents = (Long.MaxValue - (10000000000L - 1)) / 10000000000L
     val cents = (price.cast(DecimalType(18, 2)) * 100).cast("long")
-    when(cents.between(0, maxCents) && key.between(0, 10000000000L - 1),
-      cents * 10000000000L + key)
+    // NULL inputs propagate as a NULL ordering value (min_by/max_by
+    // skip them — the pre-guard behavior); only REPRESENTABLE values
+    // outside the packing bound raise.
+    when(cents.isNull || key.isNull, lit(null).cast("long"))
+      .when(cents.between(0, maxCents) && key.between(0, 10000000000L - 1),
+        cents * 10000000000L + key)
       .otherwise(raise_error(concat(
         lit("q27 tiebreak packing bound exceeded: cents="), cents.cast("string"),
         lit(" key="), key.cast("string"),

@@ -110,19 +110,34 @@ object Ingest {
     runAvailableNow(spark, inputDir, s"$outPath-ckpt",
       // same type-conditional ts normalization as Tables.load
       prep = df => versioned(Tables.normalizeEventsTs(df))) {
-      batch => batch.write.mode("append").parquet(outPath)
+      (batch, id) => batch.write.mode("overwrite").parquet(seg(outPath, id))
     }
+
+  /** Deterministic per-batch segment directory. Sinks write
+    * mode("overwrite") into `seg=<batchId>` instead of appending to
+    * the pile root: foreachBatch gives at-least-once delivery (a crash
+    * after the sink commit but before the checkpoint commit REPLAYS
+    * the batch), and an append sink would then double-count — for the
+    * dup-span state that marks the whole replayed batch as duplicated
+    * (every window reaches c ≥ 2), for LSH it fabricates self-pairs.
+    * Overwriting the batch's own segment makes every sink idempotent —
+    * the standard Spark exactly-once discipline. Readers see `seg` as
+    * an inferred partition column and ignore it. */
+  private def seg(path: String, batchId: Long): String = s"$path/seg=$batchId"
 
   /** Shared AvailableNow replay scaffolding: schema-inferred parquet
     * stream → optional stream-side transform → foreachBatch sink,
-    * synchronous (awaitTermination) so tests see the committed result. */
+    * synchronous (awaitTermination) so tests see the committed result.
+    * perBatch receives the micro-batch AND its batchId so sinks can
+    * write idempotently (see [[seg]]). */
   private def runAvailableNow(spark: SparkSession, inputDir: String, ckpt: String,
-      prep: DataFrame => DataFrame = identity)(perBatch: DataFrame => Unit): Unit = {
+      prep: DataFrame => DataFrame = identity)(
+      perBatch: (DataFrame, Long) => Unit): Unit = {
     val batchSchema = spark.read.parquet(inputDir).schema
     val stream = prep(spark.readStream.schema(batchSchema).parquet(inputDir))
     val q = stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) => perBatch(batch) }
+      .foreachBatch { (batch: DataFrame, id: Long) => perBatch(batch, id) }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .start()
@@ -144,9 +159,9 @@ object Ingest {
     * ingest cost per batch is O(batch × k), never O(corpus). */
   def streamIndexIngest(spark: SparkSession, inputDir: String, cent: DataFrame,
       indexPath: String): Unit =
-    runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { batch =>
+    runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { (batch, id) =>
       graft.operators.Similarity.ivfAssign(batch, cent)
-        .write.mode("append").partitionBy("cid").parquet(indexPath)
+        .write.mode("overwrite").partitionBy("cid").parquet(seg(indexPath, id))
     }
 
   /** Incremental FULL-TEXT index maintenance, same delta-merge posture
@@ -161,12 +176,15 @@ object Ingest {
     * `DeltaMergeStore_InternalBg.cpp`). Ingest cost per batch is
     * O(batch tokens), never O(corpus). */
   def streamPostingsIngest(spark: SparkSession, inputDir: String,
-      indexPath: String, buckets: Int = 16): Unit =
-    runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { batch =>
+      indexPath: String, buckets: Int = 16): Unit = {
+    requireConsistentBuckets(spark, indexPath, buckets)
+    runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { (batch, id) =>
       graft.operators.InvertedText.buildPostings(batch)
         .withColumn("tbucket", pmod(abs(hash(col("term"))), lit(buckets)))
-        .write.mode("append").partitionBy("tbucket").parquet(indexPath)
+        .write.mode("overwrite").partitionBy("tbucket").parquet(seg(indexPath, id))
     }
+    writeBucketsMarker(spark, indexPath, buckets)
+  }
 
   /** Incremental MinHash-LSH index maintenance — the delta-merge
     * posture applied to near-dup detection (r11 VERDICT ask #6): each
@@ -188,12 +206,56 @@ object Ingest {
     * A new-batch-vs-corpus probe equi-joins the batch's banding rows
     * against the stored index, partition-pruned on (band, bbucket). */
   def streamLshIngest(spark: SparkSession, inputDir: String,
-      indexPath: String, buckets: Int = 16): Unit =
-    runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { batch =>
+      indexPath: String, buckets: Int = 16): Unit = {
+    requireConsistentBuckets(spark, indexPath, buckets)
+    runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { (batch, id) =>
       graft.operators.TextPipeline.minhashBands(batch)
         .withColumn("bbucket", pmod(abs(hash(col("bucket"))), lit(buckets)))
-        .write.mode("append").partitionBy("band", "bbucket").parquet(indexPath)
+        .write.mode("overwrite").partitionBy("band", "bbucket")
+        .parquet(seg(indexPath, id))
     }
+    writeBucketsMarker(spark, indexPath, buckets)
+  }
+
+  /** The bucket-hash modulus is part of an index's identity: a probe
+    * or compactor recomputing it with a different value silently drops
+    * matches (rows land in partitions the reader never joins). Persist
+    * it as an underscore-prefixed marker (invisible to the parquet
+    * reader, like _SUCCESS) and refuse mixed-modulus ingest. */
+  private def bucketsMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "/_buckets")
+
+  private def writeBucketsMarker(spark: SparkSession, path: String,
+      buckets: Int): Unit = {
+    val p = bucketsMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(buckets.toString.getBytes("UTF-8")); out.close()
+  }
+
+  private def readBucketsMarker(spark: SparkSession, path: String,
+      default: Int): Int = {
+    val p = bucketsMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) default
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  private def requireConsistentBuckets(spark: SparkSession, path: String,
+      buckets: Int): Unit = {
+    val stored = readBucketsMarker(spark, path, buckets)
+    if (stored != buckets) throw new java.io.IOException(
+      s"index at $path was built with buckets=$stored; refusing ingest with buckets=$buckets")
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Dedup-at-ingest probe — the production read of the LSH index: a
     * NEW batch of documents is banded (O(batch) work) and equi-joined
@@ -208,13 +270,30 @@ object Ingest {
     * at cap per probe row regardless of index skew). */
   def lshProbe(spark: SparkSession, indexPath: String, batchDocs: DataFrame,
       buckets: Int = 16, maxBucket: Int = 32): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
+    // the modulus is part of the index's identity — read its marker,
+    // never guess (a mismatched recompute drops matches silently)
+    val b = readBucketsMarker(spark, indexPath, buckets)
+    val probe = graft.operators.TextPipeline.minhashBands(batchDocs)
+      .withColumn("bbucket", pmod(abs(hash(col("bucket"))), lit(b)))
+      .withColumnRenamed("doc_id", "new_doc")
+    // first-boot ordering: probing a never-created index is an empty
+    // result, not an AnalysisException
+    if (!pathExists(spark, indexPath))
+      return probe.limit(0)
+        .select(col("new_doc"), col("new_doc").as("old_doc"))
+    // The batch touches at most nBands × b (band, bbucket) partitions
+    // (64 at defaults) — collect that BOUNDED set and push it into the
+    // index scan as partition filters, so a small batch reads only the
+    // partitions it can match instead of aggregating the whole index.
+    val touched = probe.select(col("band"), col("bbucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val prune = touched
+      .map { case (bd, bb) => col("band") === bd && col("bbucket") === bb }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val idx = spark.read.parquet(indexPath).filter(prune)
       .groupBy(col("band"), col("bbucket"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("old_ids"))
       .filter(size(col("old_ids")) <= maxBucket)
-    val probe = graft.operators.TextPipeline.minhashBands(batchDocs)
-      .withColumn("bbucket", pmod(abs(hash(col("bucket"))), lit(buckets)))
-      .withColumnRenamed("doc_id", "new_doc")
     probe.join(idx, Seq("band", "bbucket", "bucket"))
       .select(col("new_doc"), explode(col("old_ids")).as("old_doc"))
       .filter(col("new_doc") =!= col("old_doc"))
@@ -232,9 +311,9 @@ object Ingest {
     * mergeable aggregate state instead of a monolithic index. */
   def streamDupSpanMaintain(spark: SparkSession, inputDir: String,
       statePath: String): Unit =
-    runAvailableNow(spark, inputDir, s"$statePath-ckpt") { batch =>
+    runAvailableNow(spark, inputDir, s"$statePath-ckpt") { (batch, id) =>
       graft.operators.TextPipeline.dupSpanPartial(batch)
-        .write.mode("append").parquet(statePath)
+        .write.mode("overwrite").parquet(seg(statePath, id))
     }
 
   /** Fold the window-hash segments to the duplicated-hash set
@@ -257,7 +336,11 @@ object Ingest {
     * exact equality on the test corpus). */
   def dupSpanProbe(spark: SparkSession, statePath: String,
       batchDocs: DataFrame): DataFrame = {
-    val dup = dupHashView(spark.read.parquet(statePath))
+    // first-boot ordering: probing before any maintenance run has
+    // created the state is an empty result, not an AnalysisException
+    val dup =
+      if (pathExists(spark, statePath)) dupHashView(spark.read.parquet(statePath))
+      else spark.range(0).select(col("id").as("hk"))
     val hits = graft.operators.TextPipeline.charWindowHashes(batchDocs)
       .join(dup.hint("shuffle_hash"), "hk") // corpus-derived: never broadcast (q215 rule)
       .select(col("doc_id"), col("i"), (col("i") + 49).as("e"))
@@ -305,8 +388,8 @@ object Ingest {
     * (`DeltaMergeStore_InternalBg.cpp`). */
   def streamAggMaintain(spark: SparkSession, inputDir: String, statePath: String): Unit =
     runAvailableNow(spark, inputDir, s"$statePath-ckpt",
-      prep = df => Tables.normalizeEventsTs(df)) { batch =>
-      aggPartial(batch).write.mode("append").parquet(statePath)
+      prep = df => Tables.normalizeEventsTs(df)) { (batch, id) =>
+      aggPartial(batch).write.mode("overwrite").parquet(seg(statePath, id))
     }
 
   /** Fold the partial-state segments into the current MV contents.
@@ -323,8 +406,14 @@ object Ingest {
   def compactAggState(spark: SparkSession, statePath: String): Unit =
     promoteCompacted(spark, statePath) { tmp =>
       aggViewOf(spark.read.parquet(statePath))
-        .write.mode("overwrite").parquet(tmp)
+        .write.mode("overwrite").parquet(compactedSeg(tmp))
     }
+
+  /** The compacted generation lives in its own `seg=-1` segment so the
+    * pile keeps one consistent partition layout: post-compaction
+    * ingest appends seg=<batchId> (batch ids are never negative)
+    * alongside it, and partition discovery keeps working. */
+  private def compactedSeg(tmp: String): String = s"$tmp/seg=-1"
 
   /** Atomic segment-pile replacement shared by every compactor: the
     * folded generation is fully written to a sibling temp path FIRST,
@@ -339,11 +428,27 @@ object Ingest {
       writeTmp: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val tmpPath = livePath + ".compact-tmp"
-    writeTmp(tmpPath)
     val live = new Path(livePath)
     val tmp = new Path(tmpPath)
     val old = new Path(livePath + ".compact-old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Concurrent-append guard: compaction and ingest are meant to be
+    // serialized by the maintenance driver (the reference's delta-merge
+    // lock discipline), but a scheduling bug here would SILENTLY drop
+    // the segments a concurrent batch appended between the fold's read
+    // and the demote rename. Snapshot the segment listing before the
+    // fold and refuse to promote if it changed — losing a compaction
+    // attempt is cheap, losing ingested data is not.
+    def segListing(): Set[String] =
+      if (!fs.exists(live)) Set.empty
+      else fs.listStatus(live).map(_.getPath.getName).toSet
+    val before = segListing()
+    writeTmp(tmpPath)
+    if (segListing() != before) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compaction: concurrent append detected under $live — retry when ingest is quiesced")
+    }
     fs.delete(old, true)
     if (!fs.rename(live, old))
       throw new java.io.IOException(s"compaction: demote failed for $live")
@@ -372,6 +477,17 @@ object Ingest {
     val tmp = new Path(livePath + ".compact-tmp")
     val old = new Path(livePath + ".compact-old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live) && fs.exists(tmp) && fs.exists(old))
+      // live + a durable fold + the parked pre-fold pile can only mean
+      // the crash happened between the renames AND an ingest tick
+      // recreated `live` with post-crash segments before recovery ran.
+      // Deleting old/tmp here would destroy the whole pre-crash corpus
+      // state; surface it loudly instead — recovery = move live's new
+      // seg=N dirs into the promoted generation, then re-run.
+      throw new java.io.IOException(
+        s"recoverCompaction: $livePath was recreated after a mid-promote " +
+          "crash (live, .compact-tmp and .compact-old all exist); merge " +
+          "live's new segments into .compact-tmp, delete live, then re-run")
     if (fs.exists(live)) {
       fs.delete(tmp, true); fs.delete(old, true); "live-intact"
     } else if (fs.exists(tmp)) {
@@ -395,32 +511,40 @@ object Ingest {
     promoteCompacted(spark, statePath) { tmp =>
       spark.read.parquet(statePath).groupBy(col("hk"))
         .agg(sum(col("c")).cast("long").as("c"))
-        .write.mode("overwrite").parquet(tmp)
+        .write.mode("overwrite").parquet(compactedSeg(tmp))
     }
 
   /** Compact the postings segment pile into one folded generation
     * (the Lucene forceMerge analog), preserving the term-hash bucket
     * partitioning a term probe prunes on. */
   def compactPostings(spark: SparkSession, indexPath: String,
-      buckets: Int = 16): Unit =
+      buckets: Int = 16): Unit = {
+    val b = readBucketsMarker(spark, indexPath, buckets)
     promoteCompacted(spark, indexPath) { tmp =>
       mergePostingsSegments(
-          spark.read.parquet(indexPath).drop("tbucket"))
-        .withColumn("tbucket", pmod(abs(hash(col("term"))), lit(buckets)))
-        .write.mode("overwrite").partitionBy("tbucket").parquet(tmp)
+          spark.read.parquet(indexPath).drop("tbucket", "seg"))
+        .withColumn("tbucket", pmod(abs(hash(col("term"))), lit(b)))
+        .write.mode("overwrite").partitionBy("tbucket").parquet(compactedSeg(tmp))
     }
+    writeBucketsMarker(spark, indexPath, b) // the marker rides the pile; restore it
+  }
 
   /** Compact the LSH banding pile: banding rows are immutable facts
     * (no fold needed), so compaction rewrites the accumulated
     * small-file segments as one generation per (band, bucket-hash)
     * partition — file-count hygiene for a long-running ingest,
     * read-identical by construction. */
-  def compactLshIndex(spark: SparkSession, indexPath: String): Unit =
+  def compactLshIndex(spark: SparkSession, indexPath: String,
+      buckets: Int = 16): Unit = {
+    val b = readBucketsMarker(spark, indexPath, buckets)
     promoteCompacted(spark, indexPath) { tmp =>
-      spark.read.parquet(indexPath)
+      spark.read.parquet(indexPath).drop("seg")
         .repartition(col("band"), col("bbucket"))
-        .write.mode("overwrite").partitionBy("band", "bbucket").parquet(tmp)
+        .write.mode("overwrite").partitionBy("band", "bbucket")
+        .parquet(compactedSeg(tmp))
     }
+    writeBucketsMarker(spark, indexPath, b) // the marker rides the pile; restore it
+  }
 
   // ------------------------------------------------------------ queries
   /** MVCC snapshot as a verifiable query (read_ts fixed). */

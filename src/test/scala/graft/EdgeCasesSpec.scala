@@ -74,5 +74,11 @@ class EdgeCasesSpec extends SparkTestBase {
     }
     assert(k.getMessage.contains("packing bound") ||
       Option(k.getCause).exists(_.getMessage.contains("packing bound")))
+    // NULL inputs propagate as a NULL ordering value (min_by/max_by
+    // skip them) — they must NOT be misreported as a bound violation
+    val nulls = spark.sql("SELECT CAST(NULL AS DOUBLE) AS price, 5L AS key")
+      .select(operators.Coverage.centsKeyTiebreak(col("price"), col("key")))
+      .first()
+    assert(nulls.isNullAt(0))
   }
 }

@@ -12,6 +12,19 @@ import graft.sources.Tables
   * read, SURVEY §2.6). */
 class StreamingSpec extends SparkTestBase {
 
+  /** Recursive parquet-file listing of a segment pile — shared by the
+    * append-only immutability assertions so a layout change is fixed
+    * in one place. */
+  private def parquetFiles(dir: String): Set[String] = {
+    val d = new java.io.File(dir)
+    if (!d.exists) Set.empty
+    else {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(d).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+  }
+
   test("streamed versioned table snapshot equals batch snapshot") {
     val base = Files.createTempDirectory("graft-ingest")
     val in = base.resolve("in")
@@ -515,15 +528,7 @@ class StreamingSpec extends SparkTestBase {
     val base = Files.createTempDirectory("graft-inc-lsh")
     val in = base.toString + "/in"
     val idx = base.toString + "/index"
-    def indexFiles(): Set[String] = {
-      val d = new java.io.File(idx)
-      if (!d.exists) Set.empty
-      else {
-        def walk(f: java.io.File): Seq[java.io.File] =
-          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
-        walk(d).map(_.getPath).filter(_.endsWith(".parquet")).toSet
-      }
-    }
+    def indexFiles(): Set[String] = parquetFiles(idx)
     // batch 1: half the corpus becomes the first banding segment
     docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in)
     Ingest.streamLshIngest(spark, in, idx)
@@ -589,15 +594,7 @@ class StreamingSpec extends SparkTestBase {
     val base = Files.createTempDirectory("graft-inc-dupspan")
     val in = base.toString + "/in"
     val state = base.toString + "/state"
-    def stateFiles(): Set[String] = {
-      val d = new java.io.File(state)
-      if (!d.exists) Set.empty
-      else {
-        def walk(f: java.io.File): Seq[java.io.File] =
-          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
-        walk(d).map(_.getPath).filter(_.endsWith(".parquet")).toSet
-      }
-    }
+    def stateFiles(): Set[String] = parquetFiles(state)
     docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in)
     Ingest.streamDupSpanMaintain(spark, in, state)
     val files1 = stateFiles()
@@ -734,7 +731,7 @@ class StreamingSpec extends SparkTestBase {
     def foldedToTmp(): Unit =
       spark.read.parquet(state).groupBy(col("hk"))
         .agg(sum(col("c")).cast("long").as("c"))
-        .write.mode("overwrite").parquet(state + ".compact-tmp")
+        .write.mode("overwrite").parquet(state + ".compact-tmp/seg=-1")
     // crash AFTER the fold, BEFORE the demote: live intact + stale tmp
     foldedToTmp()
     assert(Ingest.recoverCompaction(spark, state) === "live-intact")
@@ -750,7 +747,65 @@ class StreamingSpec extends SparkTestBase {
     assert(dupSet === want)
     // recovery is idempotent; nothing-to-recover is loud, not silent
     assert(Ingest.recoverCompaction(spark, state) === "live-intact")
+    // the dangerous ambiguity — live RECREATED by an ingest tick after
+    // a mid-promote crash (live + tmp + old all present) — must refuse
+    // loudly instead of deleting the pre-crash pile
+    foldedToTmp()
+    assert(fs.rename(new Path(state), new Path(state + ".compact-old")))
+    docs.limit(50).write.mode("overwrite").parquet(state + "/seg=99")
+    val amb = intercept[java.io.IOException] {
+      Ingest.recoverCompaction(spark, state)
+    }
+    assert(amb.getMessage.contains("recreated"))
+    assert(fs.exists(new Path(state + ".compact-old")) &&
+      fs.exists(new Path(state + ".compact-tmp")),
+      "ambiguous-state recovery must not delete any generation")
     fs.delete(new Path(state), true)
+    fs.delete(new Path(state + ".compact-tmp"), true)
+    fs.delete(new Path(state + ".compact-old"), true)
     intercept[java.io.IOException] { Ingest.recoverCompaction(spark, state) }
+  }
+
+  test("ingest replay is idempotent and probes are safe before first ingest") {
+    import graft.operators.TextPipeline
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-replay")
+    val in = base.toString + "/in"
+    val state = base.toString + "/span"
+    val lshIdx = base.toString + "/lsh"
+    // probes BEFORE any ingest: empty results, not AnalysisException
+    assert(Ingest.dupSpanProbe(spark, state, docs.limit(10)).isEmpty)
+    assert(Ingest.lshProbe(spark, lshIdx, docs.limit(10)).isEmpty)
+    // ingest once, snapshot the folded state
+    docs.limit(300).write.mode("overwrite").parquet(in)
+    Ingest.streamDupSpanMaintain(spark, in, state)
+    def dupSet = Ingest.dupHashView(spark.read.parquet(state))
+      .collect().map(_.getLong(0)).toSet
+    val want = dupSet
+    // simulate the at-least-once replay window: the sink committed but
+    // the checkpoint didn't — a restart reprocesses the SAME batch.
+    // With seg=<batchId> overwrite sinks this must be a no-op; an
+    // append sink would double every count and mark the whole batch
+    // as duplicated (every window hash reaches c >= 2).
+    val ckpt = new java.io.File(state + "-ckpt")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(deleteRec); f.delete()
+    }
+    deleteRec(ckpt)
+    Ingest.streamDupSpanMaintain(spark, in, state)
+    assert(dupSet === want, "a replayed micro-batch must not change the state")
+    // mixed bucket moduli are refused loudly, not silently mismatched
+    docs.limit(100).write.mode("overwrite").parquet(base.toString + "/in2")
+    Ingest.streamLshIngest(spark, base.toString + "/in2", lshIdx, buckets = 8)
+    intercept[java.io.IOException] {
+      Ingest.streamLshIngest(spark, base.toString + "/in2", lshIdx, buckets = 16)
+    }
+    // and the probe reads the modulus from the index's marker, so a
+    // caller passing the wrong default still joins correctly
+    val probed = Ingest.lshProbe(spark, lshIdx, docs.limit(100), buckets = 16)
+    val direct = Ingest.lshProbe(spark, lshIdx, docs.limit(100), buckets = 8)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(probed) === pairSet(direct))
   }
 }
