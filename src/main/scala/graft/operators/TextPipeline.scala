@@ -1058,25 +1058,50 @@ object TextPipeline {
         max(col("e") - col("s") + 1).cast("long").as("max_span"))
   }
 
-  /** One row per 50-char window position: (doc_id, i, hk) with
-    * hk = xxhash64 of the window text — q215's phase-1 stream without
-    * the window strings (8-byte keys on the wire, the two-phase
-    * discipline). Per-document work only, so a BATCH's windows cost
-    * O(batch chars) — the unit the incremental ExactSubstr index
-    * ingests and probes. */
-  private[graft] def charWindowHashes(docsDf: DataFrame): DataFrame =
+  /** One row per 50-char window position: (doc_id, i, hk, g) with
+    * hk = the 64-bit hash of the window text g. Consumers that only
+    * need keys project g away (column pruning keeps the 8-byte
+    * two-phase discipline on the wire); the incremental ExactSubstr
+    * probe keeps g for its exact-confirm join. Per-document work only,
+    * so a BATCH's windows cost O(batch chars) — the unit the
+    * incremental index ingests and probes. `hashOf` is a test seam:
+    * the planted-collision contract substitutes a truncated hash to
+    * make 64-bit collisions constructible (real xxhash64 collisions
+    * are not brute-forceable in a test). */
+  private[graft] def charWindowHashes(docsDf: DataFrame,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame =
     docsDf.filter(length(col("text")) >= 50)
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text) - 49)")).as("i"),
         col("text"))
       .select(col("doc_id"), col("i"),
-        xxhash64(expr("substring(text, i, 50)")).as("hk"))
+        expr("substring(text, i, 50)").as("g"))
+      .withColumn("hk", hashOf(col("g")))
 
-  /** Per-batch PARTIAL window-hash counts — the mergeable aggregate
-    * state of q215's phase 1 (counts merge by addition, the
-    * ColumnAggregateFunction discipline the agg-MV surface uses). */
-  private[graft] def dupSpanPartial(batch: DataFrame): DataFrame =
-    charWindowHashes(batch).groupBy(col("hk")).agg(count(lit(1)).as("c"))
+  /** Per-batch PARTIAL window counts keyed on (hash, WINDOW TEXT) —
+    * the mergeable aggregate state of q215's phase 1 PLUS the text the
+    * probe's exact-confirm compares against (counts merge by addition,
+    * the ColumnAggregateFunction discipline the agg-MV surface uses).
+    * Keying the state on (hk, g) instead of hk alone is what makes the
+    * incremental probe collision-exact (r12 VERDICT ask #1): at the
+    * 100 TB target (~1e14 windows) birthday collisions against a
+    * multi-billion-key dup set fabricate spans under a 64-bit-only
+    * key, exactly the failure q215's batch phase 2 kills by
+    * re-grouping candidates on the full text. Cost: the state stores
+    * the 50-char window per DISTINCT window — O(corpus chars), the
+    * same asymptotic class as the paper's suffix array (which also
+    * keeps one pointer per char plus the corpus text resident), with a
+    * larger constant; the alternative (store (doc_id, i) pointers and
+    * re-fetch text from the corpus pile at probe time) trades state
+    * bytes for probe-time corpus reads and is the documented scale-out
+    * option. hk stays in the state so probe joins still shuffle on an
+    * 8-byte leading key and phase-1-style folds never touch text. */
+  private[graft] def dupSpanPartial(batch: DataFrame,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame =
+    charWindowHashes(batch, hashOf)
+      .groupBy(col("hk"), col("g")).agg(count(lit(1)).as("c"))
 
   /** q215's phase-1 candidate-join SHAPE, parameterized by the
     * `shuffle_hash` hint — used ONLY by `BroadcastAuditSpec` to prove

@@ -603,14 +603,16 @@ class StreamingSpec extends SparkTestBase {
     Ingest.streamDupSpanMaintain(spark, in, state)
     assert(files1.subsetOf(stateFiles()),
       "incremental ingest must not rewrite existing segments")
-    // folded segment counts ≡ from-scratch phase-1 dup-hash set (exact
-    // BIGINT sums — cross-batch duplicates only exist in the fold)
+    // folded segment counts ≡ from-scratch dup-WINDOW set (exact BIGINT
+    // sums on (hash, text) keys — cross-batch duplicates only exist in
+    // the fold, and the text key makes the set collision-exact)
     val merged = Ingest.dupHashView(spark.read.parquet(state))
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val direct = TextPipeline.dupSpanPartial(docs).filter(col("c") >= 2)
-      .select(col("hk")).collect().map(_.getLong(0)).toSet
+      .select(col("hk"), col("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(merged === direct && merged.nonEmpty,
-      "merged window-hash state must equal the batch phase-1 dup set")
+      "merged window state must equal the batch dup-window set")
     // probing HALF the corpus against the full state reproduces the
     // batch q215 pass restricted to those docs — without re-windowing
     // the other half
@@ -696,9 +698,9 @@ class StreamingSpec extends SparkTestBase {
     assert(lplan.contains("PartitionFilters") && lplan.contains("bbucket"))
 
     // dup-span: folded dup set identical; probe result identical;
-    // the compacted state has one row per distinct hk
+    // the compacted state has one row per distinct (hash, text) window
     def dupSet = Ingest.dupHashView(spark.read.parquet(span))
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     def probeRows = Ingest.dupSpanProbe(spark, span,
         docs.filter(col("doc_id") % 2 === 1))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
@@ -709,8 +711,8 @@ class StreamingSpec extends SparkTestBase {
     assert(probeRows === probeBefore,
       "dup-span compaction must not change probe results")
     val st = spark.read.parquet(span)
-    assert(st.count() === st.select(col("hk")).distinct().count(),
-      "compacted state must hold exactly one row per distinct window hash")
+    assert(st.count() === st.select(col("hk"), col("g")).distinct().count(),
+      "compacted state must hold exactly one row per distinct window")
     // a second compaction is a no-op fold of one segment
     Ingest.compactDupSpanState(spark, span)
     assert(dupSet === dupBefore)
@@ -726,10 +728,10 @@ class StreamingSpec extends SparkTestBase {
     Ingest.streamDupSpanMaintain(spark, in, state)
     val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dupSet = Ingest.dupHashView(spark.read.parquet(state))
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val want = dupSet
     def foldedToTmp(): Unit =
-      spark.read.parquet(state).groupBy(col("hk"))
+      spark.read.parquet(state).groupBy(col("hk"), col("g"))
         .agg(sum(col("c")).cast("long").as("c"))
         .write.mode("overwrite").parquet(state + ".compact-tmp/seg=-1")
     // crash AFTER the fold, BEFORE the demote: live intact + stale tmp
@@ -780,7 +782,7 @@ class StreamingSpec extends SparkTestBase {
     docs.limit(300).write.mode("overwrite").parquet(in)
     Ingest.streamDupSpanMaintain(spark, in, state)
     def dupSet = Ingest.dupHashView(spark.read.parquet(state))
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val want = dupSet
     // simulate the at-least-once replay window: the sink committed but
     // the checkpoint didn't — a restart reprocesses the SAME batch.
@@ -800,12 +802,222 @@ class StreamingSpec extends SparkTestBase {
     intercept[java.io.IOException] {
       Ingest.streamLshIngest(spark, base.toString + "/in2", lshIdx, buckets = 16)
     }
-    // and the probe reads the modulus from the index's marker, so a
-    // caller passing the wrong default still joins correctly
-    val probed = Ingest.lshProbe(spark, lshIdx, docs.limit(100), buckets = 16)
-    val direct = Ingest.lshProbe(spark, lshIdx, docs.limit(100), buckets = 8)
-    def pairSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairSet(probed) === pairSet(direct))
+    // mixed BANDING params are part of the index identity too
+    intercept[java.io.IOException] {
+      Ingest.streamLshIngest(spark, base.toString + "/in2", lshIdx, buckets = 8,
+        numHashes = 32, bandSize = 2)
+    }
+    // the probe reads modulus + banding from the index's markers (there
+    // is no caller-supplied value to get wrong), and still works
+    val probed = Ingest.lshProbe(spark, lshIdx, docs.limit(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.nonEmpty)
+  }
+
+  test("marker-ordering crash window: segments without markers are refused loudly") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-markerless")
+    val in = base.toString + "/in"
+    val lshIdx = base.toString + "/lsh"
+    docs.limit(100).write.mode("overwrite").parquet(in)
+    Ingest.streamLshIngest(spark, in, lshIdx, buckets = 8)
+    val fs = new Path(lshIdx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // markers are written BEFORE the stream starts, so segments imply
+    // markers; simulate the old crash window (or a foreign pile) by
+    // deleting them
+    assert(fs.delete(new Path(lshIdx + "/_buckets"), false))
+    // a re-ingest with a DIFFERENT modulus must refuse — defaulting to
+    // the caller's value would silently mix moduli in one pile (the
+    // r12 VERDICT #2 failure). Same for the probe.
+    val e1 = intercept[java.io.IOException] {
+      Ingest.streamLshIngest(spark, in, lshIdx, buckets = 16)
+    }
+    assert(e1.getMessage.contains("no _buckets marker"))
+    intercept[java.io.IOException] { Ingest.lshProbe(spark, lshIdx, docs.limit(10)) }
+    // even a SAME-modulus ingest refuses: with the marker gone there is
+    // nothing to verify the caller's value against
+    intercept[java.io.IOException] {
+      Ingest.streamLshIngest(spark, in, lshIdx, buckets = 8)
+    }
+    // operator restores the marker by hand (the prescribed recovery);
+    // now the banding marker is the remaining gap
+    def restore(name: String, content: String): Unit = {
+      val o = fs.create(new Path(lshIdx + "/" + name), true)
+      o.write(content.getBytes("UTF-8")); o.close()
+    }
+    restore("_buckets", "8")
+    assert(fs.delete(new Path(lshIdx + "/_banding"), false))
+    val e2 = intercept[java.io.IOException] {
+      Ingest.streamLshIngest(spark, in, lshIdx, buckets = 8, numHashes = 32, bandSize = 2)
+    }
+    assert(e2.getMessage.contains("no _banding marker"))
+    intercept[java.io.IOException] { Ingest.lshProbe(spark, lshIdx, docs.limit(10)) }
+    // a marker-only pile (crash after marker write, before any segment
+    // commit) is an EMPTY index, not an error
+    val fresh = base.toString + "/fresh"
+    val ffs = new Path(fresh).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ffs.mkdirs(new Path(fresh))
+    val out = ffs.create(new Path(fresh + "/_buckets"), true)
+    out.write("8".getBytes("UTF-8")); out.close()
+    assert(Ingest.lshProbe(spark, fresh, docs.limit(10)).isEmpty)
+  }
+
+  test("dupSpanProbe exact-confirm rejects a planted hash collision") {
+    // r12 VERDICT ask #1: at ~1e14 windows, 64-bit birthday collisions
+    // fabricate dup spans under a hash-only probe. Real xxhash64
+    // collisions aren't brute-forceable in a test, so the hashOf seam
+    // substitutes a TRUNCATED hash (mod 64) — collisions become
+    // constructible while the probe code path is byte-identical.
+    val trunc: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => pmod(xxhash64(c), lit(64))
+    // brute-force two DISTINCT 50-char texts with equal truncated hash
+    // (256 candidates into 64 buckets: a collision is guaranteed)
+    import spark.implicits._
+    val cands = (0 until 256).map(i => f"collision candidate number $i%03d " + "x" * 19)
+    cands.foreach(c => assert(c.length == 50))
+    val hashed = cands.toDF("g")
+      .select(col("g"), trunc(col("g")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (w1, w2) = hashed.groupBy(_._2).values.find(_.size >= 2)
+      .map(g => (g(0)._1, g(1)._1))
+      .getOrElse(fail("no truncated-hash collision among 256 candidates"))
+    assert(w1 != w2)
+    val base = Files.createTempDirectory("graft-collision")
+    val in = base.toString + "/in"
+    val state = base.toString + "/state"
+    import spark.implicits._
+    // Ingested corpus: docs 1 and 3 share text w1 (a TRUE duplicate);
+    // doc 2 holds w2 — same truncated hash as w1, DIFFERENT text (the
+    // planted collision). Hash-level count for the collided key is 3.
+    Seq((1L, w1), (2L, w2), (3L, w1)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    Ingest.streamDupSpanMaintain(spark, in, state, hashOf = trunc)
+    val hashCounts = spark.read.parquet(state)
+      .groupBy(col("hk")).agg(sum(col("c")).as("c"))
+      .filter(col("c") >= 3).count()
+    assert(hashCounts >= 1, "fixture must actually collide at the hash level")
+    // the pre-fix hash-only probe would fabricate a full-doc dup span
+    // for doc 2; the exact-confirm join must reject it (w2 occurs once)
+    val fabricated = Ingest.dupSpanProbe(spark, state,
+      Seq((2L, w2)).toDF("doc_id", "text"), hashOf = trunc)
+    assert(fabricated.isEmpty,
+      "exact-confirm must reject a hash collision: w2 occurs exactly once")
+    // true positives still pass: doc 3's window IS a real duplicate
+    val dup = Ingest.dupSpanProbe(spark, state,
+      Seq((3L, w1)).toDF("doc_id", "text"), hashOf = trunc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dup.toSeq === Seq((3L, 1L, 50L, 50L)),
+      s"a real duplicate window must still produce its span, got ${dup.toSeq}")
+  }
+
+  test("compaction refuses to fold inside the at-least-once replay window") {
+    // ADVICE r12 #1: sink-committed seg=N + lost checkpoint commit,
+    // then compaction, then restart ⇒ the replayed batch N double-
+    // counts (the fold already absorbed it into seg=-1). The guard
+    // requires the checkpoint's commit log to cover every live segment.
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-replay-guard")
+    val in = base.toString + "/in"
+    val state = base.toString + "/span"
+    docs.limit(200).write.mode("overwrite").parquet(in)
+    Ingest.streamDupSpanMaintain(spark, in, state)
+    def dupSet = Ingest.dupHashView(spark.read.parquet(state))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = dupSet
+    // simulate the lost checkpoint commit: seg=0 is durable but the
+    // commit log no longer covers it
+    val commit0 = new Path(state + "-ckpt/commits/0")
+    val fs = commit0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(commit0))
+    assert(fs.delete(commit0, false))
+    val e = intercept[java.io.IOException] { Ingest.compactDupSpanState(spark, state) }
+    assert(e.getMessage.contains("not yet committed"))
+    // ...and the same refusal if the whole checkpoint is missing
+    // (replay horizon unknowable). Restore by re-running the stream:
+    // the replayed batch overwrites seg=0 idempotently and re-commits.
+    Ingest.streamDupSpanMaintain(spark, in, state)
+    assert(dupSet === want)
+    Ingest.compactDupSpanState(spark, state) // now allowed
+    assert(dupSet === want, "post-replay compaction must preserve the state")
+  }
+
+  test("compaction crash recovery preserves the identity markers (promoted-tmp path)") {
+    // ADVICE r12 #2: the tmp generation must carry _buckets/_banding so
+    // recoverCompaction's promoted-tmp path (and a crash between the
+    // two renames) can never strand a marker-less pile.
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-marker-recovery")
+    val in = base.toString + "/in"
+    val lsh = base.toString + "/lsh"
+    val post = base.toString + "/post"
+    docs.limit(200).write.mode("overwrite").parquet(in)
+    Ingest.streamLshIngest(spark, in, lsh, buckets = 8)
+    Ingest.streamPostingsIngest(spark, in, post, buckets = 8)
+    val fs = new Path(lsh).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // LSH: compact (markers must ride into the generation), then
+    // reconstruct the between-renames crash state (live gone, folded
+    // generation at .compact-tmp) and recover
+    Ingest.compactLshIndex(spark, lsh)
+    assert(fs.rename(new Path(lsh), new Path(lsh + ".compact-tmp")))
+    assert(Ingest.recoverCompaction(spark, lsh) === "promoted-tmp")
+    assert(fs.exists(new Path(lsh + "/_buckets")),
+      "_buckets must survive promoted-tmp recovery")
+    assert(fs.exists(new Path(lsh + "/_banding")),
+      "_banding must survive promoted-tmp recovery")
+    // the recovered pile is fully usable: probe works without markers
+    // being restored by hand
+    assert(Ingest.lshProbe(spark, lsh, docs.limit(50)).columns
+      .sameElements(Array("new_doc", "old_doc")))
+    // postings: same contract
+    Ingest.compactPostings(spark, post)
+    assert(fs.rename(new Path(post), new Path(post + ".compact-tmp")))
+    assert(Ingest.recoverCompaction(spark, post) === "promoted-tmp")
+    assert(fs.exists(new Path(post + "/_buckets")),
+      "_buckets must survive promoted-tmp recovery (postings)")
+  }
+
+  test("segment-count policy triggers background compaction from ingest alone") {
+    // r12 VERDICT ask #5: the piles compact themselves when the
+    // maintenance tick sees the segment count cross the threshold —
+    // no manual compactor invocation anywhere in this test.
+    import graft.operators.TextPipeline
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-autocompact")
+    val in = base.toString + "/in"
+    val state = base.toString + "/span"
+    // policy unit contract
+    assert(!Ingest.SegmentCompactionPolicy.shouldCompact(1, 2))
+    assert(Ingest.SegmentCompactionPolicy.shouldCompact(2, 2))
+    assert(Ingest.SegmentCompactionPolicy.shouldCompact(5, 2))
+    assert(!Ingest.SegmentCompactionPolicy.shouldCompact(100, 0),
+      "maxSegments <= 0 disables the trigger")
+    def segDirs(): Set[String] = {
+      val d = new java.io.File(state)
+      if (!d.exists) Set.empty
+      else d.listFiles.map(_.getName).filter(_.startsWith("seg=")).toSet
+    }
+    // three batches with threshold 2: batch 1 leaves seg=0; batch 2
+    // crosses the threshold and folds into seg=-1; batch 3 appends
+    // seg=2 next to the compacted generation
+    for (i <- 0 until 3) {
+      docs.filter(col("doc_id") % 3 === i).write.mode("append").parquet(in)
+      Ingest.streamDupSpanMaintain(spark, in, state, autoCompactSegments = 2)
+    }
+    val dirs = segDirs()
+    assert(dirs.contains("seg=-1"),
+      s"ingest alone must have driven the pile through a compaction: $dirs")
+    assert(!dirs.contains("seg=0") && !dirs.contains("seg=1"),
+      s"folded segments must be gone from the pile: $dirs")
+    // reads unchanged vs the from-scratch computation
+    val folded = Ingest.dupHashView(spark.read.parquet(state))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val direct = TextPipeline.dupSpanPartial(docs).filter(col("c") >= 2)
+      .select(col("hk"), col("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(folded === direct && folded.nonEmpty,
+      "auto-compacted state must equal the from-scratch dup-window set")
   }
 }
