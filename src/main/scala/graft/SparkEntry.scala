@@ -27,7 +27,7 @@ object SparkEntry {
       operators.Pca.all ++ operators.Classifier.all ++
       operators.Evaluation.all ++ operators.SkewRemedy.all ++
       functions.BigIntSum.all ++ functions.ApproxTopK.all ++
-      streaming.Ingest.all ++
+      streaming.Ingest.all ++ streaming.CrawlPipeline.all ++
       operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

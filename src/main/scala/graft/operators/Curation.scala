@@ -562,33 +562,17 @@ object Curation {
     * Pure per-row map over one corpus scan — no shuffle; all-integer
     * output (ppm ratios via floor division), bit-deterministic.
     */
-  val q183GopherRules: QueryDef = QueryDef(
-    "q183_gopher_rules",
-    """WITH t AS (
-      |  SELECT doc_id, text,
-      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
-      |  FROM documents),
-      |m AS (SELECT doc_id, text, w,
-      |    CAST(len(w) AS BIGINT) AS n_words,
-      |    CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
-      |         (a,b) -> a + b) * 1000000 // len(w) AS BIGINT) AS mwl_ppm,
-      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
-      |         * 1000000 // len(w) AS BIGINT) AS alpha_ppm,
-      |    CAST(len(regexp_extract_all(text, '#|\.\.\.'))
-      |         * 1000000 // len(w) AS BIGINT) AS symbol_ppm,
-      |    CAST(len(list_filter(['the','a','be','to','of','and','that','have','with'],
-      |         s -> list_contains(w, s))) AS BIGINT) AS n_stop
-      |  FROM t WHERE len(w) > 0)
-      |SELECT doc_id, n_words, mwl_ppm, alpha_ppm, symbol_ppm, n_stop,
-      |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-      |    AND mwl_ppm BETWEEN 3000000 AND 10000000
-      |    AND symbol_ppm <= 100000 AND alpha_ppm >= 800000
-      |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
-      |FROM m""".stripMargin) { (s, d) =>
+  /** The q183 rule battery as a reusable per-document flag table:
+    * (doc_id, n_words, mwl_ppm, alpha_ppm, symbol_ppm, n_stop, pass).
+    * Shared by q183 and the crawl-pipeline capstone's quality gate
+    * ([[graft.streaming.CrawlPipeline]]). Documents with zero words are
+    * filtered out (they cannot pass; capstone callers left-join and
+    * treat absence as pass = 0). */
+  def gopherFlags(docsDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // Gopher's canonical list plus the indefinite article (the synthetic
     // corpus's function words are 'the'/'a'; real crawls hit the rest)
     val stop = Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
-    val t = Tables.documents(s, d)
+    val t = docsDf
       .select(col("doc_id"), col("text"),
         filter(split(trim(col("text")), "\\s+"), x => x =!= "").as("w"))
       .filter(size(col("w")) > 0)
@@ -612,6 +596,32 @@ object Curation {
           col("mwl_ppm").between(3000000L, 10000000L) &&
           col("symbol_ppm") <= 100000L && col("alpha_ppm") >= 800000L &&
           col("n_stop") >= 2L, 1L).otherwise(0L))
+  }
+
+  val q183GopherRules: QueryDef = QueryDef(
+    "q183_gopher_rules",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |m AS (SELECT doc_id, text, w,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
+      |         (a,b) -> a + b) * 1000000 // len(w) AS BIGINT) AS mwl_ppm,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+      |         * 1000000 // len(w) AS BIGINT) AS alpha_ppm,
+      |    CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+      |         * 1000000 // len(w) AS BIGINT) AS symbol_ppm,
+      |    CAST(len(list_filter(['the','a','be','to','of','and','that','have','with'],
+      |         s -> list_contains(w, s))) AS BIGINT) AS n_stop
+      |  FROM t WHERE len(w) > 0)
+      |SELECT doc_id, n_words, mwl_ppm, alpha_ppm, symbol_ppm, n_stop,
+      |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+      |    AND mwl_ppm BETWEEN 3000000 AND 10000000
+      |    AND symbol_ppm <= 100000 AND alpha_ppm >= 800000
+      |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM m""".stripMargin) { (s, d) =>
+    gopherFlags(Tables.documents(s, d))
   }
 
   /** Span-level exact dedup (the C4/CCNet paragraph-dedup shape,

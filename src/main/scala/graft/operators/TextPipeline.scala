@@ -22,8 +22,9 @@ object TextPipeline {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
-  /** Whitespace tokenization, shared by the operators below. */
-  private val tokens: Column = split(trim(col("text")), "\\s+")
+  /** Whitespace tokenization, shared by the operators below (and the
+    * crawl-pipeline capstone's confirm step). */
+  private[graft] val tokens: Column = split(trim(col("text")), "\\s+")
 
   // ------------------------------------------------------------ dedup
   /** Exact dedup via content hash ≙ hash-groupBy; keeps the smallest
@@ -42,7 +43,7 @@ object TextPipeline {
     * consumer needs the per-doc ARRAY (q63/q114 payloads), but
     * exploded-stream consumers should use [[distinctShingleRows]]
     * (the codegen window-lead form, measured 2.2× faster at sf0.1). */
-  private def shingles(toks: Column, n: Int): Column =
+  private[graft] def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))

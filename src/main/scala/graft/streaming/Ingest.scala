@@ -189,8 +189,9 @@ object Ingest {
         .withColumn("tbucket", pmod(abs(hash(col("term"))), lit(buckets)))
         .write.mode("overwrite").partitionBy("tbucket").parquet(seg(indexPath, id))
     }
-    if (SegmentCompactionPolicy.shouldCompact(segmentCount(spark, indexPath),
-        autoCompactSegments))
+    if (pileHasData(spark, indexPath) &&
+        SegmentCompactionPolicy.shouldCompact(segmentCount(spark, indexPath),
+          autoCompactSegments))
       compactPostings(spark, indexPath, buckets)
   }
 
@@ -229,8 +230,9 @@ object Ingest {
         .write.mode("overwrite").partitionBy("band", "bbucket")
         .parquet(seg(indexPath, id))
     }
-    if (SegmentCompactionPolicy.shouldCompact(segmentCount(spark, indexPath),
-        autoCompactSegments))
+    if (pileHasData(spark, indexPath) &&
+        SegmentCompactionPolicy.shouldCompact(segmentCount(spark, indexPath),
+          autoCompactSegments))
       compactLshIndex(spark, indexPath, buckets)
   }
 
@@ -348,6 +350,23 @@ object Ingest {
   private def segmentCount(spark: SparkSession, path: String): Long =
     segmentIds(spark, path).size.toLong
 
+  /** True iff the pile holds at least one parquet data file. An
+    * EMPTY-batch ingest can commit a segment directory with no part
+    * files (the write of a 0-partition frame emits only _SUCCESS);
+    * probing such a pile must be an empty result, and reading it via
+    * spark.read.parquet would throw schema inference errors — so the
+    * probes gate on data files, not directory existence. */
+  private def pileHasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
+  }
+
   /** Segment-pile background-compaction TRIGGER ≙ the reference's
     * delta-layer merge trigger (`shouldSplit`/delta-packs thresholds in
     * `/root/reference/dbms/src/Storages/DeltaMerge/DeltaMergeStore_InternalBg.cpp:572-637`
@@ -410,8 +429,8 @@ object Ingest {
   def lshProbe(spark: SparkSession, indexPath: String, batchDocs: DataFrame,
       buckets: Int = 16, maxBucket: Int = 32): DataFrame = {
     // first-boot ordering: probing a never-created (or created-but-
-    // empty) index is an empty result, not an AnalysisException
-    if (!segmentsPresent(spark, indexPath))
+    // data-less) index is an empty result, not an AnalysisException
+    if (!pileHasData(spark, indexPath))
       return spark.range(0)
         .select(col("id").as("new_doc"), col("id").as("old_doc"))
     // modulus AND banding params are part of the index's identity —
@@ -473,8 +492,9 @@ object Ingest {
       graft.operators.TextPipeline.dupSpanPartial(batch, hashOf)
         .write.mode("overwrite").parquet(seg(statePath, id))
     }
-    if (SegmentCompactionPolicy.shouldCompact(segmentCount(spark, statePath),
-        autoCompactSegments))
+    if (pileHasData(spark, statePath) &&
+        SegmentCompactionPolicy.shouldCompact(segmentCount(spark, statePath),
+          autoCompactSegments))
       compactDupSpanState(spark, statePath)
   }
 
@@ -507,9 +527,10 @@ object Ingest {
       hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         xxhash64(_)): DataFrame = {
     // first-boot ordering: probing before any maintenance run has
-    // created the state is an empty result, not an AnalysisException
+    // created (and populated) the state is an empty result, not an
+    // AnalysisException
     val dup =
-      if (pathExists(spark, statePath)) dupHashView(spark.read.parquet(statePath))
+      if (pileHasData(spark, statePath)) dupHashView(spark.read.parquet(statePath))
       else spark.range(0).select(col("id").as("hk"), lit("").as("g"))
     val hits = graft.operators.TextPipeline.charWindowHashes(batchDocs, hashOf)
       // corpus-derived: never broadcast (q215 rule)
@@ -563,8 +584,9 @@ object Ingest {
       prep = df => Tables.normalizeEventsTs(df)) { (batch, id) =>
       aggPartial(batch).write.mode("overwrite").parquet(seg(statePath, id))
     }
-    if (SegmentCompactionPolicy.shouldCompact(segmentCount(spark, statePath),
-        autoCompactSegments))
+    if (pileHasData(spark, statePath) &&
+        SegmentCompactionPolicy.shouldCompact(segmentCount(spark, statePath),
+          autoCompactSegments))
       compactAggState(spark, statePath)
   }
 

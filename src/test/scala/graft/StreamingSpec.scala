@@ -979,6 +979,96 @@ class StreamingSpec extends SparkTestBase {
       "_buckets must survive promoted-tmp recovery (postings)")
   }
 
+  test("crawl capstone: planted fixture hits every gate with first-failure attribution") {
+    import graft.streaming.CrawlPipeline
+    import spark.implicits._
+    // corpus: a benchmark doc (1000), a base doc (10), a span-source
+    // doc (20). Batch: one planted failure per gate + an accepted doc +
+    // an identical pair exercising keep-first.
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ") + " the of"
+    val t10 = words("base", 60)
+    val runR = "zebra quokka walrus mongoose ferret badger otter weasel stoat"
+    assert(runR.length >= 50, s"planted run must exceed the window width: ${runR.length}")
+    val t20 = words("src", 20) + " " + runR + " " + words("srctail", 20)
+    val corpus = Seq(
+      (10L, t10), (20L, t20), (1000L, benchText))
+    val batch = Seq(
+      // fails decontamination (8 consecutive bench words) AND gopher —
+      // attribution must pick the FIRST gate
+      (101L, "alpha beta gamma delta epsilon zeta eta theta " + words("c", 20)),
+      // near-dup of corpus doc 10 (one word changed, J ≈ 0.9); its dup
+      // spans are also over threshold — near_dup attributes first
+      (102L, t10.replace("base30", "changed")),
+      // heavy dup spans (the 61-char run from doc 20) but low Jaccard;
+      // total length keeps dup fraction > 20%
+      (103L, words("u", 20) + " " + runR),
+      // gopher-fail only (too short, nothing duplicated)
+      (104L, "the of tiny document"),
+      // clean: passes every gate
+      (105L, words("clean", 60)),
+      // identical pair: keep-first spares 106 from the near-dup gate
+      // (its only partner arrived LATER), but ExactSubstr semantics
+      // still mark BOTH copies' duplicated spans (Lee et al. remove
+      // the span text from every copy) — so 106 falls to dup_span
+      (106L, words("twin", 60)),
+      (107L, words("twin", 60)))
+    val base = Files.createTempDirectory("graft-capstone")
+    val in = base.toString + "/in"
+    val lsh = base.toString + "/lsh"
+    val span = base.toString + "/span"
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    Ingest.streamLshIngest(spark, in, lsh, numHashes = 32, bandSize = 2)
+    Ingest.streamDupSpanMaintain(spark, in, span)
+    batch.toDF("doc_id", "text").write.mode("append").parquet(in)
+    Ingest.streamLshIngest(spark, in, lsh, numHashes = 32, bandSize = 2)
+    Ingest.streamDupSpanMaintain(spark, in, span)
+    val corpusIds = corpus.map(_._1)
+    val out = CrawlPipeline.crawlGate(spark,
+      batchDocs = batch.toDF("doc_id", "text"),
+      benchDocs = Seq((1000L, benchText)).toDF("doc_id", "text"),
+      docsForConfirm = (corpus ++ batch).toDF("doc_id", "text"),
+      lshIndexPath = lsh, spanStatePath = span,
+      arrivedEarlier = (n, o) => o.isin(corpusIds: _*) || o < n)
+    val got = out.select(col("doc_id"), col("rejected_by"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.unpersist(blocking = true)
+    assert(got === Map(
+      101L -> "decontamination", 102L -> "near_dup", 103L -> "dup_span",
+      104L -> "gopher", 105L -> "accepted",
+      106L -> "dup_span", 107L -> "near_dup"),
+      s"per-gate attribution mismatch: $got")
+  }
+
+  test("crawl capstone: LSH-probe near-dup gate equals the exact Jaccard gate on the fixture") {
+    // The q258 oracle recomputes the near-dup gate as ALL-pairs exact
+    // Jaccard >= 0.5; the capstone computes it as incremental-LSH
+    // candidates + exact confirm. This contract pins their equivalence
+    // at HEAD on the real documents fixture (the (32,2) banding's
+    // per-pair miss probability at the fixture's J >= 0.8 planted dups
+    // is 8.4e-8; a banding/param regression would break this loudly).
+    import graft.streaming.CrawlPipeline
+    import graft.operators.TextPipeline
+    val out = CrawlPipeline.q258CrawlCapstone.fn(spark, sf)
+    val got = out.filter(col("near_dup") === 1L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    CacheHygiene.sweep(spark, "q258_crawl_capstone")
+    val sh = Tables.documents(spark, sf).select(col("doc_id"),
+      array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh"))
+    val a = sh.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id").as("ida"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("idb"), col("sh").as("shb"))
+    val exact = a.join(b, col("ida") =!= col("idb"))
+      .filter(col("idb") % 10 < 8 || col("idb") < col("ida"))
+      .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("ni").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("ni")) >= CrawlPipeline.JaccardThreshold)
+      .select(col("ida")).distinct().collect().map(_.getLong(0)).toSet
+    assert(got === exact && got.nonEmpty,
+      s"LSH+confirm gate must equal the exact gate (got ${got.size}, exact ${exact.size})")
+  }
+
   test("segment-count policy triggers background compaction from ingest alone") {
     // r12 VERDICT ask #5: the piles compact themselves when the
     // maintenance tick sees the segment count cross the threshold —
