@@ -35,6 +35,25 @@ object BenchBands {
   val Ratio = 1.25
   val SlackSec = 0.5
 
+  /** Idle-box median of the [[Bench.sentinelSec]] probe (this box IS
+    * the official driver box; calibrated r13 from fresh-JVM idle runs,
+    * see docs/BENCH_NOTES.md "r13 load sentinel"). The probe is pure
+    * scheduler + CPU over an in-memory range, so engine code changes
+    * cannot move it; only host load can. Recalibrate only from
+    * official-run sentinel readings on an adjudicated-idle box — the
+    * same official-readings-only policy the query bands follow. */
+  val SentinelBaselineSec = 0.125
+  val SentinelLoadRatio = 2.0
+
+  /** A run is load-suspect when ANY sentinel checkpoint (before / mid /
+    * after the sweep) inflates past the idle baseline by
+    * [[SentinelLoadRatio]]. The ratio is deliberately loose (2×, not
+    * the bands' 1.25×): the sentinel is sub-100 ms, so scheduler noise
+    * is proportionally larger than on full queries, and a false
+    * "suspect-load" stamp would un-adjudicate a REAL regression. */
+  def loadSuspect(sentinel: Seq[Double]): Boolean =
+    sentinel.nonEmpty && sentinel.max > SentinelBaselineSec * SentinelLoadRatio
+
   /** query name → best official driver seconds (min of BENCH_r08–r11;
     * r11 improved q19/q40/q51/q90/q123/q131/q186 — the trainer-cache
     * fix made q131's r11 reading 2.426 vs r10's 4.18, and q123's
@@ -68,14 +87,28 @@ object BenchBands {
 
   /** Flag timed queries outside their band; returns the breaches.
     * Headliners newer than BENCH_r08 have no band yet (flagged as
-    * `no-band` info lines so the table is extended next official run). */
-  def check(timed: Seq[(String, Double)]): Seq[String] = {
+    * `no-band` info lines so the table is extended next official run).
+    * When `sentinel` readings show host-load inflation
+    * ([[loadSuspect]]), each breach is stamped `suspect-load` — the
+    * mechanical form of the r10–r12 prose adjudications: the probe's
+    * work is code-invariant, so its inflation proves the box (not the
+    * engine) slowed down. Suspect-load breaches still return as
+    * breaches; the stamp tells the reader to re-run idle before
+    * treating them as regressions (docs/BENCH_NOTES.md protocol). */
+  def check(timed: Seq[(String, Double)],
+      sentinel: Seq[Double] = Nil): Seq[String] = {
+    val suspect = loadSuspect(sentinel)
+    if (sentinel.nonEmpty)
+      System.err.println(f"[bands] sentinel ${sentinel.map(s => f"$s%.3f").mkString("/")} s " +
+        f"vs idle baseline $SentinelBaselineSec%.3f s → " +
+        (if (suspect) "SUSPECT-LOAD run" else "load nominal"))
     val breaches = timed.flatMap { case (name, sec) =>
       bandFor(name) match {
         case Some(band) if sec > band =>
+          val stamp = if (suspect) " [suspect-load: sentinel inflated, re-run idle]" else ""
           System.err.println(
             f"[bands] BREACH $name: $sec%.2f s > band $band%.2f s " +
-              f"(driver baseline ${baseline(name)}%.2f s x $Ratio + $SlackSec)")
+              f"(driver baseline ${baseline(name)}%.2f s x $Ratio + $SlackSec)$stamp")
           Some(name)
         case None =>
           System.err.println(s"[bands] no-band $name (no official driver " +

@@ -34,4 +34,23 @@ class BenchBandsSpec extends AnyFunSuite {
     // unknown query → no breach (flagged as no-band, not failed)
     assert(BenchBands.check(Seq("q_new_headliner" -> 99.0)).isEmpty)
   }
+
+  test("load sentinel: inflated readings mark the run suspect-load") {
+    val idle = BenchBands.SentinelBaselineSec
+    // nominal: every checkpoint under the loose 2x ratio
+    assert(!BenchBands.loadSuspect(Seq(idle, idle * 1.5, idle)))
+    // ANY checkpoint past the ratio taints the run (mid-sweep throttle
+    // is exactly the r10-r12 pattern)
+    assert(BenchBands.loadSuspect(Seq(idle, idle * 2.5, idle)))
+    // no sentinel (older JSON / subset runs) → never suspect
+    assert(!BenchBands.loadSuspect(Nil))
+    // a breach under load is still RETURNED as a breach (the stamp is
+    // advisory; the bands' contract to the driver is unchanged)
+    val name = "q1_agg"
+    val band = BenchBands.bandFor(name).get
+    assert(BenchBands.check(Seq(name -> (band + 0.01)),
+      Seq(idle * 3)) === Seq(name))
+    assert(BenchBands.check(Seq(name -> (band - 0.01)),
+      Seq(idle * 3)).isEmpty)
+  }
 }
