@@ -91,7 +91,12 @@ object Plans {
       // returned frames are persisted materializations — the cached
       // plan under InMemoryTableScan is the reviewable shape)
       "q253_vocab_overlap", "q254_embargo_split", "q255_crawl_novelty",
-      "q256_heldout_perplexity", "q257_pagerank_dupgraph")
+      "q256_heldout_perplexity", "q257_pagerank_dupgraph",
+      // round-13: the crawl capstone (builds its piles via streaming
+      // maintenance, then probes them; the returned frame is the
+      // persisted gate assembly — the cached plan under
+      // InMemoryTableScan is the reviewable shape)
+      "q258_crawl_capstone")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")

@@ -94,8 +94,13 @@ object CrawlPipeline {
       .join(oldIds, col("doc_id") === col("old_doc"), "left_semi")
       .select(col("doc_id").as("old_doc"),
         array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh_old"))
+    // shuffle_hash, NOT broadcast (the q215 rule): shingle-array sides
+    // are batch-/candidate-scale — they grow with the ingest tick, and
+    // a static row estimate through agg+explode reads them as tiny at
+    // any SF. The joins key on doc ids, so they shuffle high-cardinality.
     val nearDup = cand
-      .join(newSh, "new_doc").join(oldSh, "old_doc")
+      .join(newSh.hint("shuffle_hash"), "new_doc")
+      .join(oldSh.hint("shuffle_hash"), "old_doc")
       .withColumn("ni", size(array_intersect(col("sh_new"), col("sh_old"))))
       .withColumn("j", col("ni").cast("double") /
         (size(col("sh_new")) + size(col("sh_old")) - col("ni")))
@@ -113,12 +118,15 @@ object CrawlPipeline {
       .select(col("doc_id"), col("pass").as("gopher_pass"))
 
     // ---- assembly: flags + verdict + first-failure attribution
+    // all four gate tables are batch-scale (one row per flagged/probed
+    // doc) — shuffle_hash on the shared doc_id key so none of them
+    // broadcasts at a large tick and one exchange per side is reused
     val out = batchDocs
       .select(col("doc_id"), length(col("text")).cast("long").as("nch"))
-      .join(contaminated, Seq("doc_id"), "left")
-      .join(nearDup, Seq("doc_id"), "left")
-      .join(spans, Seq("doc_id"), "left")
-      .join(gopher, Seq("doc_id"), "left")
+      .join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(nearDup.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(spans.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(gopher.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("contaminated"), lit(0L)).as("contaminated"),
         coalesce(col("near_dup"), lit(0L)).as("near_dup"),
@@ -135,6 +143,7 @@ object CrawlPipeline {
       .persist()
     out.count() // batch-sized result; swept by the harness after use
     bench.unpersist(blocking = true)
+    cand.unpersist(blocking = true) // lshProbe's materialized candidates
     out
   }
 

@@ -521,7 +521,11 @@ object Ingest {
     * first. Span merge reuses q215's gaps-and-islands kernel, so on a
     * fully-ingested corpus the probe of any doc subset EXACTLY equals
     * the batch q215 rows for those docs (`StreamingSpec` asserts it,
-    * plus a planted-collision contract via the `hashOf` seam). */
+    * plus a planted-collision contract via the `hashOf` seam).
+    * `hashOf` must be the SAME function the state was maintained with
+    * (it is a test seam, not a tuning knob): a mismatch yields empty
+    * joins — never false spans — because the text column still has to
+    * match. */
   def dupSpanProbe(spark: SparkSession, statePath: String,
       batchDocs: DataFrame,
       hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =

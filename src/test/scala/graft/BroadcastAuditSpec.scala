@@ -63,7 +63,15 @@ class BroadcastAuditSpec extends SparkTestBase {
     "q228_quantile_normalize", "q229_token_budget_select",
     "q233_stratified_kfold", "q240_decay_weighted_value",
     "q248_mutual_info", "q249_psi_drift", "q251_burstiness",
-    "q252_salted_skew_join")
+    "q252_salted_skew_join",
+    // r13 crawl capstone: the batch-scale sides (gate tables, shingle
+    // arrays) carry shuffle_hash hints; the two flags that REMAIN are
+    // bounded by construction — the benchmark-gram side of the
+    // decontamination confirm (the q212 reviewed reasoning) and the
+    // candidate-partner id set of the oldSh semi-join (≤ batch × cap
+    // rows, and broadcasting it is exactly what keeps the CORPUS side
+    // of that semi-join from shuffling)
+    "q258_crawl_capstone")
 
   test("no query outside the reviewed allowlist plans a corpus-derived broadcast (static, AQE off)") {
     val s = spark.newSession()
