@@ -461,10 +461,17 @@ object Ingest {
       .groupBy(col("band"), col("bbucket"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("old_ids"))
       .filter(size(col("old_ids")) <= maxBucket)
-    // materialize the (bounded: candidate-pair-sized) result while the
-    // banding cache is alive, then release it — the q215 discipline;
-    // the small persisted result is swept by the harness after use
-    val out = probe.join(idx, Seq("band", "bbucket", "bucket"))
+    // shuffle_hash, NOT broadcast (the q215 rule): the probe side is
+    // batch × nBands banding rows (grows with the ingest tick) and the
+    // pruned index side is still a corpus FRACTION (touched/total
+    // partitions of the whole index) — the static estimator reads both
+    // as small, and at a production tick broadcasting either is the
+    // 100 TB driver-OOM class. The join keys on the high-cardinality
+    // (band, bbucket, bucket), so the shuffle partitions evenly.
+    // Materialize the (bounded: candidate-pair-sized) result while the
+    // banding cache is alive, then release it; the small persisted
+    // result is swept by the harness after use.
+    val out = probe.join(idx.hint("shuffle_hash"), Seq("band", "bbucket", "bucket"))
       .select(col("new_doc"), explode(col("old_ids")).as("old_doc"))
       .filter(col("new_doc") =!= col("old_doc"))
       .distinct()
