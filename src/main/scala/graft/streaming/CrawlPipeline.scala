@@ -261,9 +261,17 @@ object CrawlPipeline {
       val in = s"$work/in"
       val lsh = s"$work/lsh"
       val span = s"$work/span"
-      corpus.write.mode("overwrite").parquet(in)
-      Ingest.streamLshIngest(s, in, lsh, numHashes = 32, bandSize = 2)
-      Ingest.streamDupSpanMaintain(s, in, span)
+      // an all-batch fixture (empty corpus) skips the corpus tick: an
+      // empty frame can write zero part files, which would fail the
+      // stream's schema inference; the batch then ingests as
+      // micro-batch 0 and the probes see batch-only state — the same
+      // "everything ingested so far" semantics
+      val corpusEmpty = corpus.isEmpty
+      if (!corpusEmpty) {
+        corpus.write.mode("overwrite").parquet(in)
+        Ingest.streamLshIngest(s, in, lsh, numHashes = 32, bandSize = 2)
+        Ingest.streamDupSpanMaintain(s, in, span)
+      }
       batch.write.mode("append").parquet(in)
       Ingest.streamLshIngest(s, in, lsh, numHashes = 32, bandSize = 2)
       Ingest.streamDupSpanMaintain(s, in, span)
