@@ -67,9 +67,11 @@ object CrawlPipeline {
       .withColumnRenamed("doc_id", "bench_id").persist()
     val nBench = bench.count()
     val batchGrams = Curation.corpusGrams(batchDocs, DecontamGramN)
+    var bloomBc: Option[org.apache.spark.broadcast.Broadcast[_]] = None
     val prefiltered = if (nBench == 0) batchGrams else {
       val bf = bench.stat.bloomFilter("gram", nBench, 0.01)
       val bc = spark.sparkContext.broadcast(bf)
+      bloomBc = Some(bc)
       val mightContain = udf((g: String) => bc.value.mightContainString(g))
       batchGrams.filter(mightContain(col("gram")))
     }
@@ -79,18 +81,27 @@ object CrawlPipeline {
       .withColumn("contaminated", lit(1L))
 
     // ---- gate 2: near-dup (incremental-index LSH probe + exact
-    // Jaccard confirm on distinct 3-gram shingle sets). maxBucket is
-    // raised vs the q61 default: the capstone's contract is exact
-    // equivalence to the J >= 0.5 gate, so degenerate-bucket skipping
-    // (a recall trade) is deferred to the confirm step, which kills
-    // oversize-bucket noise exactly. Candidates stay bounded by
-    // batch × bands × cap.
-    val cand = Ingest.lshProbe(spark, lshIndexPath, batchDocs, maxBucket = 256)
-    val newSh = batchDocs.select(col("doc_id").as("new_doc"),
-      array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh_new"))
+    // Jaccard confirm on distinct 3-gram shingle sets). The gate is
+    // DEFINED over documents of >= 3 tokens — shorter documents have no
+    // 3-gram banding rows (MinHash needs a full shingle) and are
+    // handled by the other gates (identical tiny docs fail gopher's
+    // 50-word floor; >= 50-char tiny dups fail dup_span) — and the
+    // oracle carries the same >= 3-token restriction, so both sides
+    // agree on short-doc semantics. maxBucket is raised vs the q61
+    // default AND the probe runs refuseDegenerate: the capstone's
+    // contract is exact equivalence to the J >= 0.5 gate, and a
+    // dropped over-cap bucket would silently under-match (its members
+    // never reach the confirm step) — so an over-cap bucket raises
+    // loudly instead. Candidates stay bounded by batch × bands × cap.
+    val cand = Ingest.lshProbe(spark, lshIndexPath, batchDocs,
+      maxBucket = 256, refuseDegenerate = true)
+    val minTokens = size(TextPipeline.tokens) >= 3
+    val newSh = batchDocs.filter(minTokens)
+      .select(col("doc_id").as("new_doc"),
+        array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh_new"))
     // partner text fetched only for candidate partners (bounded set)
     val oldIds = cand.select(col("old_doc")).distinct()
-    val oldSh = docsForConfirm
+    val oldSh = docsForConfirm.filter(minTokens)
       .join(oldIds, col("doc_id") === col("old_doc"), "left_semi")
       .select(col("doc_id").as("old_doc"),
         array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh_old"))
@@ -130,7 +141,11 @@ object CrawlPipeline {
       .select(col("doc_id"),
         coalesce(col("contaminated"), lit(0L)).as("contaminated"),
         coalesce(col("near_dup"), lit(0L)).as("near_dup"),
-        expr("coalesce(dup_chars, 0L) * 1000000L div nch").as("dup_span_ppm"),
+        // empty documents have no windows and no length to divide by:
+        // ppm is 0 by definition (ANSI `div` would raise 0 div 0)
+        when(col("nch") > 0L,
+          expr("coalesce(dup_chars, 0L) * 1000000L div nch"))
+          .otherwise(0L).as("dup_span_ppm"),
         coalesce(col("gopher_pass"), lit(0L)).as("gopher_pass"))
       .withColumn("rejected_by",
         when(col("contaminated") === 1L, "decontamination")
@@ -144,6 +159,12 @@ object CrawlPipeline {
     out.count() // batch-sized result; swept by the harness after use
     bench.unpersist(blocking = true)
     cand.unpersist(blocking = true) // lshProbe's materialized candidates
+    // drop the bloom's executor-resident copies — a per-tick gate loop
+    // would otherwise accumulate one broadcast per invocation until the
+    // block manager fills (CacheHygiene sweeps frames, not broadcasts);
+    // unpersist (not destroy) keeps a recompute of the materialized
+    // `out` legal: executors re-fetch from the driver on demand
+    bloomBc.foreach(_.unpersist(false))
     out
   }
 
@@ -180,7 +201,8 @@ object CrawlPipeline {
       |      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1)),
       |      i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i+1, i+3), ' ')
       |    )) AS sh
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
       |nd AS (SELECT DISTINCT a.doc_id
       |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
       |  WHERE a.doc_id % 10 >= 8
@@ -227,7 +249,9 @@ object CrawlPipeline {
       |f AS (SELECT b.doc_id,
       |    CAST(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
       |    CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS near_dup,
-      |    CAST(COALESCE(d.dup_chars, 0) * 1000000 // length(b.text) AS BIGINT) AS dup_span_ppm,
+      |    CAST(CASE WHEN length(b.text) = 0 THEN 0
+      |      ELSE COALESCE(d.dup_chars, 0) * 1000000 // length(b.text)
+      |      END AS BIGINT) AS dup_span_ppm,
       |    CAST(COALESCE(g.pass, 0) AS BIGINT) AS gopher_pass
       |  FROM batch b
       |  LEFT JOIN contam c ON b.doc_id = c.doc_id
@@ -275,6 +299,13 @@ object CrawlPipeline {
       batch.write.mode("append").parquet(in)
       Ingest.streamLshIngest(s, in, lsh, numHashes = 32, bandSize = 2)
       Ingest.streamDupSpanMaintain(s, in, span)
+      // the staging copy and checkpoints are NOT in the gate's lineage
+      // (only the piles are) — delete them so repeated runs don't
+      // accumulate a corpus copy per invocation in the temp dir
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(in, s"$lsh-ckpt", s"$span-ckpt").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
       crawlGate(s, batch,
         benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
         docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,

@@ -255,11 +255,27 @@ object Ingest {
     }
   }
 
+  /** Marker writes are crash-atomic and idempotent: a marker's value
+    * can never legally change once written (requireConsistent* verified
+    * equality first), so an existing marker is left untouched — a
+    * truncate-and-rewrite on every tick would open a crash window that
+    * leaves a 0-byte marker (and a torn concurrent read could parse a
+    * PREFIX of the value, silently dropping matches). Fresh markers are
+    * written to a temp sibling and renamed into place. */
   private def writeMarker(spark: SparkSession,
       p: org.apache.hadoop.fs.Path, content: String): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    if (fs.exists(p)) return // immutable once present (verified equal)
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
     out.write(content.getBytes("UTF-8")); out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, true)
+      // lost a race with a concurrent writer of the SAME value (markers
+      // are verified-equal before any write) — the pile is consistent
+      if (!fs.exists(p)) throw new java.io.IOException(
+        s"marker write failed for $p")
+    }
   }
 
   private def writeBucketsMarker(spark: SparkSession, path: String,
@@ -276,7 +292,11 @@ object Ingest {
   private def readBucketsMarker(spark: SparkSession, path: String,
       default: Int): Int =
     readMarker(spark, bucketsMarkerPath(path)) match {
-      case Some(s) => s.toInt
+      case Some(s) =>
+        try s.toInt catch { case _: NumberFormatException =>
+          throw new java.io.IOException( // loud, prescriptive — never a bare parse error
+            s"corrupt _buckets marker at $path (content: '$s'); restore it or rebuild the pile")
+        }
       case None =>
         if (segmentsPresent(spark, path)) throw new java.io.IOException(
           s"index at $path has segments but no _buckets marker; refusing to " +
@@ -307,7 +327,11 @@ object Ingest {
       default: (Int, Int)): (Int, Int) =
     readMarker(spark, bandingMarkerPath(path)) match {
       case Some(s) =>
-        val parts = s.split("\\s+"); (parts(0).toInt, parts(1).toInt)
+        try { val parts = s.split("\\s+"); (parts(0).toInt, parts(1).toInt) }
+        catch { case _: RuntimeException =>
+          throw new java.io.IOException(
+            s"corrupt _banding marker at $path (content: '$s'); restore it or rebuild the pile")
+        }
       case None =>
         if (segmentsPresent(spark, path)) throw new java.io.IOException(
           s"LSH index at $path has segments but no _banding marker; refusing " +
@@ -321,11 +345,6 @@ object Ingest {
     if (stored != ((numHashes, bandSize))) throw new java.io.IOException(
       s"LSH index at $path was built with (numHashes, bandSize)=$stored; " +
         s"refusing ingest with (${numHashes}, ${bandSize})")
-  }
-
-  private def pathExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** seg=N (N ≥ 0) directories currently in a pile — the ingested,
@@ -427,7 +446,7 @@ object Ingest {
     * (boilerplate skew, the q61 cap discipline — bounds join fan-out
     * at cap per probe row regardless of index skew). */
   def lshProbe(spark: SparkSession, indexPath: String, batchDocs: DataFrame,
-      buckets: Int = 16, maxBucket: Int = 32): DataFrame = {
+      maxBucket: Int = 32, refuseDegenerate: Boolean = false): DataFrame = {
     // first-boot ordering: probing a never-created (or created-but-
     // data-less) index is an empty result, not an AnalysisException
     if (!pileHasData(spark, indexPath))
@@ -457,10 +476,27 @@ object Ingest {
     val prune = touched
       .map { case (bd, bb) => col("band") === bd && col("bbucket") === bb }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val idx = spark.read.parquet(indexPath).filter(prune)
+    val grouped = spark.read.parquet(indexPath).filter(prune)
       .groupBy(col("band"), col("bbucket"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("old_ids"))
-      .filter(size(col("old_ids")) <= maxBucket)
+    // The degenerate-bucket cap bounds join fan-out under boilerplate
+    // skew (the q61 discipline) at the price of RECALL: members of a
+    // dropped bucket never reach any downstream confirm step. Callers
+    // whose contract is exactness (the crawl capstone's oracle-verified
+    // gate) set refuseDegenerate — a touched over-cap bucket then
+    // raises loudly instead of silently under-matching, telling the
+    // operator to raise the cap or accept the approximation.
+    if (refuseDegenerate) {
+      val over = grouped.filter(size(col("old_ids")) > maxBucket).count()
+      if (over > 0) {
+        probe.unpersist(blocking = true)
+        throw new java.io.IOException(
+          s"lshProbe: $over touched (band, bucket) group(s) exceed maxBucket=" +
+            s"$maxBucket in $indexPath — raise the cap (exactness contract) " +
+            "or probe with refuseDegenerate=false (bounded, approximate)")
+      }
+    }
+    val idx = grouped.filter(size(col("old_ids")) <= maxBucket)
     // shuffle_hash, NOT broadcast (the q215 rule): the probe side is
     // batch × nBands banding rows (grows with the ingest tick) and the
     // pruned index side is still a corpus FRACTION (touched/total

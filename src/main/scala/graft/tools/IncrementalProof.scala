@@ -41,11 +41,16 @@ object IncrementalProof {
       // call processes ONLY the new files (AvailableNow + checkpoint)
       docs.filter(pmod(col("doc_id"), lit(n)) === i)
         .write.mode("append").parquet(in)
+      // autoCompactSegments = 0: this tool measures INGEST cost — a
+      // policy-triggered O(pile) fold inside the timer at nBatches >= 8
+      // would corrupt the flat-cost reading it exists to take
       val t0 = System.nanoTime()
-      graft.streaming.Ingest.streamLshIngest(spark, in, lshIdx)
+      graft.streaming.Ingest.streamLshIngest(spark, in, lshIdx,
+        autoCompactSegments = 0)
       val lshSec = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      graft.streaming.Ingest.streamDupSpanMaintain(spark, in, spanState)
+      graft.streaming.Ingest.streamDupSpanMaintain(spark, in, spanState,
+        autoCompactSegments = 0)
       val spanSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"batch":$i,"lshSec":$lshSec%.2f,"spanSec":$spanSec%.2f,"corpusBatchesBefore":$i}""")
     }

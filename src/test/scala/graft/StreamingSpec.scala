@@ -993,7 +993,7 @@ class StreamingSpec extends SparkTestBase {
     assert(runR.length >= 50, s"planted run must exceed the window width: ${runR.length}")
     val t20 = words("src", 20) + " " + runR + " " + words("srctail", 20)
     val corpus = Seq(
-      (10L, t10), (20L, t20), (1000L, benchText))
+      (10L, t10), (20L, t20), (30L, "tiny pair"), (1000L, benchText))
     val batch = Seq(
       // fails decontamination (8 consecutive bench words) AND gopher —
       // attribution must pick the FIRST gate
@@ -1013,7 +1013,15 @@ class StreamingSpec extends SparkTestBase {
       // still mark BOTH copies' duplicated spans (Lee et al. remove
       // the span text from every copy) — so 106 falls to dup_span
       (106L, words("twin", 60)),
-      (107L, words("twin", 60)))
+      (107L, words("twin", 60)),
+      // EMPTY text: zero windows, zero length — dup_span_ppm must be 0
+      // by definition, not an ANSI 0-div-0 crash (r13 review finding)
+      (108L, ""),
+      // identical 2-token pair (one copy in corpus as doc 30): the
+      // near-dup gate is DEFINED over >= 3-token docs (no 3-gram bands
+      // exist below that), so 109 falls through to gopher — the same
+      // verdict the oracle's >= 3-token-restricted sh CTE produces
+      (109L, "tiny pair"))
     val base = Files.createTempDirectory("graft-capstone")
     val in = base.toString + "/in"
     val lsh = base.toString + "/lsh"
@@ -1037,8 +1045,55 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Map(
       101L -> "decontamination", 102L -> "near_dup", 103L -> "dup_span",
       104L -> "gopher", 105L -> "accepted",
-      106L -> "dup_span", 107L -> "near_dup"),
+      106L -> "dup_span", 107L -> "near_dup",
+      108L -> "gopher", 109L -> "gopher"),
       s"per-gate attribution mismatch: $got")
+  }
+
+  test("lshProbe refuseDegenerate raises on an over-cap bucket instead of silently under-matching") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-degenerate")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/lsh"
+    // three identical >= 3-token docs: every (band, bucket) group they
+    // band into has 3 members
+    val text = (1 to 20).map(i => s"boiler$i").mkString(" ")
+    Seq((1L, text), (2L, text), (3L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    Ingest.streamLshIngest(spark, in, idx)
+    val probe = Seq((9L, text)).toDF("doc_id", "text")
+    // exactness contract: over-cap buckets refuse loudly
+    val e = intercept[java.io.IOException] {
+      Ingest.lshProbe(spark, idx, probe, maxBucket = 2, refuseDegenerate = true)
+    }
+    assert(e.getMessage.contains("exceed maxBucket"))
+    // bounded contract (the default): the same probe silently skips the
+    // degenerate buckets — approximate by design, never an error
+    assert(Ingest.lshProbe(spark, idx, probe, maxBucket = 2).isEmpty)
+    // and with an adequate cap the pairs come through
+    assert(Ingest.lshProbe(spark, idx, probe, maxBucket = 32,
+      refuseDegenerate = true).count() === 3)
+  }
+
+  test("a corrupt (truncated) identity marker is a loud prescriptive refusal, not a parse error") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-corrupt-marker")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/lsh"
+    val text = (1 to 20).map(i => s"word$i").mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    Ingest.streamLshIngest(spark, in, idx)
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the torn-write crash state: a 0-byte _buckets marker
+    val out = fs.create(new Path(idx + "/_buckets"), true); out.close()
+    val e = intercept[java.io.IOException] {
+      Ingest.lshProbe(spark, idx, Seq((9L, text)).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("corrupt _buckets marker"))
+    // markers are immutable once present: a re-ingest must NOT "heal"
+    // (truncate-and-rewrite) a corrupt marker silently — same refusal
+    intercept[java.io.IOException] { Ingest.streamLshIngest(spark, in, idx) }
   }
 
   test("crawl capstone: LSH-probe near-dup gate equals the exact Jaccard gate on the fixture") {
