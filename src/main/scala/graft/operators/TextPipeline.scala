@@ -1104,6 +1104,24 @@ object TextPipeline {
     charWindowHashes(batch, hashOf)
       .groupBy(col("hk"), col("g")).agg(count(lit(1)).as("c"))
 
+  /** The POINTER-state form of [[dupSpanPartial]]: one row per distinct
+    * in-batch window TEXT, but the text itself is dropped after the
+    * grouping — kept instead is a deterministic representative
+    * occurrence (the minimum (doc_id, i)) the probe can re-fetch the
+    * text from. 28 bytes per distinct window vs ~66 with the text
+    * resident; distinct texts colliding on hk stay separate ROWS (the
+    * grouping saw g), so the state never pools collision counts —
+    * exactness moves to the probe's fetch-and-compare. */
+  private[graft] def dupSpanPartialPtr(batch: DataFrame,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame =
+    charWindowHashes(batch, hashOf)
+      .groupBy(col("hk"), col("g"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("i"))).as("rep"))
+      .select(col("hk"), col("rep.doc_id").as("o_doc"),
+        col("rep.i").as("o_i"), col("c"))
+
   /** q215's phase-1 candidate-join SHAPE, parameterized by the
     * `shuffle_hash` hint — used ONLY by `BroadcastAuditSpec` to prove
     * the audit gate is NECESSARY, not merely sufficient: the unhinted

@@ -519,13 +519,16 @@ object Ingest {
 
   /** Incremental ExactSubstr (q215) index maintenance — the
     * delta-merge posture applied to the Lee-et-al dup-span pass: each
-    * micro-batch appends its PARTIAL 50-char-window hash counts
-    * ([[graft.operators.TextPipeline.dupSpanPartial]], 8-byte keys,
-    * counts merge by addition like the agg-MV states) as an immutable
-    * segment. Ingest cost per batch is O(batch chars), never
-    * O(corpus); nothing existing is rewritten. The same asymptotic
-    * unit as the paper's suffix array (one entry per char), stored as
-    * mergeable aggregate state instead of a monolithic index. */
+    * micro-batch appends its PARTIAL 50-char-window counts keyed on
+    * (hash, window TEXT)
+    * ([[graft.operators.TextPipeline.dupSpanPartial]]; counts merge by
+    * addition like the agg-MV states) as an immutable segment. Ingest
+    * cost per batch is O(batch chars), never O(corpus); nothing
+    * existing is rewritten. The same asymptotic unit as the paper's
+    * suffix array (one entry per char), stored as mergeable aggregate
+    * state instead of a monolithic index. See
+    * [[streamDupSpanMaintainPtr]] for the pointer-state variant that
+    * trades the stored text for probe-time corpus fetches. */
   def streamDupSpanMaintain(spark: SparkSession, inputDir: String,
       statePath: String,
       hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -584,6 +587,111 @@ object Ingest {
       .join(dup.hint("shuffle_hash"), Seq("hk", "g"))
       .select(col("doc_id"), col("i"), (col("i") + 49).as("e"))
     graft.operators.TextPipeline.mergeSpans(hits)
+  }
+
+  // ---------------------------------------------------------------
+  // Pointer-state ExactSubstr variant (the documented scale-out trade
+  // of the text-resident state above, r13): the per-batch partial
+  // keeps one row per distinct in-batch window TEXT but stores a
+  // representative OCCURRENCE pointer (min (doc_id, i)) instead of
+  // the 50-char text — 28 bytes per distinct window vs ~66. The
+  // probe's exact-confirm then re-fetches each candidate's window
+  // text FROM THE CORPUS TABLE (substring at the pointer) and
+  // compares — still collision-exact, at the price of one corpus-
+  // table pass per probe tick (shuffled on doc_id), where the
+  // text-state probe touches nothing but the batch and the folded
+  // state. Pick per deployment: state bytes (this variant) vs
+  // probe-time corpus IO (the default). Distinct texts colliding on
+  // hk remain separate state ROWS (the partial grouped on (hk, g)
+  // before dropping g), so counts never pool across a collision.
+
+  /** Pointer-state maintenance; same segment/replay/compaction
+    * lifecycle as [[streamDupSpanMaintain]]. Auto-compaction uses the
+    * REWRITE form (file-count hygiene — rows are per-(batch, text)
+    * facts that cannot fold without the text); the true delta-merge
+    * fold is [[compactDupSpanStatePtrFold]], which re-fetches texts
+    * from the corpus (an offline background job by design). */
+  def streamDupSpanMaintainPtr(spark: SparkSession, inputDir: String,
+      statePath: String,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_),
+      autoCompactSegments: Int = SegmentCompactionPolicy.DefaultMaxSegments): Unit = {
+    runAvailableNow(spark, inputDir, s"$statePath-ckpt") { (batch, id) =>
+      graft.operators.TextPipeline.dupSpanPartialPtr(batch, hashOf)
+        .write.mode("overwrite").parquet(seg(statePath, id))
+    }
+    if (pileHasData(spark, statePath) &&
+        SegmentCompactionPolicy.shouldCompact(segmentCount(spark, statePath),
+          autoCompactSegments))
+      compactDupSpanStatePtr(spark, statePath)
+  }
+
+  /** Pointer-state dedup-at-ingest probe — semantics identical to
+    * [[dupSpanProbe]] (collision-EXACT maximal dup spans of the batch
+    * vs everything ingested), mechanics per the trade above: candidate
+    * (batch window × state row) pairs meet on the 8-byte hash, each
+    * candidate's representative text is fetched from `corpusDocs`
+    * (substring at the stored pointer) and compared to the batch
+    * window's text, and a window is duplicated iff its CONFIRMED
+    * occurrence count reaches 2. `corpusDocs` must be the ingested
+    * corpus (batch included) — the pointers index into it. */
+  def dupSpanProbePtr(spark: SparkSession, statePath: String,
+      corpusDocs: DataFrame, batchDocs: DataFrame,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
+    if (!pileHasData(spark, statePath))
+      return graft.operators.TextPipeline.mergeSpans(spark.range(0)
+        .select(col("id").as("doc_id"), col("id").as("i"), col("id").as("e")))
+    val st = spark.read.parquet(statePath)
+      .select(col("hk"), col("o_doc"), col("o_i"), col("c"))
+    val w = graft.operators.TextPipeline.charWindowHashes(batchDocs, hashOf)
+    // corpus-derived sides: never broadcast (q215 rule) — candidates
+    // meet on the hash, then the corpus pass fetches candidate texts
+    val cand = w.join(st.hint("shuffle_hash"), "hk")
+    val confirmed = cand
+      .join(corpusDocs.select(col("doc_id").as("o_doc"),
+          col("text").as("o_text")).hint("shuffle_hash"), "o_doc")
+      .filter(expr("substring(o_text, o_i, 50)") === col("g"))
+    val hits = confirmed.groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("c")).cast("long").as("tot"))
+      .filter(col("tot") >= 2)
+      .select(col("doc_id"), col("i"), (col("i") + 49).as("e"))
+    graft.operators.TextPipeline.mergeSpans(hits)
+  }
+
+  /** Rewrite-form compaction for the pointer pile: consolidates the
+    * accumulated small-file segments into one generation WITHOUT
+    * folding (per-(batch, text) rows cannot merge text-free) —
+    * read-identical by construction, file-count hygiene only. */
+  def compactDupSpanStatePtr(spark: SparkSession, statePath: String): Unit = {
+    requireCheckpointCaughtUp(spark, statePath)
+    promoteCompacted(spark, statePath) { tmp =>
+      spark.read.parquet(statePath).drop("seg")
+        .write.mode("overwrite").parquet(compactedSeg(tmp))
+    }
+  }
+
+  /** Fold-form compaction for the pointer pile — the true delta-merge:
+    * re-fetches every representative's text from the corpus, re-groups
+    * on (hash, text), and keeps the global-minimum representative with
+    * the summed count — one row per distinct corpus window, exactly the
+    * text-state fold's cardinality. Costs a corpus pass (offline
+    * background job by design, like the reference's delta-merge). */
+  def compactDupSpanStatePtrFold(spark: SparkSession, statePath: String,
+      corpusDocs: DataFrame): Unit = {
+    requireCheckpointCaughtUp(spark, statePath)
+    promoteCompacted(spark, statePath) { tmp =>
+      spark.read.parquet(statePath).drop("seg")
+        .join(corpusDocs.select(col("doc_id").as("o_doc"),
+            col("text").as("o_text")).hint("shuffle_hash"), "o_doc")
+        .withColumn("g", expr("substring(o_text, o_i, 50)"))
+        .groupBy(col("hk"), col("g"))
+        .agg(sum(col("c")).cast("long").as("c"),
+          min(struct(col("o_doc"), col("o_i"))).as("rep"))
+        .select(col("hk"), col("rep.o_doc").as("o_doc"),
+          col("rep.o_i").as("o_i"), col("c"))
+        .write.mode("overwrite").parquet(compactedSeg(tmp))
+    }
   }
 
   /** Read-side merge of postings segments: per term, concatenate the

@@ -1050,6 +1050,78 @@ class StreamingSpec extends SparkTestBase {
       s"per-gate attribution mismatch: $got")
   }
 
+  test("pointer-state ExactSubstr: probe ≡ text-state probe ≡ q215; both compaction forms read-identical") {
+    import graft.operators.TextPipeline
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-ptr-dupspan")
+    val in = base.toString + "/in"
+    val state = base.toString + "/state"
+    // same two-batch ingest as the text-state contract
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in)
+    Ingest.streamDupSpanMaintainPtr(spark, in, state)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(in)
+    Ingest.streamDupSpanMaintainPtr(spark, in, state)
+    def spanRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def probePtr = spanRows(Ingest.dupSpanProbePtr(spark, state,
+      corpusDocs = docs, batchDocs = docs.filter(col("doc_id") % 2 === 1)))
+    val got = probePtr
+    // ≡ the batch q215 rows for the probed docs (the text-state probe's
+    // own contract proves ITS equality to q215, so this chains all three)
+    val full = spanRows(TextPipeline.q215DupSpans.fn(spark, sf)
+      .filter(col("doc_id") % 2 === 1))
+    CacheHygiene.sweep(spark, "q215_dup_spans")
+    assert(got === full && got.nonEmpty,
+      s"pointer probe must equal q215's rows (ptr ${got.size}, q215 ${full.size})")
+    // state really is pointer-shaped: no text column resident
+    assert(!spark.read.parquet(state).columns.contains("g"))
+    // rewrite compaction: read-identical, one generation
+    Ingest.compactDupSpanStatePtr(spark, state)
+    assert(probePtr === full, "rewrite compaction must not change probe results")
+    // fold compaction (corpus pass): read-identical AND collapsed to
+    // one row per distinct corpus window text
+    Ingest.compactDupSpanStatePtrFold(spark, state, docs)
+    assert(probePtr === full, "fold compaction must not change probe results")
+    val st = spark.read.parquet(state)
+    val distinctTexts = TextPipeline.dupSpanPartial(docs)
+      .select(col("hk"), col("g")).distinct().count()
+    assert(st.count() === distinctTexts,
+      "folded pointer state must hold one row per distinct window text")
+    // first-boot safety
+    assert(Ingest.dupSpanProbePtr(spark, base.toString + "/nope", docs,
+      docs.limit(5)).isEmpty)
+  }
+
+  test("pointer-state probe rejects a planted hash collision via the corpus fetch") {
+    // same planted fixture as the text-state contract — exactness here
+    // comes from re-fetching the representative's text, not storing it
+    val trunc: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => pmod(xxhash64(c), lit(64))
+    import spark.implicits._
+    val cands = (0 until 256).map(i => f"collision candidate number $i%03d " + "x" * 19)
+    val hashed = cands.toDF("g")
+      .select(col("g"), trunc(col("g")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (w1, w2) = hashed.groupBy(_._2).values.find(_.size >= 2)
+      .map(g => (g(0)._1, g(1)._1))
+      .getOrElse(fail("no truncated-hash collision among 256 candidates"))
+    val base = Files.createTempDirectory("graft-ptr-collision")
+    val in = base.toString + "/in"
+    val state = base.toString + "/state"
+    val corpus = Seq((1L, w1), (2L, w2), (3L, w1)).toDF("doc_id", "text")
+    corpus.write.mode("overwrite").parquet(in)
+    Ingest.streamDupSpanMaintainPtr(spark, in, state, hashOf = trunc)
+    assert(Ingest.dupSpanProbePtr(spark, state, corpus,
+      Seq((2L, w2)).toDF("doc_id", "text"), hashOf = trunc).isEmpty,
+      "fetch-and-compare must reject a hash collision: w2 occurs exactly once")
+    val dup = Ingest.dupSpanProbePtr(spark, state, corpus,
+      Seq((3L, w1)).toDF("doc_id", "text"), hashOf = trunc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dup.toSeq === Seq((3L, 1L, 50L, 50L)),
+      s"a real duplicate must still produce its span, got ${dup.toSeq}")
+  }
+
   test("lshProbe refuseDegenerate raises on an over-cap bucket instead of silently under-matching") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-degenerate")
