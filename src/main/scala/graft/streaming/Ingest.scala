@@ -261,20 +261,37 @@ object Ingest {
     * truncate-and-rewrite on every tick would open a crash window that
     * leaves a 0-byte marker (and a torn concurrent read could parse a
     * PREFIX of the value, silently dropping matches). Fresh markers are
-    * written to a temp sibling and renamed into place. */
-  private def writeMarker(spark: SparkSession,
+    * written to a temp sibling and renamed into place.
+    *
+    * Race hardening (ADVICE r13 #2): requireConsistent* passes on an
+    * EMPTY pile, so two concurrent FIRST ingests with different
+    * identities both reach this writer — treating the loser as a
+    * same-value writer would let it continue ingesting with its own
+    * modulus while the pile's marker records the winner's (exactly the
+    * silent mixed-modulus state the markers exist to prevent). Every
+    * lost race therefore re-reads the surviving marker and refuses
+    * loudly unless it matches this writer's intended value. */
+  private[graft] def writeMarker(spark: SparkSession,
       p: org.apache.hadoop.fs.Path, content: String): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) return // immutable once present (verified equal)
+    def verifySurviving(): Unit = {
+      val surviving = readMarker(spark, p)
+      if (!surviving.contains(content)) throw new java.io.IOException(
+        s"marker race at $p: a concurrent first-ingest recorded " +
+          s"'${surviving.getOrElse("<missing>")}' where this writer intended " +
+          s"'$content' — two ingests with different identities raced on an " +
+          "empty pile; pick ONE identity and rebuild before ingesting further")
+    }
+    // immutable once present — but verify, don't assume: the marker may
+    // have appeared between the caller's requireConsistent* check and
+    // now (the concurrent-first-ingest window)
+    if (fs.exists(p)) { verifySurviving(); return }
     val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
     val out = fs.create(tmp, true)
     out.write(content.getBytes("UTF-8")); out.close()
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, true)
-      // lost a race with a concurrent writer of the SAME value (markers
-      // are verified-equal before any write) — the pile is consistent
-      if (!fs.exists(p)) throw new java.io.IOException(
-        s"marker write failed for $p")
+      verifySurviving() // lost the rename race: only a same-value winner is legal
     }
   }
 
@@ -461,60 +478,164 @@ object Ingest {
     // the banding job is O(batch shingles) — the probe's advertised
     // cost. It feeds TWO consumers (the touched-partition collect and
     // the join's probe side), so persist it for the probe's lifetime
-    // or the whole job runs twice (ADVICE r12 #4).
+    // or the whole job runs twice (ADVICE r12 #4). Released in the
+    // finally (ADVICE r13 #1): a transient executor/IO failure in any
+    // of the jobs below must not strand the cache in a long-running
+    // per-tick gate loop.
     val probe = graft.operators.TextPipeline.minhashBands(batchDocs, nh, bs)
       .withColumn("bbucket", pmod(abs(hash(col("bucket"))), lit(b)))
       .withColumnRenamed("doc_id", "new_doc")
       .persist()
-    // The batch touches at most nBands × b (band, bbucket) partitions
-    // (64 at defaults — grows with those two parameters, fine at any
-    // sane config) — collect that BOUNDED set and push it into the
-    // index scan as partition filters, so a small batch reads only the
-    // partitions it can match instead of aggregating the whole index.
-    val touched = probe.select(col("band"), col("bbucket")).distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1)))
-    val prune = touched
-      .map { case (bd, bb) => col("band") === bd && col("bbucket") === bb }
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val grouped = spark.read.parquet(indexPath).filter(prune)
-      .groupBy(col("band"), col("bbucket"), col("bucket"))
-      .agg(collect_list(col("doc_id")).as("old_ids"))
-    // The degenerate-bucket cap bounds join fan-out under boilerplate
-    // skew (the q61 discipline) at the price of RECALL: members of a
-    // dropped bucket never reach any downstream confirm step. Callers
-    // whose contract is exactness (the crawl capstone's oracle-verified
-    // gate) set refuseDegenerate — a touched over-cap bucket then
-    // raises loudly instead of silently under-matching, telling the
-    // operator to raise the cap or accept the approximation.
-    if (refuseDegenerate) {
-      val over = grouped.filter(size(col("old_ids")) > maxBucket).count()
-      if (over > 0) {
-        probe.unpersist(blocking = true)
-        throw new java.io.IOException(
+    try {
+      // The batch touches at most nBands × b (band, bbucket) partitions
+      // (64 at defaults — grows with those two parameters, fine at any
+      // sane config) — collect that BOUNDED set and push it into the
+      // index scan as partition filters, so a small batch reads only the
+      // partitions it can match instead of aggregating the whole index.
+      val touched = probe.select(col("band"), col("bbucket")).distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      val prune = touched
+        .map { case (bd, bb) => col("band") === bd && col("bbucket") === bb }
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val grouped = spark.read.parquet(indexPath).filter(prune)
+        .groupBy(col("band"), col("bbucket"), col("bucket"))
+        .agg(collect_list(col("doc_id")).as("old_ids"))
+      // The degenerate-bucket cap bounds join fan-out under boilerplate
+      // skew (the q61 discipline) at the price of RECALL: members of a
+      // dropped bucket never reach any downstream confirm step. Callers
+      // whose contract is exactness (the crawl capstone's oracle-verified
+      // gate) set refuseDegenerate — a touched over-cap bucket then
+      // raises loudly instead of silently under-matching, telling the
+      // operator to raise the cap or accept the approximation.
+      if (refuseDegenerate) {
+        val over = grouped.filter(size(col("old_ids")) > maxBucket).count()
+        if (over > 0) throw new java.io.IOException(
           s"lshProbe: $over touched (band, bucket) group(s) exceed maxBucket=" +
             s"$maxBucket in $indexPath — raise the cap (exactness contract) " +
             "or probe with refuseDegenerate=false (bounded, approximate)")
       }
+      val idx = grouped.filter(size(col("old_ids")) <= maxBucket)
+      // shuffle_hash, NOT broadcast (the q215 rule): the probe side is
+      // batch × nBands banding rows (grows with the ingest tick) and the
+      // pruned index side is still a corpus FRACTION (touched/total
+      // partitions of the whole index) — the static estimator reads both
+      // as small, and at a production tick broadcasting either is the
+      // 100 TB driver-OOM class. The join keys on the high-cardinality
+      // (band, bbucket, bucket), so the shuffle partitions evenly.
+      // Materialize the (bounded: candidate-pair-sized) result while the
+      // banding cache is alive, then release it; the small persisted
+      // result is swept by the harness after use.
+      val out = probe.join(idx.hint("shuffle_hash"), Seq("band", "bbucket", "bucket"))
+        .select(col("new_doc"), explode(col("old_ids")).as("old_doc"))
+        .filter(col("new_doc") =!= col("old_doc"))
+        .distinct()
+        .persist()
+      try out.count()
+      catch { case t: Throwable => out.unpersist(blocking = false); throw t }
+      out
+    } finally probe.unpersist(blocking = true)
+  }
+
+  // ---------------------------------------------------------------
+  // Shingle-set pile (r13 VERDICT ask #3): the crawl gate's near-dup
+  // exact confirm needs each candidate PARTNER's distinct 3-gram
+  // shingle set. Fetching it by scanning the documents table costs one
+  // corpus pass per ingest tick; storing the sets alongside the LSH
+  // banding index (maintained in tandem, same micro-batches) turns the
+  // fetch into a partition-pruned point read — the same posture as
+  // every other probe. Rows are per-document immutable facts
+  // (doc_id, sh[]), partitioned by a doc-id hash bucket the fetch
+  // prunes on. Reference analog: the delta layer storing per-segment
+  // auxiliary index data next to the primary index rather than
+  // re-deriving it at query time
+  // (`/root/reference/dbms/src/Storages/DeltaMerge/DeltaMergeStore_Ingest.cpp`).
+
+  /** Incremental shingle-set maintenance — one (doc_id, sh) row per
+    * >= 3-token document per micro-batch (documents below 3 tokens have
+    * no 3-gram shingles and no banding rows; the near-dup gate is
+    * DEFINED over >= 3-token docs). Same segment/replay/marker/
+    * compaction lifecycle as [[streamLshIngest]]; ingest cost per batch
+    * is O(batch tokens), never O(corpus). */
+  def streamShingleIngest(spark: SparkSession, inputDir: String,
+      pilePath: String, buckets: Int = 16,
+      autoCompactSegments: Int = SegmentCompactionPolicy.DefaultMaxSegments): Unit = {
+    requireConsistentBuckets(spark, pilePath, buckets)
+    writeBucketsMarker(spark, pilePath, buckets)
+    runAvailableNow(spark, inputDir, s"$pilePath-ckpt") { (batch, id) =>
+      import graft.operators.TextPipeline
+      batch.filter(size(TextPipeline.tokens) >= 3)
+        .select(col("doc_id"),
+          array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh"))
+        .withColumn("dbucket", pmod(abs(hash(col("doc_id"))), lit(buckets)))
+        .write.mode("overwrite").partitionBy("dbucket").parquet(seg(pilePath, id))
     }
-    val idx = grouped.filter(size(col("old_ids")) <= maxBucket)
-    // shuffle_hash, NOT broadcast (the q215 rule): the probe side is
-    // batch × nBands banding rows (grows with the ingest tick) and the
-    // pruned index side is still a corpus FRACTION (touched/total
-    // partitions of the whole index) — the static estimator reads both
-    // as small, and at a production tick broadcasting either is the
-    // 100 TB driver-OOM class. The join keys on the high-cardinality
-    // (band, bbucket, bucket), so the shuffle partitions evenly.
-    // Materialize the (bounded: candidate-pair-sized) result while the
-    // banding cache is alive, then release it; the small persisted
-    // result is swept by the harness after use.
-    val out = probe.join(idx.hint("shuffle_hash"), Seq("band", "bbucket", "bucket"))
-      .select(col("new_doc"), explode(col("old_ids")).as("old_doc"))
-      .filter(col("new_doc") =!= col("old_doc"))
-      .distinct()
+    if (pileHasData(spark, pilePath) &&
+        SegmentCompactionPolicy.shouldCompact(segmentCount(spark, pilePath),
+          autoCompactSegments))
+      compactShinglePile(spark, pilePath)
+  }
+
+  /** Point-read of candidate partners' shingle sets: `ids` (one
+    * `old_doc` column, candidate-bounded) is hashed to its touched
+    * dbuckets — at most the pile's bucket modulus, collected as a
+    * BOUNDED set — and the pile scan is partition-pruned to those
+    * buckets before the semi-join. Output: (old_doc, sh). A pile with
+    * no data while candidates exist is REFUSED loudly: the empty fetch
+    * would silently drop every near-dup confirm (the pile must be
+    * maintained in tandem with the LSH index that produced the
+    * candidates). */
+  def shingleFetch(spark: SparkSession, pilePath: String,
+      ids: DataFrame): DataFrame = {
+    if (!pileHasData(spark, pilePath)) {
+      if (!ids.isEmpty) throw new java.io.IOException(
+        s"shingle pile at $pilePath has no data but candidate partners need " +
+          "their shingle sets — maintain the pile in tandem with the LSH " +
+          "index (streamShingleIngest per micro-batch) or fall back to the " +
+          "documents-table fetch")
+      return spark.range(0)
+        .select(col("id").as("old_doc"),
+          array().cast("array<string>").as("sh"))
+    }
+    val b = readBucketsMarker(spark, pilePath, -1)
+    val want = ids.select(col("old_doc")).distinct()
+      .withColumn("dbucket", pmod(abs(hash(col("old_doc"))), lit(b)))
       .persist()
-    out.count()
-    probe.unpersist(blocking = true)
-    out
+    try {
+      // touched buckets are bounded by the modulus itself (<= b ints)
+      val touched = want.select(col("dbucket")).distinct()
+        .collect().map(_.getInt(0))
+      val prune = touched.map(col("dbucket") === _)
+        .reduceOption(_ || _).getOrElse(lit(false))
+      // shuffle_hash (the q215 rule): both sides are corpus-fraction /
+      // candidate-scale — the static estimator reads them as tiny at
+      // any SF; keep the exchange keyed on the high-cardinality doc id.
+      // Materialize (candidate-bounded rows) while the `want` cache is
+      // alive; the small persisted result is swept by the caller.
+      val out = spark.read.parquet(pilePath).filter(prune)
+        .join(want.select(col("old_doc")).hint("shuffle_hash"),
+          col("doc_id") === col("old_doc"), "left_semi")
+        .select(col("doc_id").as("old_doc"), col("sh"))
+        .persist()
+      try out.count()
+      catch { case t: Throwable => out.unpersist(blocking = false); throw t }
+      out
+    } finally want.unpersist(blocking = true)
+  }
+
+  /** Compact the shingle pile: rows are immutable per-document facts
+    * (no fold), so compaction rewrites the accumulated small-file
+    * segments as one generation per dbucket partition — read-identical
+    * by construction. The `_buckets` marker rides the temp generation
+    * through the atomic promote. */
+  def compactShinglePile(spark: SparkSession, pilePath: String): Unit = {
+    val b = readBucketsMarker(spark, pilePath, 16)
+    requireCheckpointCaughtUp(spark, pilePath)
+    promoteCompacted(spark, pilePath) { tmp =>
+      spark.read.parquet(pilePath).drop("seg")
+        .repartition(col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket").parquet(compactedSeg(tmp))
+      writeBucketsMarker(spark, tmp, b)
+    }
   }
 
   /** Incremental ExactSubstr (q215) index maintenance — the

@@ -1186,14 +1186,145 @@ class StreamingSpec extends SparkTestBase {
     val a = sh.filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id").as("ida"), col("sh").as("sha"))
     val b = sh.select(col("doc_id").as("idb"), col("sh").as("shb"))
-    val exact = a.join(b, col("ida") =!= col("idb"))
+    val exactJ = a.join(b, col("ida") =!= col("idb"))
       .filter(col("idb") % 10 < 8 || col("idb") < col("ida"))
       .withColumn("ni", size(array_intersect(col("sha"), col("shb"))))
-      .filter(col("ni").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("ni")) >= CrawlPipeline.JaccardThreshold)
-      .select(col("ida")).distinct().collect().map(_.getLong(0)).toSet
+      .withColumn("j", col("ni").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("ni")))
+      .filter(col("j") >= CrawlPipeline.JaccardThreshold)
+      .select(col("ida"), col("j")).persist()
+    val exact = exactJ.select(col("ida")).distinct()
+      .collect().map(_.getLong(0)).toSet
     assert(got === exact && got.nonEmpty,
       s"LSH+confirm gate must equal the exact gate (got ${got.size}, exact ${exact.size})")
+    // ADVICE r13 #4: the equivalence above is contingent on the
+    // fixture's J distribution staying BIMODAL — a confirmed pair at
+    // J ≈ 0.5–0.75 can deterministically miss all 16 (32,2) bands
+    // (miss prob up to ~1% at J = 0.75, ~11% at J = 0.6), so a
+    // data-generator drift into that band could fail the capstone's
+    // oracle (or mask real under-matching) with no code regression.
+    // Pin the attribution: every gate-relevant pair must sit at
+    // J >= 0.75, where the per-pair miss probability is < 1e-2 and the
+    // fixture's actual dups (J >= 0.8) are at < 1e-7.
+    val inMissBand = exactJ.filter(col("j") < 0.75).count()
+    exactJ.unpersist(blocking = true)
+    assert(inMissBand === 0L,
+      s"fixture drift: $inMissBand confirmed pair(s) in the LSH miss band " +
+        "J ∈ [0.5, 0.75) — regenerate the fixture or re-parameterize the " +
+        "banding; this is a DATA change, not a gate regression")
+  }
+
+  test("marker write race: a lost rename against a DIFFERENT identity refuses loudly") {
+    // ADVICE r13 #2: two concurrent FIRST ingests with different
+    // moduli both pass requireConsistent* (no marker exists yet); the
+    // loser of the marker race must not continue ingesting with its own
+    // modulus. Simulate the loser's view: the winner's marker appears
+    // between the caller's consistency check and the write.
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft-marker-race")
+    val pile = base.toString + "/lsh"
+    val fs = new Path(pile).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(pile))
+    val marker = new Path(pile + "/_buckets")
+    // winner wrote 16; the loser intended 8 — must refuse
+    Ingest.writeMarker(spark, marker, "16")
+    val e = intercept[java.io.IOException] {
+      Ingest.writeMarker(spark, marker, "8")
+    }
+    assert(e.getMessage.contains("marker race"))
+    // a same-value lost race stays legal (idempotent first ingest)
+    Ingest.writeMarker(spark, marker, "16")
+  }
+
+  test("shingle pile: incremental maintenance, point-read fetch, pruning, and compaction") {
+    import graft.operators.TextPipeline
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-shingles")
+    val in = base.toString + "/in"
+    val pile = base.toString + "/sh"
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in)
+    Ingest.streamShingleIngest(spark, in, pile)
+    val files1 = parquetFiles(pile)
+    assert(files1.nonEmpty)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(in)
+    Ingest.streamShingleIngest(spark, in, pile)
+    assert(files1.subsetOf(parquetFiles(pile)),
+      "incremental ingest must not rewrite existing segments")
+    // fetch equals the direct computation for a bounded partner set
+    val ids = docs.limit(40).select(col("doc_id").as("old_doc"))
+    def key(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).sorted).toMap
+    val fetched = Ingest.shingleFetch(spark, pile, ids)
+    val got = key(fetched)
+    fetched.unpersist(blocking = true)
+    val direct = key(docs.filter(size(TextPipeline.tokens) >= 3)
+      .join(ids, col("doc_id") === col("old_doc"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh")))
+    assert(got === direct && got.nonEmpty,
+      s"pile fetch must equal the direct shingle computation (${got.size} vs ${direct.size})")
+    // the fetch partition-prunes on dbucket (the point-read posture)
+    val plan = spark.read.parquet(pile).filter(col("dbucket") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dbucket"),
+      s"shingle fetch must partition-prune on dbucket:\n$plan")
+    // compaction is read-identical and shrinks the pile
+    val filesBefore = spark.read.parquet(pile).inputFiles.length
+    Ingest.compactShinglePile(spark, pile)
+    val fetched2 = Ingest.shingleFetch(spark, pile, ids)
+    val got2 = key(fetched2)
+    fetched2.unpersist(blocking = true)
+    assert(got2 === direct, "compaction must not change fetch results")
+    assert(spark.read.parquet(pile).inputFiles.length < filesBefore,
+      "compaction must shrink the segment pile")
+    // a data-less pile with a nonempty id set refuses loudly — the
+    // empty fetch would silently drop every near-dup confirm
+    val e = intercept[java.io.IOException] {
+      Ingest.shingleFetch(spark, base.toString + "/nope", ids)
+    }
+    assert(e.getMessage.contains("maintain the pile in tandem"))
+    // ...but an empty id set against a missing pile is a no-op
+    assert(Ingest.shingleFetch(spark, base.toString + "/nope",
+      ids.filter(col("old_doc") < 0)).isEmpty)
+  }
+
+  test("crawl gate: shingle-pile point-read path equals the documents-scan fetch path") {
+    // r13 VERDICT ask #3 equivalence contract: the gate's output must
+    // be IDENTICAL whether partner shingles come from the incremental
+    // pile (partition-pruned point read) or from the docsForConfirm
+    // semi-join scan — on the real documents fixture, through the same
+    // piles q258 uses.
+    import graft.streaming.CrawlPipeline
+    val docsAll = Tables.documents(spark, sf)
+    val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batch = docsAll.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val base = Files.createTempDirectory("graft-gate-pile")
+    val in = base.toString + "/in"
+    val lsh = base.toString + "/lsh"
+    val span = base.toString + "/span"
+    val shp = base.toString + "/sh"
+    def tick(): Unit = {
+      Ingest.streamLshIngest(spark, in, lsh, numHashes = 32, bandSize = 2)
+      Ingest.streamDupSpanMaintain(spark, in, span)
+      Ingest.streamShingleIngest(spark, in, shp)
+    }
+    corpus.write.mode("overwrite").parquet(in); tick()
+    batch.write.mode("append").parquet(in); tick()
+    def run(pilePath: Option[String]): Map[Long, (Long, Long, Long, Long, String)] = {
+      val out = CrawlPipeline.crawlGate(spark, batch,
+        benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
+        docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,
+        arrivedEarlier = (n, o) => pmod(o, lit(10)) < 8 || o < n,
+        shinglePilePath = pilePath)
+      val m = out.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+      out.unpersist(blocking = true)
+      m
+    }
+    val viaPile = run(Some(shp))
+    val viaScan = run(None)
+    assert(viaPile === viaScan && viaPile.nonEmpty,
+      "pile point-read and documents-scan fetch paths must produce identical gates")
   }
 
   test("segment-count policy triggers background compaction from ingest alone") {
