@@ -119,6 +119,14 @@ object Plans {
     sb.append("bit-stable ranks at every scale — re-proved by the 10x DuckDB\n")
     sb.append("hash checks. Revisit only if a rank feeds a long codegen-only\n")
     sb.append("pipeline with no intervening exchange (none today does).\n")
+    sb.append("\n## `WindowExec: No Partition Defined` warnings (audited, benign)\n\n")
+    sb.append("The test log shows this Spark warning near the q229/q226-family\n")
+    sb.append("specs. Audited r13 (VERDICT \"What's wrong\" #1): every such\n")
+    sb.append("window is a two-level-rollup FINAL pass over a BOUNDED table —\n")
+    sb.append("per-block offsets (<= N/2^20 rows) or ROC ppm rows (<= 1e6+1 by\n")
+    sb.append("construction) — never over a raw relation. The \"no unpartitioned\n")
+    sb.append("Window over raw relations\" invariant above holds everywhere;\n")
+    sb.append("do not re-audit on the warning alone.\n")
     picked.foreach { q =>
       // NOTE: q.fn is not guaranteed to be lazy — ScalableSort-based
       // operators run real jobs at construction (zipWithIndex's eager

