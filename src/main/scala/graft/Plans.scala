@@ -96,7 +96,10 @@ object Plans {
       // maintenance, then probes them; the returned frame is the
       // persisted gate assembly — the cached plan under
       // InMemoryTableScan is the reviewable shape)
-      "q258_crawl_capstone")
+      "q258_crawl_capstone",
+      // round-14: the pointer-state capstone (same gates, dup-span
+      // probe fetches candidate texts from the corpus table)
+      "q259_crawl_capstone_ptr")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")

@@ -74,7 +74,13 @@ object CrawlPipeline {
       benchDocs: DataFrame, docsForConfirm: DataFrame,
       lshIndexPath: String, spanStatePath: String,
       arrivedEarlier: (Column, Column) => Column,
-      shinglePilePath: Option[String] = None): DataFrame = {
+      shinglePilePath: Option[String] = None,
+      // the dup-span state-form seam: the default text-resident probe,
+      // or [[Ingest.dupSpanProbePtr]] partially applied over the
+      // ingested corpus for the pointer-state pile (q259) — the gate's
+      // OUTPUT is invariant across state forms (both collision-exact)
+      spanProbe: (SparkSession, String, DataFrame) => DataFrame =
+        Ingest.dupSpanProbe(_, _, _)): DataFrame = {
     // ---- gate 1: decontamination (q212 kernel: Bloom prefilter, no
     // false negatives; exact gram join kills the false positives)
     val bench = Curation.corpusGrams(benchDocs, DecontamGramN)
@@ -155,7 +161,7 @@ object CrawlPipeline {
       .withColumn("near_dup", lit(1L))
 
     // ---- gate 3: duplicated-span fraction (incremental window state)
-    val spans = Ingest.dupSpanProbe(spark, spanStatePath, batchDocs)
+    val spans = spanProbe(spark, spanStatePath, batchDocs)
       .select(col("doc_id"), col("dup_chars"))
 
     // ---- gate 4: Gopher hard filters (per-row map, no shuffle)
@@ -227,20 +233,30 @@ object CrawlPipeline {
   /** Build (or reuse) the three piles for `d`'s corpus/batch split:
     * corpus as micro-batch 0, the new batch as micro-batch 1, through
     * the REAL incremental maintenance — the probes then see "everything
-    * ingested so far" exactly as a live pipeline would. Returns
+    * ingested so far" exactly as a live pipeline would. After the
+    * ticks, every pile is COMPACTED to its folded generation: the
+    * steady state a policy-driven background fold keeps a production
+    * pile in, and the layout the dup-span probe's folded-generation
+    * fast path reads (the un-folded multi-segment read path is
+    * contract-covered by `StreamingSpec`/`SoakSpec`). `ptr` selects
+    * the pointer-state ExactSubstr pile (q259's state form; its fold
+    * re-fetches texts from the ingested corpus). Returns
     * (lshIndexPath, spanStatePath, shinglePilePath). */
   private def pilesFor(s: SparkSession, d: String,
-      corpus: DataFrame, batch: DataFrame): (String, String, String) =
+      corpus: DataFrame, batch: DataFrame,
+      ptr: Boolean = false): (String, String, String) =
     pileCache.synchronized {
-      pileCache.getOrElseUpdate(d, {
-        val work = s"$workRoot/p${Integer.toHexString(d.hashCode)}"
+      pileCache.getOrElseUpdate(s"$d#${if (ptr) "ptr" else "text"}", {
+        val work = s"$workRoot/p${Integer.toHexString(d.hashCode)}" +
+          (if (ptr) "-ptr" else "")
         val in = s"$work/in"
         val lsh = s"$work/lsh"
         val span = s"$work/span"
         val shp = s"$work/shingles"
         def tick(): Unit = {
           Ingest.streamLshIngest(s, in, lsh, numHashes = 32, bandSize = 2)
-          Ingest.streamDupSpanMaintain(s, in, span)
+          if (ptr) Ingest.streamDupSpanMaintainPtr(s, in, span)
+          else Ingest.streamDupSpanMaintain(s, in, span)
           Ingest.streamShingleIngest(s, in, shp)
         }
         // an all-batch fixture (empty corpus) skips the corpus tick: an
@@ -254,6 +270,11 @@ object CrawlPipeline {
         }
         batch.write.mode("append").parquet(in)
         tick()
+        Ingest.compactLshIndex(s, lsh)
+        if (ptr) Ingest.compactDupSpanStatePtrFold(s, span,
+          corpus.unionByName(batch))
+        else Ingest.compactDupSpanState(s, span)
+        Ingest.compactShinglePile(s, shp)
         // the staging copy and checkpoints are NOT in the probes'
         // lineage (only the piles are) — delete them now
         val fs = new org.apache.hadoop.fs.Path(work)
@@ -396,5 +417,39 @@ object CrawlPipeline {
     if (!batch.isEmpty) pilesFor(s, d, corpus, batch)
   })
 
-  val all: Seq[QueryDef] = Seq(q258CrawlCapstone)
+  /** q259: the capstone on the POINTER-state dup-span pile — the same
+    * four gates, the same split convention, and the SAME DuckDB oracle
+    * as q258, with gate 3 probing [[Ingest.dupSpanProbePtr]] against a
+    * [[Ingest.streamDupSpanMaintainPtr]]-maintained and
+    * fold-compacted pile (the state-size side of the r13 trade table:
+    * pointers + probe-time corpus fetch instead of resident window
+    * text). Oracling BOTH state forms against one first-principles SQL
+    * derivation pins the gate's output as invariant across the trade —
+    * both are collision-exact, so a divergence is a bug, not a
+    * parameter choice. The piles are also COMPACTED generations here
+    * (pilesFor folds after the ticks), so the oracle additionally
+    * covers the fold-then-probe read path end-to-end. */
+  val q259CrawlCapstonePtr: QueryDef = QueryDef(
+    "q259_crawl_capstone_ptr",
+    q258CrawlCapstone.oracle.get) { (s, d) =>
+    val docsAll = Tables.documents(s, d)
+    val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batch = docsAll.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    if (batch.isEmpty) {
+      batch.select(col("doc_id"), lit(0L).as("contaminated"),
+        lit(0L).as("near_dup"), lit(0L).as("dup_span_ppm"),
+        lit(0L).as("gopher_pass"), lit("accepted").as("rejected_by"),
+        lit(1L).as("accepted"))
+    } else {
+      val (lsh, span, shp) = pilesFor(s, d, corpus, batch, ptr = true)
+      crawlGate(s, batch,
+        benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
+        docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,
+        arrivedEarlier = (n, o) => pmod(o, lit(10)) < 8 || o < n,
+        shinglePilePath = Some(shp),
+        spanProbe = (ss, p, b) => Ingest.dupSpanProbePtr(ss, p, docsAll, b))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q258CrawlCapstone, q259CrawlCapstonePtr)
 }

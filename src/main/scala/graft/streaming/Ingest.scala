@@ -701,8 +701,18 @@ object Ingest {
     // created (and populated) the state is an empty result, not an
     // AnalysisException
     val dup =
-      if (pileHasData(spark, statePath)) dupHashView(spark.read.parquet(statePath))
-      else spark.range(0).select(col("id").as("hk"), lit("").as("g"))
+      if (!pileHasData(spark, statePath))
+        spark.range(0).select(col("id").as("hk"), lit("").as("g"))
+      else if (segmentIds(spark, statePath).isEmpty)
+        // the pile is a single FOLDED generation (seg=-1 only): the
+        // compactor's groupBy already left exactly one row per (hk, g)
+        // with the summed count, so the probe-side re-group is a wasted
+        // corpus-scale shuffle — filter and project instead. This is
+        // the steady-state production read: piles fold on the
+        // compaction policy, so most ticks probe a folded generation.
+        spark.read.parquet(statePath)
+          .filter(col("c") >= 2).select(col("hk"), col("g"))
+      else dupHashView(spark.read.parquet(statePath))
     val hits = graft.operators.TextPipeline.charWindowHashes(batchDocs, hashOf)
       // corpus-derived: never broadcast (q215 rule)
       .join(dup.hint("shuffle_hash"), Seq("hk", "g"))

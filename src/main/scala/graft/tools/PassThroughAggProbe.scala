@@ -82,13 +82,20 @@ object PassThroughAggProbe {
     twoPhase.write.format("noop").mode("overwrite").save()
     passThrough.write.format("noop").mode("overwrite").save()
 
-    val (defSec, defDf) = timeMedian(twoPhase)
+    val (defSec, _) = timeMedian(twoPhase)
     val (ptSec, _) = timeMedian(passThrough)
 
-    // map-side reduction ratio from the executed default plan: the
-    // partial HashAggregate is the one below the exchange (its
-    // requiredChildDistribution is unspecified); identify it as the
-    // hash aggregate whose aggregate expressions are in Partial mode.
+    // map-side reduction ratio from an executed default plan. NOTE the
+    // noop write above executes a SEPARATE QueryExecution (the write
+    // command wraps the logical plan), so ITS metrics never land on
+    // df.queryExecution's plan instance — drive this one with a
+    // collect() on the df itself (Dataset.collect executes the
+    // dataset's OWN QueryExecution; count() would wrap it again) so
+    // the inspected instance is the one that ran. The partial
+    // HashAggregate is identified by its aggregate expressions being
+    // in Partial mode.
+    val defDf = twoPhase
+    defDf.collect()
     val aggs = allNodes(defDf.queryExecution.executedPlan)
       .collect { case h: HashAggregateExec => h }
     val partialOut = aggs.find(_.aggregateExpressions.exists(
