@@ -816,6 +816,9 @@ object Ingest {
         .join(corpusDocs.select(col("doc_id").as("o_doc"),
             col("text").as("o_text")).hint("shuffle_hash"), "o_doc")
         .withColumn("g", expr("substring(o_text, o_i, 50)"))
+        // size-derived group shuffle (see foldPartitions): the fold's
+        // task memory must scale with pile bytes, not a config default
+        .repartition(foldPartitions(spark, statePath), col("hk"), col("g"))
         .groupBy(col("hk"), col("g"))
         .agg(sum(col("c")).cast("long").as("c"),
           min(struct(col("o_doc"), col("o_i"))).as("rep"))
@@ -988,15 +991,40 @@ object Ingest {
       s"recoverCompaction: nothing to recover at $livePath")
   }
 
+  /** Partition count for the ExactSubstr fold shuffles: one shuffle
+    * partition per ~64 MB of pile bytes, floored at the session
+    * parallelism, capped sanely. A CONSTANT partition count is the
+    * 100 TB failure mode here — the fold shuffles the whole
+    * accumulated O(corpus chars) state, so per-task memory must scale
+    * with pile size, not with a config default. Proven by the r14
+    * audit run: the 192M-row fold at a fixed 32 partitions OOMed an
+    * 8 GiB JVM (≈ 400 MB of hash table per task × 32 concurrent
+    * tasks + parquet writer buffers); size-derived partitioning
+    * completes in the same JVM. The reference sizes its delta-merge
+    * working set the same way — by segment bytes, not a constant
+    * (`/root/reference/dbms/src/Storages/DeltaMerge/DeltaMergeStore_InternalBg.cpp`). */
+  private def foldPartitions(spark: SparkSession, statePath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    math.min(4096, math.max(spark.sessionState.conf.numShufflePartitions,
+      (bytes / (64L << 20)).toInt))
+  }
+
   /** Compact the ExactSubstr window-hash pile: per-segment partial
     * counts fold by addition into ONE (hk, c) generation — the state
     * stops growing with the number of batches and tracks only the
     * distinct-window cardinality. Read results are unchanged (the
-    * fold is the same sum `dupHashView` performs). */
+    * fold is the same sum `dupHashView` performs). The explicit
+    * size-derived repartition on the group keys IS the fold's
+    * exchange (the aggregate's required distribution is satisfied, so
+    * Catalyst adds no second one). */
   def compactDupSpanState(spark: SparkSession, statePath: String): Unit = {
     requireCheckpointCaughtUp(spark, statePath)
     promoteCompacted(spark, statePath) { tmp =>
-      spark.read.parquet(statePath).groupBy(col("hk"), col("g"))
+      spark.read.parquet(statePath)
+        .repartition(foldPartitions(spark, statePath), col("hk"), col("g"))
+        .groupBy(col("hk"), col("g"))
         .agg(sum(col("c")).cast("long").as("c"))
         .write.mode("overwrite").parquet(compactedSeg(tmp))
     }

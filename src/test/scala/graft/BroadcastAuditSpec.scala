@@ -71,7 +71,15 @@ class BroadcastAuditSpec extends SparkTestBase {
     // candidate-partner id set of the oldSh semi-join (≤ batch × cap
     // rows, and broadcasting it is exactly what keeps the CORPUS side
     // of that semi-join from shuffling)
-    "q258_crawl_capstone")
+    "q258_crawl_capstone",
+    // r14 pointer-state capstone: same gate, same remaining flag — the
+    // benchmark-gram side of the decontamination confirm ("documents
+    // via agg+explode": docs %41 → 8-gram explode → distinct), bounded
+    // by the benchmark set's size exactly as reviewed for q212/q258;
+    // the ptr span probe's corpus fetch and the shingle-pile fetch are
+    // shuffle_hash-hinted. Executed clean at 100× (r14 audit run,
+    // docs/BENCH_NOTES.md).
+    "q259_crawl_capstone_ptr")
 
   test("no query outside the reviewed allowlist plans a corpus-derived broadcast (static, AQE off)") {
     val s = spark.newSession()
