@@ -773,12 +773,35 @@ object Ingest {
     if (!pileHasData(spark, statePath))
       return graft.operators.TextPipeline.mergeSpans(spark.range(0)
         .select(col("id").as("doc_id"), col("id").as("i"), col("id").as("e")))
-    val st = spark.read.parquet(statePath)
+    // A FOLD-compacted pile has exactly one row per distinct corpus
+    // window, so a c = 1 row can never reach the >= 2 confirmed
+    // total — filter it out BEFORE the join. This is the same 20×
+    // candidate reduction the text-state probe gets from dupHashView's
+    // c >= 2 filter, and it is what makes the hash build side bounded
+    // at scale: the r14 100× audit run failed this join building a
+    // hash relation over the full 192M-row state (~170 MB per task at
+    // 32 partitions); the folded filter drops it to the 9.1M-row dup
+    // set. The filter is sound ONLY after the FOLD compactor — the
+    // REWRITE compactor also leaves one seg=-1 generation but keeps
+    // per-batch partial rows (the same window's count may sit as
+    // c=1 + c=1 across former segments; StreamingSpec caught exactly
+    // this under-match) — so the fold stamps a `_folded` marker into
+    // its generation (underscore-prefixed: invisible to the parquet
+    // reader, rides the atomic promote) and the probe trusts only it.
+    // Non-folded state joins sort-merge — spill-safe at any state
+    // size — and is the policy-bounded transient shape anyway (a probe
+    // at scale runs against a folded generation).
+    val foldedMarker = new org.apache.hadoop.fs.Path(s"$statePath/seg=-1/_folded")
+    val folded = segmentIds(spark, statePath).isEmpty &&
+      foldedMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(foldedMarker)
+    val raw = spark.read.parquet(statePath)
       .select(col("hk"), col("o_doc"), col("o_i"), col("c"))
+    val st = if (folded) raw.filter(col("c") >= 2) else raw
     val w = graft.operators.TextPipeline.charWindowHashes(batchDocs, hashOf)
     // corpus-derived sides: never broadcast (q215 rule) — candidates
     // meet on the hash, then the corpus pass fetches candidate texts
-    val cand = w.join(st.hint("shuffle_hash"), "hk")
+    val cand = w.join(st.hint(if (folded) "shuffle_hash" else "merge"), "hk")
     val confirmed = cand
       .join(corpusDocs.select(col("doc_id").as("o_doc"),
           col("text").as("o_text")).hint("shuffle_hash"), "o_doc")
@@ -825,6 +848,13 @@ object Ingest {
         .select(col("hk"), col("rep.o_doc").as("o_doc"),
           col("rep.o_i").as("o_i"), col("c"))
         .write.mode("overwrite").parquet(compactedSeg(tmp))
+      // the probe's c >= 2 pre-filter is sound only on THIS compactor's
+      // output (one row per distinct window) — stamp the generation;
+      // underscore-prefixed so the parquet reader never sees it, and it
+      // rides the atomic promote with the data it describes
+      val m = new org.apache.hadoop.fs.Path(s"${compactedSeg(tmp)}/_folded")
+      m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(m, true).close()
     }
   }
 
