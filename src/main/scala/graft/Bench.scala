@@ -61,11 +61,18 @@ object Bench {
     // the timed region measures the probe — the production shape — not
     // one-off state construction.
     val defsByName = SparkEntry.defs.map(q => q.name -> q).toMap
+    // A warmup failure is recorded in the emitted metric line (ADVICE
+    // r14 #3): the timed run would then rebuild the state COLD inside
+    // its timed region (pileCache retries), so the reading no longer
+    // measures the probe-only production shape — without a machine-
+    // readable stamp that number would silently enter the band series.
+    val warmupFailed = scala.collection.mutable.ListBuffer[String]()
     names.flatMap(defsByName.get).foreach { q =>
       q.benchWarmup.foreach { w =>
         System.err.println(s"[bench] warmup ${q.name}")
         try w(spark, sfDir)
         catch { case e: Throwable =>
+          warmupFailed += q.name
           System.err.println(s"[bench] warmup ${q.name}: $e") }
         CacheHygiene.sweep(spark, s"warmup-${q.name}")
       }
@@ -104,10 +111,13 @@ object Bench {
     // "subset":true marks a partial run so its total can never be
     // mistaken for an official 22-headliner reading.
     val subsetMark = if (subset) s""""subset":true,"nQueries":${names.size},""" else ""
+    val warmupMark =
+      if (warmupFailed.isEmpty) ""
+      else warmupFailed.map("\"" + _ + "\"").mkString(""""warmupFailed":[""", ",", "],")
     val sentJson = f""""sentinel":{"before":$sentBefore%.3f,"mid":$sentMid%.3f,""" +
       f""""after":$sentAfter%.3f,"idleBaseline":${BenchBands.SentinelBaselineSec}%.3f,""" +
       s""""suspectLoad":${BenchBands.loadSuspect(sentinel)}},"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$subsetMark$sentJson"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$subsetMark$warmupMark$sentJson"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (timed.exists(!_._3)) sys.exit(1)
   }

@@ -80,7 +80,9 @@ object BenchBands {
     "q209_auc_eval" -> 0.846,
     "q202_pca_power" -> 1.954,
     "q211_quality_classifier" -> 0.979,
-    "q73_sessionize" -> 0.580)
+    "q73_sessionize" -> 0.580,
+    // first official driver reading, BENCH_r14 (r14 VERDICT ask #1)
+    "q258_crawl_capstone" -> 6.305)
 
   def bandFor(name: String): Option[Double] =
     baseline.get(name).map(_ * Ratio + SlackSec)

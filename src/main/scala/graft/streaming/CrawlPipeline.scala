@@ -218,6 +218,15 @@ object CrawlPipeline {
     * themselves live until JVM exit. */
   private val pileCache =
     scala.collection.mutable.Map[String, (String, String, String)]()
+  /** On-disk workdir names come from this counter, not from
+    * `String.hashCode` of the sfDir (ADVICE r14 #1): two distinct
+    * sfDirs with colliding hashCodes in one JVM would get separate
+    * cache entries but SHARE a pile directory — the second build then
+    * appends its corpus into the first dataset's piles (markers match,
+    * so nothing refuses) and probes silently read a merged corpus. A
+    * per-entry counter is collision-free by construction; it is only
+    * ever read under the pileCache lock. */
+  private var pileDirSeq = 0
   private lazy val workRoot: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-crawl").toString
     sys.addShutdownHook {
@@ -247,8 +256,8 @@ object CrawlPipeline {
       ptr: Boolean = false): (String, String, String) =
     pileCache.synchronized {
       pileCache.getOrElseUpdate(s"$d#${if (ptr) "ptr" else "text"}", {
-        val work = s"$workRoot/p${Integer.toHexString(d.hashCode)}" +
-          (if (ptr) "-ptr" else "")
+        pileDirSeq += 1
+        val work = s"$workRoot/p$pileDirSeq" + (if (ptr) "-ptr" else "")
         val in = s"$work/in"
         val lsh = s"$work/lsh"
         val span = s"$work/span"
@@ -449,7 +458,17 @@ object CrawlPipeline {
         shinglePilePath = Some(shp),
         spanProbe = (ss, p, b) => Ingest.dupSpanProbePtr(ss, p, docsAll, b))
     }
-  }
+  }.copy(headline = true, benchWarmup = Some { (s, d) =>
+    // Benched headliner (r14 VERDICT ask #1): same untimed prebuilt-
+    // pile discipline as q258 — the timed number is the per-tick gate
+    // against maintained POINTER state, which (by the documented
+    // trade) includes the probe's corpus-fetch pass where q258's
+    // text-resident probe touches only batch + folded state.
+    val docsAll = Tables.documents(s, d)
+    val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batch = docsAll.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    if (!batch.isEmpty) pilesFor(s, d, corpus, batch, ptr = true)
+  })
 
   val all: Seq[QueryDef] = Seq(q258CrawlCapstone, q259CrawlCapstonePtr)
 }

@@ -403,6 +403,31 @@ object Ingest {
     false
   }
 
+  /** True iff the pile is a single FOLD-compacted generation: seg=-1
+    * only AND the fold compactor's `_folded` stamp present. The stamp
+    * (not seg-emptiness) is the load-bearing evidence: a REWRITE-form
+    * compactor also leaves one seg=-1 generation but keeps per-batch
+    * partial rows, so a "single generation ⇒ one row per window"
+    * assumption silently under-matches split c=1+c=1 rows (the r14
+    * StreamingSpec catch). Probes use this to pick their folded fast
+    * path; an unstamped generation always takes the full re-group. */
+  private def foldedGeneration(spark: SparkSession, statePath: String): Boolean = {
+    if (segmentIds(spark, statePath).nonEmpty) return false
+    val m = new org.apache.hadoop.fs.Path(s"$statePath/seg=-1/_folded")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+  }
+
+  /** Stamp a freshly-written FOLD generation (`gen` = its seg=-1 dir)
+    * as fold-shaped — one row per distinct window. Underscore-prefixed
+    * so the parquet reader never sees it, written INTO the temp
+    * generation so it rides the atomic promote with the data it
+    * describes. */
+  private def stampFolded(spark: SparkSession, gen: String): Unit = {
+    val m = new org.apache.hadoop.fs.Path(s"$gen/_folded")
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(m, true).close()
+  }
+
   /** Segment-pile background-compaction TRIGGER ≙ the reference's
     * delta-layer merge trigger (`shouldSplit`/delta-packs thresholds in
     * `/root/reference/dbms/src/Storages/DeltaMerge/DeltaMergeStore_InternalBg.cpp:572-637`
@@ -506,15 +531,26 @@ object Ingest {
       // whose contract is exactness (the crawl capstone's oracle-verified
       // gate) set refuseDegenerate — a touched over-cap bucket then
       // raises loudly instead of silently under-matching, telling the
-      // operator to raise the cap or accept the approximation.
-      if (refuseDegenerate) {
-        val over = grouped.filter(size(col("old_ids")) > maxBucket).count()
-        if (over > 0) throw new java.io.IOException(
-          s"lshProbe: $over touched (band, bucket) group(s) exceed maxBucket=" +
-            s"$maxBucket in $indexPath — raise the cap (exactness contract) " +
-            "or probe with refuseDegenerate=false (bounded, approximate)")
-      }
-      val idx = grouped.filter(size(col("old_ids")) <= maxBucket)
+      // operator to raise the cap or accept the approximation. The guard
+      // is FUSED into the probe join (r14 VERDICT ask #2/#3: one action
+      // per probe, no separate per-tick count() pass over the touched
+      // partitions): an over-cap group poisons its old_ids with
+      // raise_error, which fires when the join's single materializing
+      // action evaluates the group — the error is unwrapped below into
+      // the same prescriptive IOException the separate-pass check threw.
+      val idx =
+        if (refuseDegenerate) {
+          val msg = concat(
+            lit(s"$OverCapMarker="),
+            lit(s"$maxBucket in $indexPath (a touched (band, bucket) group of "),
+            size(col("old_ids")).cast("string"),
+            lit(" members) — raise the cap (exactness contract) or probe " +
+              "with refuseDegenerate=false (bounded, approximate)"))
+          grouped.withColumn("old_ids",
+            when(size(col("old_ids")) > maxBucket,
+              raise_error(msg).cast("array<bigint>"))
+              .otherwise(col("old_ids")))
+        } else grouped.filter(size(col("old_ids")) <= maxBucket)
       // shuffle_hash, NOT broadcast (the q215 rule): the probe side is
       // batch × nBands banding rows (grows with the ingest tick) and the
       // pruned index side is still a corpus FRACTION (touched/total
@@ -531,10 +567,27 @@ object Ingest {
         .distinct()
         .persist()
       try out.count()
-      catch { case t: Throwable => out.unpersist(blocking = false); throw t }
+      catch { case t: Throwable =>
+        out.unpersist(blocking = false)
+        // the fused guard surfaces as a task-level SparkRuntimeException
+        // wrapped by the job failure — re-raise it as the documented
+        // prescriptive refusal (API contract unchanged vs the old
+        // separate-pass check)
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(c => Option(c.getMessage).getOrElse(""))
+          .find(_.contains(OverCapMarker))
+          .foreach(m => throw new java.io.IOException(
+            "lshProbe: " + m.substring(m.indexOf(OverCapMarker))))
+        throw t
+      }
       out
     } finally probe.unpersist(blocking = true)
   }
+
+  /** Marker prefix the fused [[lshProbe]] over-cap guard raises with;
+    * the probe's materializer unwraps it from the task failure into the
+    * prescriptive IOException refusal. */
+  private val OverCapMarker = "touched group(s) exceed maxBucket"
 
   // ---------------------------------------------------------------
   // Shingle-set pile (r13 VERDICT ask #3): the crawl gate's near-dup
@@ -703,13 +756,18 @@ object Ingest {
     val dup =
       if (!pileHasData(spark, statePath))
         spark.range(0).select(col("id").as("hk"), lit("").as("g"))
-      else if (segmentIds(spark, statePath).isEmpty)
-        // the pile is a single FOLDED generation (seg=-1 only): the
-        // compactor's groupBy already left exactly one row per (hk, g)
-        // with the summed count, so the probe-side re-group is a wasted
-        // corpus-scale shuffle — filter and project instead. This is
-        // the steady-state production read: piles fold on the
-        // compaction policy, so most ticks probe a folded generation.
+      else if (foldedGeneration(spark, statePath))
+        // the pile is a single FOLD-compacTED generation (seg=-1 only
+        // AND carrying the compactor's `_folded` stamp — ADVICE r14 #2:
+        // seg-emptiness alone is NOT fold-shaped evidence, exactly as
+        // the pointer probe learned when a rewrite-form generation kept
+        // split c=1+c=1 rows): the fold's groupBy left exactly one row
+        // per (hk, g) with the summed count, so the probe-side re-group
+        // is a wasted corpus-scale shuffle — filter and project
+        // instead. This is the steady-state production read: piles
+        // fold on the compaction policy, so most ticks probe a folded
+        // generation. An unstamped single generation falls through to
+        // the re-group below — always correct, just not fast-pathed.
         spark.read.parquet(statePath)
           .filter(col("c") >= 2).select(col("hk"), col("g"))
       else dupHashView(spark.read.parquet(statePath))
@@ -791,10 +849,7 @@ object Ingest {
     // Non-folded state joins sort-merge — spill-safe at any state
     // size — and is the policy-bounded transient shape anyway (a probe
     // at scale runs against a folded generation).
-    val foldedMarker = new org.apache.hadoop.fs.Path(s"$statePath/seg=-1/_folded")
-    val folded = segmentIds(spark, statePath).isEmpty &&
-      foldedMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(foldedMarker)
+    val folded = foldedGeneration(spark, statePath)
     val raw = spark.read.parquet(statePath)
       .select(col("hk"), col("o_doc"), col("o_i"), col("c"))
     val st = if (folded) raw.filter(col("c") >= 2) else raw
@@ -826,35 +881,83 @@ object Ingest {
   }
 
   /** Fold-form compaction for the pointer pile — the true delta-merge:
-    * re-fetches every representative's text from the corpus, re-groups
-    * on (hash, text), and keeps the global-minimum representative with
-    * the summed count — one row per distinct corpus window, exactly the
-    * text-state fold's cardinality. Costs a corpus pass (offline
-    * background job by design, like the reference's delta-merge). */
+    * collapses the per-batch partial rows to one row per distinct
+    * corpus window (exactly the text-state fold's cardinality), keeping
+    * the global-minimum representative pointer with the summed count.
+    *
+    * Restructured per r14 VERDICT observation #1 / ask #2: the r14
+    * shape joined corpus TEXT onto EVERY state row and shuffled the
+    * full widened set to the group — at 100× that exchange carried all
+    * 192M rows with their 50-char texts (89.9 s, +35% over the text
+    * fold). The fold now runs state-only first and fetches text only
+    * where text can matter:
+    *
+    *  1. pre-fold state-only on the full pointer identity — (o_doc,
+    *     o_i) DETERMINES the window text (substring at the pointer),
+    *     so rows sharing (hk, o_doc, o_i) are the same window and
+    *     merge text-free. One size-derived exchange on hk alone: hash-
+    *     partitioning on hk satisfies the (hk, o_doc, o_i) grouping
+    *     (same triple ⇒ same hk partition) AND the per-hk window
+    *     below, so the whole phase is a single pile-scale shuffle of
+    *     NARROW (28-byte) rows.
+    *  2. split on per-hk row multiplicity (window count over hk — no
+    *     new exchange): a singleton-hk row is already one-row-per-
+    *     window (no other row can be the same window text, because the
+    *     same text implies the same hk) and passes through UNCHANGED —
+    *     the overwhelming majority (~95% of distinct windows at the
+    *     r14 100× measurement).
+    *  3. only multi-row hk groups — true duplicates needing a count
+    *     merge, plus 64-bit collisions needing disambiguation (the
+    *     dup-set-scale minority, 192M → ~9M at 100×) — fetch their
+    *     representatives' texts from the corpus, re-group on (hk,
+    *     text), min-rep + summed count. The fetch is a SORT-MERGE join
+    *     (ADVICE r14 #4: the r14 shuffle_hash built a per-task hash
+    *     over the FULL (doc_id, text) corpus at the config-default
+    *     partition count — the same fixed-partition memory failure
+    *     mode the r14 fix removed from the fold shuffle; sort-merge
+    *     spills at any corpus size and this is an offline background
+    *     job where bounded memory wins).
+    *
+    * The pre-fold is staged to a dot-prefixed dir inside the temp
+    * generation (two consumers — pass-through and fetch — must not
+    * recompute the pile-scale phase twice; dot-dirs are invisible to
+    * the parquet reader and the staging is deleted before the
+    * generation promotes; a crash leaves it inside tmp, which recovery
+    * discards or promotes-with — harmless either way).
+    * Still costs a corpus pass for the fetch (offline background job
+    * by design, like the reference's delta-merge). */
   def compactDupSpanStatePtrFold(spark: SparkSession, statePath: String,
       corpusDocs: DataFrame): Unit = {
     requireCheckpointCaughtUp(spark, statePath)
     promoteCompacted(spark, statePath) { tmp =>
+      val staging = s"$tmp/.prefold"
       spark.read.parquet(statePath).drop("seg")
+        .repartition(foldPartitions(spark, statePath), col("hk"))
+        .groupBy(col("hk"), col("o_doc"), col("o_i"))
+        .agg(sum(col("c")).cast("long").as("c"))
+        .withColumn("nhk",
+          count(lit(1)).over(Window.partitionBy(col("hk"))))
+        .write.mode("overwrite").parquet(staging)
+      val pre = spark.read.parquet(staging)
+      pre.filter(col("nhk") === 1)
+        .select(col("hk"), col("o_doc"), col("o_i"), col("c"))
+        .write.mode("overwrite").parquet(compactedSeg(tmp))
+      pre.filter(col("nhk") > 1)
+        .select(col("hk"), col("o_doc"), col("o_i"), col("c"))
         .join(corpusDocs.select(col("doc_id").as("o_doc"),
-            col("text").as("o_text")).hint("shuffle_hash"), "o_doc")
+            col("text").as("o_text")).hint("merge"), "o_doc")
         .withColumn("g", expr("substring(o_text, o_i, 50)"))
-        // size-derived group shuffle (see foldPartitions): the fold's
-        // task memory must scale with pile bytes, not a config default
-        .repartition(foldPartitions(spark, statePath), col("hk"), col("g"))
         .groupBy(col("hk"), col("g"))
         .agg(sum(col("c")).cast("long").as("c"),
           min(struct(col("o_doc"), col("o_i"))).as("rep"))
         .select(col("hk"), col("rep.o_doc").as("o_doc"),
           col("rep.o_i").as("o_i"), col("c"))
-        .write.mode("overwrite").parquet(compactedSeg(tmp))
-      // the probe's c >= 2 pre-filter is sound only on THIS compactor's
-      // output (one row per distinct window) — stamp the generation;
-      // underscore-prefixed so the parquet reader never sees it, and it
-      // rides the atomic promote with the data it describes
-      val m = new org.apache.hadoop.fs.Path(s"${compactedSeg(tmp)}/_folded")
-      m.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .create(m, true).close()
+        .write.mode("append").parquet(compactedSeg(tmp))
+      val sp = new org.apache.hadoop.fs.Path(staging)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+      // the probe's c >= 2 pre-filter is sound only on fold-shaped
+      // output (one row per distinct window) — stamp the generation
+      stampFolded(spark, compactedSeg(tmp))
     }
   }
 
@@ -1057,6 +1160,10 @@ object Ingest {
         .groupBy(col("hk"), col("g"))
         .agg(sum(col("c")).cast("long").as("c"))
         .write.mode("overwrite").parquet(compactedSeg(tmp))
+      // one row per distinct window now holds — stamp it so the probe's
+      // folded fast path (skip the re-group) can trust the generation
+      // (ADVICE r14 #2: mirror the ptr fold's marker discipline)
+      stampFolded(spark, compactedSeg(tmp))
     }
   }
 

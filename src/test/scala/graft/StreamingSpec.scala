@@ -716,6 +716,56 @@ class StreamingSpec extends SparkTestBase {
     // a second compaction is a no-op fold of one segment
     Ingest.compactDupSpanState(spark, span)
     assert(dupSet === dupBefore)
+
+    // retention (r14 VERDICT ask #5): compaction must DELETE superseded
+    // segments/generations, not strand them — a production pile keeping
+    // every pre-fold generation grows without bound. Post-compaction,
+    // each pile root holds ONLY the promoted seg=-1 generation plus its
+    // underscore markers, and no .compact-tmp/.compact-old sibling
+    // survives the promote.
+    for (pile <- Seq(post, lsh, span)) {
+      val entries = new java.io.File(pile).listFiles.map(_.getName).toSet
+      assert(entries.filter(_.startsWith("seg=")) === Set("seg=-1"),
+        s"$pile retains a superseded generation: $entries")
+      // markers (_x) and local-FS checksum sidecars (._x.crc) are the
+      // only legal root companions of the promoted generation
+      assert(entries.forall(e =>
+          e == "seg=-1" || e.startsWith("_") || e.startsWith(".")),
+        s"$pile root holds non-generation non-marker entries: $entries")
+      for (sib <- Seq(".compact-tmp", ".compact-old"))
+        assert(!new java.io.File(pile + sib).exists,
+          s"stranded compaction sibling $pile$sib")
+    }
+  }
+
+  test("text-state folded fast path trusts only the _folded stamp (ADVICE r14 #2)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-folded-gate")
+    val state = base.toString + "/span"
+    val g = "x" * 50
+    val hk = Seq(g).toDF("g").select(xxhash64(col("g"))).head.getLong(0)
+    // a single seg=-1 generation that is NOT fold-shaped: the same
+    // window's count split c=1 + c=1 across former segments (what a
+    // rewrite-form compactor would leave). No _folded stamp.
+    Seq((hk, g, 1L), (hk, g, 1L)).toDF("hk", "g", "c")
+      .write.mode("overwrite").parquet(state + "/seg=-1")
+    val probe = Seq((7L, g)).toDF("doc_id", "text")
+    def spans = Ingest.dupSpanProbe(spark, state, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans === Set((7L, 1L, 50L, 50L)),
+      "an unstamped single generation must take the re-group path " +
+        "(split c=1+c=1 rows sum to a duplicate); fast-pathing it would " +
+        "silently under-match")
+    // the stamped fold-shaped generation gives the same answer through
+    // the fast path
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state), true)
+    Seq((hk, g, 2L)).toDF("hk", "g", "c")
+      .write.mode("overwrite").parquet(state + "/seg=-1")
+    fs.create(new org.apache.hadoop.fs.Path(state + "/seg=-1/_folded"), true).close()
+    assert(spans === Set((7L, 1L, 50L, 50L)),
+      "the stamped folded generation must fast-path to the same spans")
   }
 
   test("compaction crash recovery: every interrupted state restores an equivalent pile") {
