@@ -918,19 +918,22 @@ object Ingest {
     *     spills at any corpus size and this is an offline background
     *     job where bounded memory wins).
     *
-    * The pre-fold is staged to a dot-prefixed dir inside the temp
-    * generation (two consumers — pass-through and fetch — must not
-    * recompute the pile-scale phase twice; dot-dirs are invisible to
-    * the parquet reader and the staging is deleted before the
-    * generation promotes; a crash leaves it inside tmp, which recovery
-    * discards or promotes-with — harmless either way).
-    * Still costs a corpus pass for the fetch (offline background job
-    * by design, like the reference's delta-merge). */
+    * The pre-fold is staged to a parquet dir inside the temp pile (two
+    * consumers — pass-through and fetch — must not recompute the
+    * pile-scale phase twice) and deleted before writeTmp returns, so
+    * no promoted generation ever contains it: a crash while it exists
+    * is a crash inside writeTmp, whose whole tmp dir recovery discards
+    * ("live-intact"); the promoted-tmp recovery path only ever sees a
+    * completed writeTmp. The name is deliberately NOT dot/underscore-
+    * prefixed: Spark 4.1 still reads an explicitly-passed hidden dir
+    * but logs "All paths were ignored" while doing it — semantics a
+    * future reader could tighten into an EMPTY read, which would
+    * silently write an empty folded pile. */
   def compactDupSpanStatePtrFold(spark: SparkSession, statePath: String,
       corpusDocs: DataFrame): Unit = {
     requireCheckpointCaughtUp(spark, statePath)
     promoteCompacted(spark, statePath) { tmp =>
-      val staging = s"$tmp/.prefold"
+      val staging = s"$tmp/prefold-staging"
       spark.read.parquet(statePath).drop("seg")
         .repartition(foldPartitions(spark, statePath), col("hk"))
         .groupBy(col("hk"), col("o_doc"), col("o_i"))
