@@ -294,25 +294,18 @@ object CrawlPipeline {
       })
     }
 
-  /** q258: the capstone as a verifiable query. Split convention: docs
-    * with doc_id % 10 < 8 are the already-ingested corpus; % 10 >= 8
-    * are the arriving batch. The query INGESTS both through the real
-    * incremental maintenance (two micro-batches each for the LSH
-    * index, the window state, and the shingle pile, via [[pilesFor]]),
-    * then gates the batch via the probes — so the CORRECTNESS entry
-    * itself exercises the streaming surfaces, and the oracle recomputes
-    * every gate's exact semantics from first principles in SQL. The
-    * LSH index is built at (numHashes=32, bandSize=2): 16 bands of 2
-    * rows give a per-pair miss probability of (1 - J^2)^16 — 8.4e-8 at
-    * J = 0.8, 1.2e-5 at J = 0.6 — and the fixture's near-dup pairs all
-    * sit at J >= 0.8 (measured: the J distribution is bimodal, < 0.3
-    * noise vs >= 0.8 planted dups; `StreamingSpec` asserts the
-    * bimodality AND the probe ≡ exact-gate equivalence at HEAD, so a
-    * data-generator drift into the 0.5–0.75 miss band is attributed to
-    * the fixture, not the gate — ADVICE r13 #4). */
-  val q258CrawlCapstone: QueryDef = QueryDef(
-    "q258_crawl_capstone",
-    """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+  /** The capstone's first-principles DuckDB oracle, parameterized on
+    * the batch-membership predicate (`batch`, over a bare `doc_id`)
+    * and the keep-first precedence predicate (`earlier`, over nd's
+    * `a` = the gated doc and `b` = the candidate partner). q258 gates
+    * the single-tick batch (earlier = corpus member or smaller batch
+    * id); q260 gates a SECOND tick, where the whole previous tick
+    * precedes regardless of id. Every other gate — decontamination,
+    * shingle Jaccard, dup windows, gopher — is the same derivation. */
+  private def capstoneOracle(batch: String, earlier: String): String =
+    // `raw` interpolator: the SQL's regex literals (\s, \.) must reach
+    // DuckDB verbatim; `s` would reject them as Scala escapes
+    raw"""WITH batch AS (SELECT doc_id, text FROM documents WHERE $batch),
       |tw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |bg AS (SELECT DISTINCT doc_id AS bench_id,
       |    array_to_string(list_slice(w, i, i + 7), ' ') AS gram
@@ -321,7 +314,7 @@ object CrawlPipeline {
       |cg AS (SELECT DISTINCT doc_id,
       |    array_to_string(list_slice(w, i, i + 7), ' ') AS gram
       |  FROM tw, UNNEST(range(1, len(w) - 6)) AS u(i)
-      |  WHERE doc_id % 10 >= 8 AND len(w) >= 8),
+      |  WHERE $batch AND len(w) >= 8),
       |contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)
       |  WHERE bg.bench_id <> cg.doc_id),
       |sh AS (SELECT doc_id,
@@ -333,8 +326,8 @@ object CrawlPipeline {
       |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
       |nd AS (SELECT DISTINCT a.doc_id
       |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-      |  WHERE a.doc_id % 10 >= 8
-      |    AND (b.doc_id % 10 < 8 OR b.doc_id < a.doc_id)
+      |  WHERE a.$batch
+      |    AND ($earlier)
       |    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
       |w50 AS (SELECT doc_id, i, substr(text, CAST(i AS BIGINT), 50) AS g
@@ -342,7 +335,7 @@ object CrawlPipeline {
       |  WHERE length(text) >= 50),
       |dupg AS (SELECT g FROM w50 GROUP BY g HAVING COUNT(*) >= 2),
       |hits AS (SELECT doc_id, i, i + 49 AS e FROM w50 JOIN dupg USING (g)
-      |  WHERE doc_id % 10 >= 8),
+      |  WHERE $batch),
       |m AS (SELECT doc_id, i, e,
       |    MAX(e) OVER (PARTITION BY doc_id ORDER BY i
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
@@ -395,7 +388,28 @@ object CrawlPipeline {
       |  CAST(CASE WHEN contaminated = 0 AND near_dup = 0
       |    AND dup_span_ppm < 200000 AND gopher_pass = 1
       |    THEN 1 ELSE 0 END AS BIGINT) AS accepted
-      |FROM f""".stripMargin) { (s, d) =>
+      |FROM f""".stripMargin
+
+  /** q258: the capstone as a verifiable query. Split convention: docs
+    * with doc_id % 10 < 8 are the already-ingested corpus; % 10 >= 8
+    * are the arriving batch. The query INGESTS both through the real
+    * incremental maintenance (two micro-batches each for the LSH
+    * index, the window state, and the shingle pile, via [[pilesFor]]),
+    * then gates the batch via the probes — so the CORRECTNESS entry
+    * itself exercises the streaming surfaces, and the oracle recomputes
+    * every gate's exact semantics from first principles in SQL. The
+    * LSH index is built at (numHashes=32, bandSize=2): 16 bands of 2
+    * rows give a per-pair miss probability of (1 - J^2)^16 — 8.4e-8 at
+    * J = 0.8, 1.2e-5 at J = 0.6 — and the fixture's near-dup pairs all
+    * sit at J >= 0.8 (measured: the J distribution is bimodal, < 0.3
+    * noise vs >= 0.8 planted dups; `StreamingSpec` asserts the
+    * bimodality AND the probe ≡ exact-gate equivalence at HEAD, so a
+    * data-generator drift into the 0.5–0.75 miss band is attributed to
+    * the fixture, not the gate — ADVICE r13 #4). */
+  val q258CrawlCapstone: QueryDef = QueryDef(
+    "q258_crawl_capstone",
+    capstoneOracle("doc_id % 10 >= 8",
+      "b.doc_id % 10 < 8 OR b.doc_id < a.doc_id")) { (s, d) =>
     val docsAll = Tables.documents(s, d)
     val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
     val batch = docsAll.filter(pmod(col("doc_id"), lit(10)) >= 8)
@@ -470,5 +484,45 @@ object CrawlPipeline {
     if (!batch.isEmpty) pilesFor(s, d, corpus, batch, ptr = true)
   })
 
-  val all: Seq[QueryDef] = Seq(q258CrawlCapstone, q259CrawlCapstonePtr)
+  /** q260: the capstone's SECOND tick — gate the NEXT arriving batch
+    * (docs with doc_id % 10 = 9) against piles that already contain the
+    * corpus AND the previous tick's batch (% 10 = 8), with TICK-ORDER
+    * keep-first precedence: everything from earlier ticks precedes a
+    * tick-2 document regardless of id; within tick 2, smaller id wins.
+    * This pins the multi-tick semantics q258 cannot see (its batch is
+    * one tick, so precedence is id-order only) against the same
+    * first-principles oracle with only the batch/precedence predicates
+    * changed.
+    *
+    * The piles are q258's own (same cache entry): pile CONTENT is
+    * segment-blind — LSH banding rows, window counts, and shingle sets
+    * union identically whether corpus∪A∪B arrived as two ticks or
+    * three (`StreamingSpec`/`SoakSpec` prove segment-boundary
+    * blindness) — so tick structure enters the gate ONLY through
+    * `arrivedEarlier`, which is exactly what this query varies. */
+  val q260CrawlCapstoneTick2: QueryDef = QueryDef(
+    "q260_crawl_capstone_tick2",
+    capstoneOracle("doc_id % 10 = 9",
+      "b.doc_id % 10 <= 8 OR b.doc_id < a.doc_id")) { (s, d) =>
+    val docsAll = Tables.documents(s, d)
+    val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batchAll = docsAll.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val batchB = docsAll.filter(pmod(col("doc_id"), lit(10)) === 9)
+    if (batchB.isEmpty) {
+      batchB.select(col("doc_id"), lit(0L).as("contaminated"),
+        lit(0L).as("near_dup"), lit(0L).as("dup_span_ppm"),
+        lit(0L).as("gopher_pass"), lit("accepted").as("rejected_by"),
+        lit(1L).as("accepted"))
+    } else {
+      val (lsh, span, shp) = pilesFor(s, d, corpus, batchAll)
+      crawlGate(s, batchB,
+        benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
+        docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,
+        arrivedEarlier = (n, o) => pmod(o, lit(10)) <= 8 || o < n,
+        shinglePilePath = Some(shp))
+    }
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q258CrawlCapstone, q259CrawlCapstonePtr, q260CrawlCapstoneTick2)
 }

@@ -79,7 +79,12 @@ class BroadcastAuditSpec extends SparkTestBase {
     // the ptr span probe's corpus fetch and the shingle-pile fetch are
     // shuffle_hash-hinted. Executed clean at 100× (r14 audit run,
     // docs/BENCH_NOTES.md).
-    "q259_crawl_capstone_ptr")
+    "q259_crawl_capstone_ptr",
+    // r15 tick-2 capstone: the SAME crawlGate over q258's piles with
+    // tick-order precedence — its plan carries the same reviewed
+    // bounded flags (benchmark-gram side of the decontamination
+    // confirm; candidate-partner id set), nothing new to review
+    "q260_crawl_capstone_tick2")
 
   test("no query outside the reviewed allowlist plans a corpus-derived broadcast (static, AQE off)") {
     val s = spark.newSession()

@@ -1172,6 +1172,93 @@ class StreamingSpec extends SparkTestBase {
       s"a real duplicate must still produce its span, got ${dup.toSeq}")
   }
 
+  test("pointer-state FOLD disambiguates a planted hash collision (multi-row-hk text fetch)") {
+    // The r15 fold splits on per-hk row multiplicity and fetches corpus
+    // text ONLY for multi-row hk groups — this plants the case that
+    // split exists for: one hash key carrying a true duplicate (w1 ×2)
+    // AND a colliding distinct window (w2), across two ingest batches.
+    // The fold must keep them as SEPARATE rows (counts never pool
+    // across a collision) with the global-min representative on the
+    // merged one.
+    val trunc: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => pmod(xxhash64(c), lit(64))
+    import spark.implicits._
+    val cands = (0 until 256).map(i => f"collision candidate number $i%03d " + "x" * 19)
+    val hashed = cands.toDF("g")
+      .select(col("g"), trunc(col("g")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (w1, w2) = hashed.groupBy(_._2).values.find(_.size >= 2)
+      .map(g => (g(0)._1, g(1)._1))
+      .getOrElse(fail("no truncated-hash collision among 256 candidates"))
+    val base = Files.createTempDirectory("graft-ptr-fold-collision")
+    val in = base.toString + "/in"
+    val state = base.toString + "/state"
+    val corpus = Seq((1L, w1), (2L, w2), (3L, w1)).toDF("doc_id", "text")
+    // two batches so the fold's input is genuinely multi-segment
+    corpus.filter(col("doc_id") <= 2).write.mode("overwrite").parquet(in)
+    Ingest.streamDupSpanMaintainPtr(spark, in, state, hashOf = trunc)
+    corpus.filter(col("doc_id") === 3).write.mode("append").parquet(in)
+    Ingest.streamDupSpanMaintainPtr(spark, in, state, hashOf = trunc)
+    Ingest.compactDupSpanStatePtrFold(spark, state, corpus)
+    val rows = spark.read.parquet(state)
+      .select(col("hk"), col("o_doc").cast("long"),
+        col("o_i").cast("long"), col("c").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val hk = rows.head._1
+    assert(rows === Set((hk, 1L, 1L, 2L), (hk, 2L, 1L, 1L)),
+      s"fold must keep colliding windows as separate rows with min reps: $rows")
+    assert(new java.io.File(s"$state/seg=-1/_folded").exists,
+      "the fold generation must carry its _folded stamp")
+    // folded-fast-path probes stay collision-exact: w1 is a dup, w2 not
+    assert(Ingest.dupSpanProbePtr(spark, state, corpus,
+      Seq((2L, w2)).toDF("doc_id", "text"), hashOf = trunc).isEmpty)
+    assert(Ingest.dupSpanProbePtr(spark, state, corpus,
+        Seq((3L, w1)).toDF("doc_id", "text"), hashOf = trunc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((3L, 1L)))
+  }
+
+  test("crawl gate precedence: tick-order rejects where id-order keeps (q260 semantics)") {
+    // q260's distinguishing case: a tick-2 document whose near-dup
+    // partner arrived in tick 1 with a LARGER id. Id-order precedence
+    // (q258's single-tick rule) keeps the tick-2 doc — the partner
+    // neither is corpus nor has a smaller id; tick-order precedence
+    // (q260) rejects it — the partner's whole tick precedes. Text is
+    // kept under 50 chars so the dup_span gate has no windows and the
+    // near_dup flag isolates the branch under test.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-tick-precedence")
+    val in = base.toString + "/in"
+    val lsh = base.toString + "/lsh"
+    val span = base.toString + "/span"
+    val shp = base.toString + "/shingles"
+    val text = (1 to 10).map(i => s"tk$i").mkString(" ") // 40 chars, 10 tokens
+    def tick(): Unit = {
+      Ingest.streamLshIngest(spark, in, lsh, numHashes = 32, bandSize = 2)
+      Ingest.streamDupSpanMaintain(spark, in, span)
+      Ingest.streamShingleIngest(spark, in, shp)
+    }
+    Seq((18L, text)).toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    tick() // tick 1 ingests doc 18
+    Seq((9L, text)).toDF("doc_id", "text").write.mode("append").parquet(in)
+    tick() // tick 2 ingests doc 9
+    val batchB = Seq((9L, text)).toDF("doc_id", "text")
+    def nearDup(earlier: (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Long = {
+      val out = graft.streaming.CrawlPipeline.crawlGate(spark, batchB,
+        benchDocs = Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        docsForConfirm = Seq((18L, text), (9L, text)).toDF("doc_id", "text"),
+        lshIndexPath = lsh, spanStatePath = span,
+        arrivedEarlier = earlier, shinglePilePath = Some(shp))
+      val flag = out.select(col("near_dup")).head.getLong(0)
+      out.unpersist(blocking = true)
+      flag
+    }
+    assert(nearDup((n, o) => pmod(o, lit(10)) < 8 || o < n) === 0L,
+      "id-order precedence must KEEP doc 9 (partner 18 is later by id)")
+    assert(nearDup((n, o) => pmod(o, lit(10)) <= 8 || o < n) === 1L,
+      "tick-order precedence must REJECT doc 9 (partner's tick precedes)")
+  }
+
   test("lshProbe refuseDegenerate raises on an over-cap bucket instead of silently under-matching") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-degenerate")
