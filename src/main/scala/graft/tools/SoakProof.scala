@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Scale run of the crash-injected incremental-lifecycle soak (r14
   * VERDICT ask #4): the same choreography `graft.SoakSpec` proves at
-  * test scale — 12 maintenance ticks across all four segment piles
-  * (agg MV, postings, LSH banding, ExactSubstr window state), seeded
+  * test scale — 12 maintenance ticks, here across all SIX segment
+  * piles (agg MV, postings, LSH banding, ExactSubstr window state in
+  * BOTH text and pointer forms, shingle sets), seeded
   * crash injection between ticks (stale fold tmp, mid-promote kill,
   * lost checkpoint commit, torn marker), and the compaction policy
   * LIVE (threshold 4, so every pile folds ~3× from ingest alone) —
@@ -113,7 +114,33 @@ object SoakProof {
       () => sig(Ingest.dupHashView(spark.read.parquet(s"$work/span"))),
       t => sig(TextPipeline.dupSpanPartial(docPrefix(t))
         .filter(col("c") >= 2).select(col("hk"), col("g"))))
-    val piles = Seq(agg, post, lsh, span)
+    // The POINTER-state span pile (the 5th surface): per-checkpoint
+    // integrity view = per-hash total counts — both sides pool 64-bit
+    // collisions identically, so multiset equality pins the stored
+    // state; collision-exact SEMANTICS are covered by the probe ≡
+    // batch-q215 end check and StreamingSpec's planted contracts.
+    // Injection/auto-compaction use the rewrite compactor (the fold is
+    // a corpus-pass background job exercised by IncrementalProof).
+    val spanPtr = Pile("span-ptr", s"$work/span-ptr",
+      () => Ingest.streamDupSpanMaintainPtr(spark, inDocs, s"$work/span-ptr",
+        autoCompactSegments = Threshold),
+      () => Ingest.compactDupSpanStatePtr(spark, s"$work/span-ptr"),
+      () => sig(spark.read.parquet(s"$work/span-ptr")
+        .groupBy(col("hk")).agg(sum(col("c")).cast("long").as("c"))),
+      t => sig(TextPipeline.dupSpanPartialPtr(docPrefix(t))
+        .groupBy(col("hk")).agg(sum(col("c")).cast("long").as("c"))))
+    // The shingle pile (the 6th surface): rows are immutable per-doc
+    // facts, so the view is the rows themselves.
+    val shingle = Pile("shingle", s"$work/shingle",
+      () => Ingest.streamShingleIngest(spark, inDocs, s"$work/shingle",
+        autoCompactSegments = Threshold),
+      () => Ingest.compactShinglePile(spark, s"$work/shingle"),
+      () => sig(spark.read.parquet(s"$work/shingle")
+        .select(col("doc_id"), col("sh"))),
+      t => sig(docPrefix(t).filter(size(TextPipeline.tokens) >= 3)
+        .select(col("doc_id"),
+          array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh"))))
+    val piles = Seq(agg, post, lsh, span, spanPtr, shingle)
 
     def segDirs(p: String): Set[String] = {
       val d = new Path(p)
