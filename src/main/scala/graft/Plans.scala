@@ -99,7 +99,10 @@ object Plans {
       "q258_crawl_capstone",
       // round-14: the pointer-state capstone (same gates, dup-span
       // probe fetches candidate texts from the corpus table)
-      "q259_crawl_capstone_ptr")
+      "q259_crawl_capstone_ptr",
+      // round-15: the tick-2 capstone (q258's piles, tick-order
+      // precedence — the reviewable shape is the same gate assembly)
+      "q260_crawl_capstone_tick2")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")
