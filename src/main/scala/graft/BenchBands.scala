@@ -54,6 +54,30 @@ object BenchBands {
   def loadSuspect(sentinel: Seq[Double]): Boolean =
     sentinel.nonEmpty && sentinel.max > SentinelBaselineSec * SentinelLoadRatio
 
+  /** Idle-box median of [[Bench.ioSentinelSec]] (r15 VERDICT ask #2:
+    * the CPU probe is blind to host IO throttling — r15's late-day
+    * drift needed a prose adjudication because totals inflated while
+    * the CPU sentinel sat nominal). Calibrated r16 from fresh idle
+    * runs on this box (the official driver box): 32 MiB fsync write
+    * ~0.10 s + 32 MiB O_DIRECT read ~0.02 s, median ~0.13 s
+    * (docs/BENCH_NOTES.md "r16 io sentinel"). Same recalibration
+    * policy as the CPU baseline: adjudicated-idle official runs only. */
+  val IoSentinelBaselineSec = 0.130
+  /** Looser than the CPU probe's 2×: device-level writeback collisions
+    * (a checkpoint landing mid-flush of another process's dirty pages)
+    * inflate single readings more than scheduler noise inflates the
+    * CPU probe, and the induced-load validation measured 3–6× under a
+    * genuine throttle — 2.5× splits those regimes cleanly. */
+  val IoSentinelLoadRatio = 2.5
+
+  /** IO-side analog of [[loadSuspect]]: ANY checkpoint past the ratio
+    * stamps the run. Validated r16 by re-creating the r15 drift
+    * scenario under an induced direct-IO load: the IO probe trips at
+    * 3–6× while the CPU probe stays nominal. */
+  def ioLoadSuspect(ioSentinel: Seq[Double]): Boolean =
+    ioSentinel.nonEmpty &&
+      ioSentinel.max > IoSentinelBaselineSec * IoSentinelLoadRatio
+
   /** query name → best official driver seconds (min of BENCH_r08–r11;
     * r11 improved q19/q40/q51/q90/q123/q131/q186 — the trainer-cache
     * fix made q131's r11 reading 2.426 vs r10's 4.18, and q123's
@@ -82,7 +106,9 @@ object BenchBands {
     "q211_quality_classifier" -> 0.979,
     "q73_sessionize" -> 0.580,
     // first official driver reading, BENCH_r14 (r14 VERDICT ask #1)
-    "q258_crawl_capstone" -> 6.305)
+    "q258_crawl_capstone" -> 6.305,
+    // first official driver reading, BENCH_r15 (r15 VERDICT ask #1)
+    "q259_crawl_capstone_ptr" -> 6.388)
 
   def bandFor(name: String): Option[Double] =
     baseline.get(name).map(_ * Ratio + SlackSec)
@@ -96,16 +122,41 @@ object BenchBands {
     * work is code-invariant, so its inflation proves the box (not the
     * engine) slowed down. Suspect-load breaches still return as
     * breaches; the stamp tells the reader to re-run idle before
-    * treating them as regressions (docs/BENCH_NOTES.md protocol). */
+    * treating them as regressions (docs/BENCH_NOTES.md protocol).
+    *
+    * A query named in `warmupFailed` (its untimed state-building
+    * warmup threw — see `Bench`'s benchWarmup loop) is EXCLUDED from
+    * band comparison and reported as a `cold-state` line, the same
+    * posture as `no-band` (r15 VERDICT ask #3): its timed region
+    * rebuilt pile state that the band's baseline never pays for, so
+    * scoring it red against a probe-only band would manufacture a
+    * phantom regression — and folding it in green would hide a real
+    * one. The reading stays in the JSON (stamped `warmupFailed`
+    * there), it just cannot adjudicate a band. */
   def check(timed: Seq[(String, Double)],
-      sentinel: Seq[Double] = Nil): Seq[String] = {
-    val suspect = loadSuspect(sentinel)
+      sentinel: Seq[Double] = Nil,
+      warmupFailed: Set[String] = Set.empty,
+      ioSentinel: Seq[Double] = Nil): Seq[String] = {
+    // EITHER probe tripping stamps the run: CPU steal and IO throttle
+    // are independent host-side failure modes and each alone inflates
+    // query totals (r15's drift was IO-only — CPU probe nominal)
+    val suspect = loadSuspect(sentinel) || ioLoadSuspect(ioSentinel)
     if (sentinel.nonEmpty)
       System.err.println(f"[bands] sentinel ${sentinel.map(s => f"$s%.3f").mkString("/")} s " +
         f"vs idle baseline $SentinelBaselineSec%.3f s → " +
-        (if (suspect) "SUSPECT-LOAD run" else "load nominal"))
+        (if (loadSuspect(sentinel)) "SUSPECT-LOAD (cpu)" else "cpu load nominal"))
+    if (ioSentinel.nonEmpty)
+      System.err.println(f"[bands] io-sentinel ${ioSentinel.map(s => f"$s%.3f").mkString("/")} s " +
+        f"vs idle baseline $IoSentinelBaselineSec%.3f s → " +
+        (if (ioLoadSuspect(ioSentinel)) "SUSPECT-LOAD (io)" else "io load nominal"))
     val breaches = timed.flatMap { case (name, sec) =>
       bandFor(name) match {
+        case _ if warmupFailed(name) =>
+          System.err.println(f"[bands] cold-state $name: $sec%.2f s excluded " +
+            "from band comparison (state-building warmup failed, so the " +
+            "timed region rebuilt pile state the band's probe-only " +
+            "baseline never pays; re-run with a healthy warmup)")
+          None
         case Some(band) if sec > band =>
           val stamp = if (suspect) " [suspect-load: sentinel inflated, re-run idle]" else ""
           System.err.println(
@@ -119,8 +170,14 @@ object BenchBands {
         case _ => None
       }
     }
-    if (breaches.isEmpty)
-      System.err.println(s"[bands] all ${timed.size} queries within band")
+    if (breaches.isEmpty) {
+      val excluded = timed.count { case (n, _) => warmupFailed(n) }
+      if (excluded == 0)
+        System.err.println(s"[bands] all ${timed.size} queries within band")
+      else
+        System.err.println(s"[bands] ${timed.size - excluded} of ${timed.size} " +
+          s"queries within band ($excluded cold-state, excluded)")
+    }
     breaches
   }
 }

@@ -239,23 +239,61 @@ object CrawlPipeline {
     dir
   }
 
-  /** Build (or reuse) the three piles for `d`'s corpus/batch split:
-    * corpus as micro-batch 0, the new batch as micro-batch 1, through
-    * the REAL incremental maintenance — the probes then see "everything
-    * ingested so far" exactly as a live pipeline would. After the
-    * ticks, every pile is COMPACTED to its folded generation: the
-    * steady state a policy-driven background fold keeps a production
-    * pile in, and the layout the dup-span probe's folded-generation
-    * fast path reads (the un-folded multi-segment read path is
-    * contract-covered by `StreamingSpec`/`SoakSpec`). `ptr` selects
-    * the pointer-state ExactSubstr pile (q259's state form; its fold
-    * re-fetches texts from the ingested corpus). Returns
-    * (lshIndexPath, spanStatePath, shinglePilePath). */
+  /** Cheap input snapshot signature for the pile cache key (r15
+    * VERDICT ask #4 / observation #3): the cache assumed the parquet
+    * under `d` is immutable for the JVM's lifetime — true for the
+    * read-only testdata, but a regenerated dataset at the SAME path
+    * (e.g. a ScaleUp re-run onto its previous /tmp target mid-JVM)
+    * would silently serve piles built from the OLD bytes. The
+    * signature is the documents table's file listing (name, length,
+    * mtime) — a driver-side metadata walk, no data read: any
+    * regeneration rewrites part files (fresh names/mtimes at minimum),
+    * so a changed input gets a NEW cache entry and fresh piles built
+    * from the current bytes. Stale entries' workdirs stay on disk
+    * until JVM exit (same lifecycle as before — the shutdown hook
+    * removes the whole workRoot). */
+  private def inputFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val parts = fs.listStatus(p)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted
+      // fixed-width digest so the key stays bounded on many-file tables
+      java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(parts.mkString("\n").getBytes("UTF-8")))
+    }
+  }
+
+  /** Build (or reuse) the three piles for `d`, ingesting `ticks` as
+    * consecutive REAL micro-batches through the incremental
+    * maintenance — the probes then see "everything ingested so far"
+    * exactly as a live pipeline would, with genuine multi-tick segment
+    * history when `ticks` has more than two entries (r15 VERDICT ask
+    * #5: q260's scored path now ingests corpus → tick-1 batch →
+    * tick-2 batch as three micro-batches instead of reusing q258's
+    * two-tick piles). After the ticks, every pile is COMPACTED to its
+    * folded generation: the steady state a policy-driven background
+    * fold keeps a production pile in, and the layout the dup-span
+    * probe's folded-generation fast path reads (the un-folded
+    * multi-segment read path is contract-covered by `StreamingSpec`/
+    * `SoakSpec`). `ptr` selects the pointer-state ExactSubstr pile
+    * (q259's state form; its fold re-fetches texts from the ingested
+    * corpus). Returns (lshIndexPath, spanStatePath, shinglePilePath). */
   private def pilesFor(s: SparkSession, d: String,
-      corpus: DataFrame, batch: DataFrame,
+      ticks: Seq[DataFrame],
       ptr: Boolean = false): (String, String, String) =
     pileCache.synchronized {
-      pileCache.getOrElseUpdate(s"$d#${if (ptr) "ptr" else "text"}", {
+      // the fingerprint in the key makes a mid-JVM input regeneration
+      // impossible to read stale (r15 VERDICT ask #4): changed bytes
+      // under d → changed listing → new entry → fresh piles. The tick
+      // count is in the key too: two-tick (q258/q259) and three-tick
+      // (q260) builds over the same dataset are distinct pile
+      // histories and must never share an entry.
+      pileCache.getOrElseUpdate(
+        s"$d#${if (ptr) "ptr" else "text"}#t${ticks.size}#${inputFingerprint(s, d)}", {
         pileDirSeq += 1
         val work = s"$workRoot/p$pileDirSeq" + (if (ptr) "-ptr" else "")
         val in = s"$work/in"
@@ -268,20 +306,18 @@ object CrawlPipeline {
           else Ingest.streamDupSpanMaintain(s, in, span)
           Ingest.streamShingleIngest(s, in, shp)
         }
-        // an all-batch fixture (empty corpus) skips the corpus tick: an
-        // empty frame can write zero part files, which would fail the
-        // stream's schema inference; the batch then ingests as
-        // micro-batch 0 and the probes see batch-only state — the same
-        // "everything ingested so far" semantics
-        if (!corpus.isEmpty) {
-          corpus.write.mode("overwrite").parquet(in)
+        // an empty tick (e.g. an all-batch fixture's empty corpus) is
+        // skipped: an empty frame can write zero part files, which
+        // would fail the stream's schema inference; later ticks then
+        // shift down a micro-batch and the probes see the same
+        // "everything ingested so far" state
+        for (t <- ticks if !t.isEmpty) {
+          t.write.mode("append").parquet(in)
           tick()
         }
-        batch.write.mode("append").parquet(in)
-        tick()
         Ingest.compactLshIndex(s, lsh)
         if (ptr) Ingest.compactDupSpanStatePtrFold(s, span,
-          corpus.unionByName(batch))
+          ticks.reduce(_ unionByName _))
         else Ingest.compactDupSpanState(s, span)
         Ingest.compactShinglePile(s, shp)
         // the staging copy and checkpoints are NOT in the probes'
@@ -420,7 +456,7 @@ object CrawlPipeline {
         lit(0L).as("gopher_pass"), lit("accepted").as("rejected_by"),
         lit(1L).as("accepted"))
     } else {
-      val (lsh, span, shp) = pilesFor(s, d, corpus, batch)
+      val (lsh, span, shp) = pilesFor(s, d, Seq(corpus, batch))
       crawlGate(s, batch,
         benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
         docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,
@@ -437,7 +473,7 @@ object CrawlPipeline {
     val docsAll = Tables.documents(s, d)
     val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
     val batch = docsAll.filter(pmod(col("doc_id"), lit(10)) >= 8)
-    if (!batch.isEmpty) pilesFor(s, d, corpus, batch)
+    if (!batch.isEmpty) pilesFor(s, d, Seq(corpus, batch))
   })
 
   /** q259: the capstone on the POINTER-state dup-span pile — the same
@@ -464,7 +500,7 @@ object CrawlPipeline {
         lit(0L).as("gopher_pass"), lit("accepted").as("rejected_by"),
         lit(1L).as("accepted"))
     } else {
-      val (lsh, span, shp) = pilesFor(s, d, corpus, batch, ptr = true)
+      val (lsh, span, shp) = pilesFor(s, d, Seq(corpus, batch), ptr = true)
       crawlGate(s, batch,
         benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
         docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,
@@ -481,7 +517,7 @@ object CrawlPipeline {
     val docsAll = Tables.documents(s, d)
     val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
     val batch = docsAll.filter(pmod(col("doc_id"), lit(10)) >= 8)
-    if (!batch.isEmpty) pilesFor(s, d, corpus, batch, ptr = true)
+    if (!batch.isEmpty) pilesFor(s, d, Seq(corpus, batch), ptr = true)
   })
 
   /** q260: the capstone's SECOND tick — gate the NEXT arriving batch
@@ -494,11 +530,17 @@ object CrawlPipeline {
     * first-principles oracle with only the batch/precedence predicates
     * changed.
     *
-    * The piles are q258's own (same cache entry): pile CONTENT is
-    * segment-blind — LSH banding rows, window counts, and shingle sets
-    * union identically whether corpus∪A∪B arrived as two ticks or
-    * three (`StreamingSpec`/`SoakSpec` prove segment-boundary
-    * blindness) — so tick structure enters the gate ONLY through
+    * The piles are built as THREE real micro-batches — corpus →
+    * tick-1 batch (% 10 = 8) → tick-2 batch (% 10 = 9), a separate
+    * cache entry from q258's two-tick build (r15 VERDICT ask #5) — so
+    * the scored path exercises genuine multi-tick segment history
+    * end-to-end through maintenance, fold, and probe. Pile CONTENT is
+    * segment-blind (LSH banding rows, window counts, and shingle sets
+    * union identically however corpus∪A∪B is split into ticks —
+    * `StreamingSpec`/`SoakSpec` prove segment-boundary blindness), so
+    * q260's continued hash-pass over the three-tick piles, next to
+    * q258's over the two-tick ones, pins that blindness in the ORACLED
+    * path too; tick structure enters the gate only through
     * `arrivedEarlier`, which is exactly what this query varies. */
   val q260CrawlCapstoneTick2: QueryDef = QueryDef(
     "q260_crawl_capstone_tick2",
@@ -506,7 +548,6 @@ object CrawlPipeline {
       "b.doc_id % 10 <= 8 OR b.doc_id < a.doc_id")) { (s, d) =>
     val docsAll = Tables.documents(s, d)
     val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
-    val batchAll = docsAll.filter(pmod(col("doc_id"), lit(10)) >= 8)
     val batchB = docsAll.filter(pmod(col("doc_id"), lit(10)) === 9)
     if (batchB.isEmpty) {
       batchB.select(col("doc_id"), lit(0L).as("contaminated"),
@@ -514,7 +555,8 @@ object CrawlPipeline {
         lit(0L).as("gopher_pass"), lit("accepted").as("rejected_by"),
         lit(1L).as("accepted"))
     } else {
-      val (lsh, span, shp) = pilesFor(s, d, corpus, batchAll)
+      val batchA = docsAll.filter(pmod(col("doc_id"), lit(10)) === 8)
+      val (lsh, span, shp) = pilesFor(s, d, Seq(corpus, batchA, batchB))
       crawlGate(s, batchB,
         benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
         docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,

@@ -546,9 +546,14 @@ object Ingest {
             size(col("old_ids")).cast("string"),
             lit(" members) — raise the cap (exactness contract) or probe " +
               "with refuseDegenerate=false (bounded, approximate)"))
+          // cast the raise_error branch to old_ids' ACTUAL element type
+          // (ADVICE r15 #4): a hardcoded array<bigint> would widen the
+          // when/otherwise coercion if the indexed doc_id were ever
+          // non-bigint, pushing an implicit coercion onto downstream
+          // old_doc comparisons
           grouped.withColumn("old_ids",
             when(size(col("old_ids")) > maxBucket,
-              raise_error(msg).cast("array<bigint>"))
+              raise_error(msg).cast(grouped.schema("old_ids").dataType))
               .otherwise(col("old_ids")))
         } else grouped.filter(size(col("old_ids")) <= maxBucket)
       // shuffle_hash, NOT broadcast (the q215 rule): the probe side is
@@ -572,12 +577,16 @@ object Ingest {
         // the fused guard surfaces as a task-level SparkRuntimeException
         // wrapped by the job failure — re-raise it as the documented
         // prescriptive refusal (API contract unchanged vs the old
-        // separate-pass check)
-        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-          .map(c => Option(c.getMessage).getOrElse(""))
-          .find(_.contains(OverCapMarker))
-          .foreach(m => throw new java.io.IOException(
-            "lshProbe: " + m.substring(m.indexOf(OverCapMarker))))
+        // separate-pass check). The walk is BOUNDED (ADVICE r15 #3:
+        // self-referential cause chains are legal and do occur in
+        // wrapped executor exceptions — an unbounded takeWhile would
+        // hang the error path) and matches the raise_error class/
+        // condition in addition to the message text (ADVICE r15 #1:
+        // message-only matching is brittle across Spark versions).
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20)
+          .flatMap(overCapText)
+          .nextOption()
+          .foreach(m => throw new java.io.IOException("lshProbe: " + m))
         throw t
       }
       out
@@ -588,6 +597,30 @@ object Ingest {
     * the probe's materializer unwraps it from the task failure into the
     * prescriptive IOException refusal. */
   private val OverCapMarker = "touched group(s) exceed maxBucket"
+
+  /** Extract the prescriptive over-cap text from one cause-chain link.
+    * Primary match is the marker in the message (we control the
+    * raise_error payload, so it is always present there today);
+    * additionally a [[org.apache.spark.SparkThrowable]] whose error
+    * condition is `USER_RAISED_EXCEPTION` is searched through its
+    * message PARAMETERS — the class-level match ADVICE r15 #1 asked
+    * for, robust to a future Spark changing how raise_error formats
+    * getMessage. */
+  private def overCapText(c: Throwable): Option[String] = {
+    val msg = Option(c.getMessage).getOrElse("")
+    if (msg.contains(OverCapMarker))
+      Some(msg.substring(msg.indexOf(OverCapMarker)))
+    else c match {
+      case st: org.apache.spark.SparkThrowable
+          if st.getCondition == "USER_RAISED_EXCEPTION" =>
+        import scala.jdk.CollectionConverters._
+        Option(st.getMessageParameters).toSeq
+          .flatMap(_.asScala.values)
+          .find(_.contains(OverCapMarker))
+          .map(v => v.substring(v.indexOf(OverCapMarker)))
+      case _ => None
+    }
+  }
 
   // ---------------------------------------------------------------
   // Shingle-set pile (r13 VERDICT ask #3): the crawl gate's near-dup
@@ -956,8 +989,19 @@ object Ingest {
         .select(col("hk"), col("rep.o_doc").as("o_doc"),
           col("rep.o_i").as("o_i"), col("c"))
         .write.mode("append").parquet(compactedSeg(tmp))
+      // the staging delete must be VERIFIED (ADVICE r15 #2): if it
+      // silently fails, the staging dir rides the atomic promote into
+      // the live pile root and every subsequent read of the pile fails
+      // partition discovery (seg=-1 vs prefold-staging conflict).
+      // Throwing here discards the whole tmp generation (writeTmp
+      // fails → promote never happens) and the live pile stays intact.
       val sp = new org.apache.hadoop.fs.Path(staging)
-      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+      val sfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!sfs.delete(sp, true) && sfs.exists(sp))
+        throw new java.io.IOException(
+          s"compactDupSpanStatePtrFold: failed to delete prefold staging $staging; " +
+            "discarding the tmp generation (a promoted generation must " +
+            "contain only its seg=-1 output)")
       // the probe's c >= 2 pre-filter is sound only on fold-shaped
       // output (one row per distinct window) — stamp the generation
       stampFolded(spark, compactedSeg(tmp))

@@ -148,6 +148,32 @@ object SoakProof {
       else fs.listStatus(d).map(_.getPath.getName).filter(_.startsWith("seg=")).toSet
     }
 
+    /** Retention invariant at soak scale (r15 VERDICT ask #6; test-
+      * scale form at `StreamingSpec` "compaction retains only the
+      * promoted generation"): after every tick — and in the STRONG
+      * form right after a policy fold, when only seg=-1 may remain —
+      * a pile root holds nothing but seg=* generations and underscore
+      * markers, and no `.compact-tmp`/`.compact-old` sibling survives.
+      * A multi-fold history is exactly where a stranded old
+      * generation, staging dir, or tmp sibling would accumulate. */
+    def assertRetention(p: Pile, tick: Int, justFolded: Boolean): Unit = {
+      for (suffix <- Seq(".compact-tmp", ".compact-old")) {
+        val sib = new Path(p.path + suffix)
+        require(!fs.exists(sib),
+          s"[${p.name} tick $tick] stranded compaction sibling: $sib")
+      }
+      val children = fs.listStatus(new Path(p.path)).map(_.getPath.getName)
+      val stray = children.filterNot(n => n.startsWith("seg=") || n.startsWith("_"))
+      require(stray.isEmpty,
+        s"[${p.name} tick $tick] non-generation content in pile root: ${stray.mkString(", ")}")
+      if (justFolded) {
+        val gens = children.filter(_.startsWith("seg=")).toSet
+        require(gens == Set("seg=-1"),
+          s"[${p.name} tick $tick] post-fold root must hold ONLY the " +
+            s"promoted seg=-1 generation, got ${gens.mkString(", ")}")
+      }
+    }
+
     // Seeded schedule: every crash class fires at least twice across
     // the 11 injection slots, in random order, on a random pile — the
     // SoakSpec discipline at scale.
@@ -216,13 +242,19 @@ object SoakProof {
         .write.mode("append").parquet(inEv)
       if (tick > 0) inject(tick)
       for (p <- piles) {
+        val liveBefore = segDirs(p.path).count(_ != "seg=-1")
         val t0 = System.nanoTime()
         p.ingest()
         val sec = (System.nanoTime() - t0) / 1e9
         val live = segDirs(p.path).count(_ != "seg=-1")
         require(live < Threshold,
           s"[${p.name} tick $tick] policy failed to bound the pile: $live live segments")
-        println(f"""{"tick":$tick,"pile":"${p.name}","tickSec":$sec%.2f,"liveSegments":$live}""")
+        // fewer live segments after an ingest ⇒ the policy folded
+        // inside this tick ⇒ the strong only-seg=-1 retention form
+        val folded = live < liveBefore
+        assertRetention(p, tick, folded)
+        println(f"""{"tick":$tick,"pile":"${p.name}","tickSec":$sec%.2f,""" +
+          s""""liveSegments":$live,"foldedThisTick":$folded,"retentionClean":true}""")
       }
       if (tick % 4 == 3 || tick == ticks - 1)
         for (p <- piles) {

@@ -35,6 +35,45 @@ class BenchBandsSpec extends AnyFunSuite {
     assert(BenchBands.check(Seq("q_new_headliner" -> 99.0)).isEmpty)
   }
 
+  test("warmup-failed readings are excluded from band comparison (cold-state, not red)") {
+    // r15 VERDICT ask #3: a headliner whose state-building warmup
+    // failed rebuilds its piles INSIDE the timed region — comparing
+    // that reading against its probe-only band would breach "red" on a
+    // phantom regression. The stamp must exclude it, and must not
+    // shadow genuine breaches of other queries in the same run.
+    val name = "q258_crawl_capstone"
+    val band = BenchBands.bandFor(name).get
+    // out-of-band reading + warmupFailed → excluded, no breach
+    assert(BenchBands.check(Seq(name -> (band * 3)), Nil, Set(name)).isEmpty)
+    // the exclusion is per-query: a second query's real breach survives
+    val other = "q1_agg"
+    val otherBand = BenchBands.bandFor(other).get
+    assert(BenchBands.check(Seq(name -> (band * 3), other -> (otherBand + 0.01)),
+      Nil, Set(name)) === Seq(other))
+    // and a healthy run is unaffected by an empty warmupFailed set
+    assert(BenchBands.check(Seq(name -> (band - 0.01)), Nil, Set.empty).isEmpty)
+  }
+
+  test("io sentinel: inflated readings mark the run suspect-load independently of the cpu probe") {
+    // r15 VERDICT ask #2: host IO throttling inflated query totals
+    // while the CPU probe sat nominal — the IO probe must stamp that
+    // run mechanically, with its own baseline and (looser) trip ratio.
+    val idleCpu = BenchBands.SentinelBaselineSec
+    val idleIo = BenchBands.IoSentinelBaselineSec
+    assert(!BenchBands.ioLoadSuspect(Seq(idleIo, idleIo * 2.0, idleIo)))
+    assert(BenchBands.ioLoadSuspect(Seq(idleIo, idleIo * 3.0, idleIo)))
+    assert(!BenchBands.ioLoadSuspect(Nil)) // older JSON / subset runs
+    // the r15 scenario: cpu nominal, io tripped → breach is still
+    // returned but the run is stamped suspect (stderr); and a clean io
+    // probe changes nothing
+    val name = "q1_agg"
+    val band = BenchBands.bandFor(name).get
+    assert(BenchBands.check(Seq(name -> (band + 0.01)),
+      Seq(idleCpu), Set.empty, Seq(idleIo * 4)) === Seq(name))
+    assert(BenchBands.check(Seq(name -> (band - 0.01)),
+      Seq(idleCpu), Set.empty, Seq(idleIo)).isEmpty)
+  }
+
   test("load sentinel: inflated readings mark the run suspect-load") {
     val idle = BenchBands.SentinelBaselineSec
     // nominal: every checkpoint under the loose 2x ratio

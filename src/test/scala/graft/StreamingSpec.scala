@@ -1284,6 +1284,63 @@ class StreamingSpec extends SparkTestBase {
       refuseDegenerate = true).count() === 3)
   }
 
+  test("pilesFor cache cannot serve stale piles after the input is regenerated in-JVM") {
+    // r15 VERDICT ask #4: the per-JVM pile cache was keyed on the
+    // sfDir STRING — a dataset regenerated at the same path mid-JVM
+    // (e.g. a ScaleUp re-run onto its previous /tmp target) would
+    // silently serve piles built from the old bytes. The key now
+    // carries an input fingerprint (documents file listing), so this
+    // end-to-end re-run must gate the REGENERATED batch, not v1's.
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-regen-input").toString
+    val corpusText = (1 to 60).map(i => s"stable$i").mkString(" ")
+    def gen(batchIds: Seq[Long]): Unit =
+      ((1L to 5L).map(i => (i * 10, s"corpus $i $corpusText")) ++
+        batchIds.map(i => (i, s"batch $i $corpusText")))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    gen(Seq(8L, 18L))
+    val v1 = graft.streaming.CrawlPipeline.q258CrawlCapstone.fn(spark, d)
+    val ids1 = v1.select("doc_id").as[Long].collect().toSet
+    v1.unpersist(blocking = true)
+    assert(ids1 === Set(8L, 18L))
+    gen(Seq(9L, 28L, 38L)) // regenerate IN-JVM at the same path
+    val v2 = graft.streaming.CrawlPipeline.q258CrawlCapstone.fn(spark, d)
+    val ids2 = v2.select("doc_id").as[Long].collect().toSet
+    v2.unpersist(blocking = true)
+    assert(ids2 === Set(9L, 28L, 38L),
+      "the gate must see the regenerated batch — a v1 id set means a stale pile was read")
+  }
+
+  test("refuseDegenerate fires for a touched over-cap bucket even when no probe row matches its bucket value") {
+    // ADVICE r15 #1: the fused guard poisons old_ids with raise_error
+    // inside a Project below the build-side exchange, so every TOUCHED
+    // (band, bbucket) partition's groups are materialized whether or
+    // not the join finds a matching bucket value. That is a plan-shape
+    // property (an optimizer change pruning unmatched build rows below
+    // the Project would let an over-cap bucket pass silently) — this
+    // pins it: the index holds an over-cap group whose bucket value the
+    // probe can never match (disjoint vocabulary), in a partition the
+    // probe DOES touch (buckets = 1 → every bbucket is 0, and the probe
+    // emits a row for every band), and the refusal must still fire.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-degenerate-untouched")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/lsh"
+    val textA = (1 to 20).map(i => s"boiler$i").mkString(" ")
+    Seq((1L, textA), (2L, textA), (3L, textA)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    Ingest.streamLshIngest(spark, in, idx, buckets = 1)
+    // disjoint vocabulary → disjoint shingles → no shared MinHash band
+    // signature, so the probe's bucket values miss the over-cap group
+    val textB = (1 to 20).map(i => s"fresh$i").mkString(" ")
+    val probe = Seq((9L, textB)).toDF("doc_id", "text")
+    val e = intercept[java.io.IOException] {
+      Ingest.lshProbe(spark, idx, probe, maxBucket = 2, refuseDegenerate = true)
+    }
+    assert(e.getMessage.contains("exceed maxBucket"))
+  }
+
   test("a corrupt (truncated) identity marker is a loud prescriptive refusal, not a parse error") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
