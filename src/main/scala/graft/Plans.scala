@@ -100,9 +100,13 @@ object Plans {
       // round-14: the pointer-state capstone (same gates, dup-span
       // probe fetches candidate texts from the corpus table)
       "q259_crawl_capstone_ptr",
-      // round-15: the tick-2 capstone (q258's piles, tick-order
-      // precedence — the reviewable shape is the same gate assembly)
-      "q260_crawl_capstone_tick2")
+      // round-15: the tick-2 capstone (tick-order precedence; r16
+      // builds its piles as three real micro-batches — the reviewable
+      // shape is the same gate assembly)
+      "q260_crawl_capstone_tick2",
+      // round-16: the tick-2 capstone on the pointer-state pile (the
+      // 2x2 family's fourth member)
+      "q261_crawl_capstone_tick2_ptr")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")

@@ -565,6 +565,41 @@ object CrawlPipeline {
     }
   }
 
+  /** q261: the fourth member of the capstone family, completing the
+    * 2×2 (dup-span state form × tick depth) matrix — q258 text/1-tick,
+    * q259 ptr/1-tick, q260 text/2-tick, q261 PTR/2-tick. Same
+    * predicates and first-principles oracle as q260; gate 3 probes the
+    * POINTER-state pile, built as the same three real micro-batches
+    * and fold-compacted — so the pointer FOLD (the restructured
+    * pre-fold + minority sort-merge text fetch) is oracled over
+    * genuine multi-tick segment history, not just the two-tick split
+    * q259 covers. A text-vs-ptr divergence at either tick depth is a
+    * bug by construction (both state forms are collision-exact). */
+  val q261CrawlCapstoneTick2Ptr: QueryDef = QueryDef(
+    "q261_crawl_capstone_tick2_ptr",
+    q260CrawlCapstoneTick2.oracle.get) { (s, d) =>
+    val docsAll = Tables.documents(s, d)
+    val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val batchB = docsAll.filter(pmod(col("doc_id"), lit(10)) === 9)
+    if (batchB.isEmpty) {
+      batchB.select(col("doc_id"), lit(0L).as("contaminated"),
+        lit(0L).as("near_dup"), lit(0L).as("dup_span_ppm"),
+        lit(0L).as("gopher_pass"), lit("accepted").as("rejected_by"),
+        lit(1L).as("accepted"))
+    } else {
+      val batchA = docsAll.filter(pmod(col("doc_id"), lit(10)) === 8)
+      val (lsh, span, shp) =
+        pilesFor(s, d, Seq(corpus, batchA, batchB), ptr = true)
+      crawlGate(s, batchB,
+        benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
+        docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,
+        arrivedEarlier = (n, o) => pmod(o, lit(10)) <= 8 || o < n,
+        shinglePilePath = Some(shp),
+        spanProbe = (ss, p, b) => Ingest.dupSpanProbePtr(ss, p, docsAll, b))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q258CrawlCapstone, q259CrawlCapstonePtr, q260CrawlCapstoneTick2)
+    Seq(q258CrawlCapstone, q259CrawlCapstonePtr, q260CrawlCapstoneTick2,
+      q261CrawlCapstoneTick2Ptr)
 }
