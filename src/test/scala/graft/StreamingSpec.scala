@@ -1284,6 +1284,66 @@ class StreamingSpec extends SparkTestBase {
       refuseDegenerate = true).count() === 3)
   }
 
+  test("text and pointer state forms gate identically over three-tick planted piles") {
+    // q260-vs-q261 at test scale: the same three-micro-batch pile
+    // history (corpus → tick-1 → tick-2, folds included) built in BOTH
+    // dup-span state forms, gated with tick-order precedence — the two
+    // outputs must be ROW-IDENTICAL (both forms are collision-exact;
+    // a divergence at any tick depth is a bug, not a parameter
+    // choice). Also pins the planted verdicts: tick-2 doc 9's
+    // identical-text partners arrived in earlier ticks → near_dup.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-tick2-ptr")
+    val textDup = (1 to 60).map(i => s"stable$i").mkString(" ")
+    val textUniq = (1 to 60).map(i => s"alone$i").mkString(" ")
+    val corpus = Seq((10L, textDup))
+    val tick1 = Seq((18L, textDup))
+    val tick2 = Seq((9L, textDup), (29L, textUniq))
+    val allDocs = (corpus ++ tick1 ++ tick2).toDF("doc_id", "text")
+    def build(ptr: Boolean): (String, String, String) = {
+      val work = base.toString + (if (ptr) "/p" else "/t")
+      val in = s"$work/in"
+      val lsh = s"$work/lsh"; val span = s"$work/span"; val shp = s"$work/sh"
+      for (t <- Seq(corpus, tick1, tick2)) {
+        t.toDF("doc_id", "text").write.mode("append").parquet(in)
+        Ingest.streamLshIngest(spark, in, lsh, numHashes = 32, bandSize = 2)
+        if (ptr) Ingest.streamDupSpanMaintainPtr(spark, in, span)
+        else Ingest.streamDupSpanMaintain(spark, in, span)
+        Ingest.streamShingleIngest(spark, in, shp)
+      }
+      Ingest.compactLshIndex(spark, lsh)
+      if (ptr) Ingest.compactDupSpanStatePtrFold(spark, span, allDocs)
+      else Ingest.compactDupSpanState(spark, span)
+      Ingest.compactShinglePile(spark, shp)
+      (lsh, span, shp)
+    }
+    val batchB = tick2.toDF("doc_id", "text")
+    // tick-order keep-first: every partner outside tick 2 precedes;
+    // within tick 2, smaller id wins
+    val earlier = (n: org.apache.spark.sql.Column,
+        o: org.apache.spark.sql.Column) => !o.isin(9L, 29L) || o < n
+    def gate(ptr: Boolean): Seq[org.apache.spark.sql.Row] = {
+      val (lsh, span, shp) = build(ptr)
+      val out = graft.streaming.CrawlPipeline.crawlGate(spark, batchB,
+        benchDocs = Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        docsForConfirm = allDocs, lshIndexPath = lsh, spanStatePath = span,
+        arrivedEarlier = earlier, shinglePilePath = Some(shp),
+        spanProbe =
+          if (ptr) (ss, p, b) => Ingest.dupSpanProbePtr(ss, p, allDocs, b)
+          else (ss, p, b) => Ingest.dupSpanProbe(ss, p, b))
+      val rows = out.orderBy("doc_id").collect().toSeq
+      out.unpersist(blocking = true)
+      rows
+    }
+    val t = gate(ptr = false)
+    val p = gate(ptr = true)
+    assert(t === p, "state forms must gate identically at every tick depth")
+    val doc9 = t.find(_.getLong(0) == 9L).get
+    assert(doc9.getAs[String]("rejected_by") === "near_dup",
+      "tick-2 dup of earlier-tick docs must reject under tick-order precedence")
+    assert(t.find(_.getLong(0) == 29L).get.getAs[Long]("near_dup") === 0L)
+  }
+
   test("pilesFor cache cannot serve stale piles after the input is regenerated in-JVM") {
     // r15 VERDICT ask #4: the per-JVM pile cache was keyed on the
     // sfDir STRING — a dataset regenerated at the same path mid-JVM
