@@ -80,11 +80,20 @@ class BroadcastAuditSpec extends SparkTestBase {
     // shuffle_hash-hinted. Executed clean at 100× (r14 audit run,
     // docs/BENCH_NOTES.md).
     "q259_crawl_capstone_ptr",
-    // r15 tick-2 capstone: the SAME crawlGate over q258's piles with
-    // tick-order precedence — its plan carries the same reviewed
-    // bounded flags (benchmark-gram side of the decontamination
-    // confirm; candidate-partner id set), nothing new to review
-    "q260_crawl_capstone_tick2")
+    // r15 tick-2 capstone: the SAME crawlGate with tick-order
+    // precedence (r16: over its own three-micro-batch piles) — its
+    // plan carries the same reviewed bounded flags (benchmark-gram
+    // side of the decontamination confirm; candidate-partner id set),
+    // nothing new to review
+    "q260_crawl_capstone_tick2",
+    // r16 tick-2 pointer-state capstone: q260's gate assembly + q259's
+    // ptr span probe — the single remaining flag is the same reviewed
+    // benchmark-gram broadcast ("documents via agg+explode": the
+    // doc_id % 41 = 0 benchmark sample's 8-gram set, bounded by the
+    // benchmark's size, NOT a corpus-growth set); executed clean at
+    // 100× with exactly that one flag (r16 audit run,
+    // docs/BENCH_NOTES.md "r16 100× execute")
+    "q261_crawl_capstone_tick2_ptr")
 
   test("no query outside the reviewed allowlist plans a corpus-derived broadcast (static, AQE off)") {
     val s = spark.newSession()
