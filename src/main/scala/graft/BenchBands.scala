@@ -78,6 +78,20 @@ object BenchBands {
     ioSentinel.nonEmpty &&
       ioSentinel.max > IoSentinelBaselineSec * IoSentinelLoadRatio
 
+  /** Advisory sub-trip tier (r16 bench series observation): a box can
+    * drift query totals ~30% while both probes sit BETWEEN 1.4× and
+    * their trip ratios — enough elevation to explain breaches, not
+    * enough to stamp them suspect (r16 run 1: four breaches, cpu probe
+    * 1.2–1.6×, totals +34% vs the clean run an hour later on unchanged
+    * code). This tier makes that state machine-visible in the stderr
+    * line — "elevated (sub-trip)" — so an adjudicator reading the
+    * series sees the probe evidence without recomputing ratios. It
+    * never changes breach semantics or the suspect stamp: elevated is
+    * ADVISORY (a real 30% regression would also not be excused by it). */
+  val ElevatedRatio = 1.4
+  def loadElevated(readings: Seq[Double], baseline: Double): Boolean =
+    readings.nonEmpty && readings.max > baseline * ElevatedRatio
+
   /** query name → best official driver seconds (min of BENCH_r08–r11;
     * r11 improved q19/q40/q51/q90/q123/q131/q186 — the trainer-cache
     * fix made q131's r11 reading 2.426 vs r10's 4.18, and q123's
@@ -141,14 +155,19 @@ object BenchBands {
     // are independent host-side failure modes and each alone inflates
     // query totals (r15's drift was IO-only — CPU probe nominal)
     val suspect = loadSuspect(sentinel) || ioLoadSuspect(ioSentinel)
+    def verdict(suspectNow: Boolean, readings: Seq[Double], baseline: Double,
+        tag: String): String =
+      if (suspectNow) s"SUSPECT-LOAD ($tag)"
+      else if (loadElevated(readings, baseline)) s"$tag load elevated (sub-trip)"
+      else s"$tag load nominal"
     if (sentinel.nonEmpty)
       System.err.println(f"[bands] sentinel ${sentinel.map(s => f"$s%.3f").mkString("/")} s " +
         f"vs idle baseline $SentinelBaselineSec%.3f s → " +
-        (if (loadSuspect(sentinel)) "SUSPECT-LOAD (cpu)" else "cpu load nominal"))
+        verdict(loadSuspect(sentinel), sentinel, SentinelBaselineSec, "cpu"))
     if (ioSentinel.nonEmpty)
       System.err.println(f"[bands] io-sentinel ${ioSentinel.map(s => f"$s%.3f").mkString("/")} s " +
         f"vs idle baseline $IoSentinelBaselineSec%.3f s → " +
-        (if (ioLoadSuspect(ioSentinel)) "SUSPECT-LOAD (io)" else "io load nominal"))
+        verdict(ioLoadSuspect(ioSentinel), ioSentinel, IoSentinelBaselineSec, "io"))
     val breaches = timed.flatMap { case (name, sec) =>
       bandFor(name) match {
         case _ if warmupFailed(name) =>

@@ -74,6 +74,22 @@ class BenchBandsSpec extends AnyFunSuite {
       Seq(idleCpu), Set.empty, Seq(idleIo)).isEmpty)
   }
 
+  test("elevated tier: sub-trip inflation is advisory only") {
+    // r16 run-1 pattern: breaches on a run whose probes sit between
+    // 1.4x and their trip ratios — the elevated tier surfaces that in
+    // the stderr verdict but never changes breach or suspect semantics
+    val idle = BenchBands.SentinelBaselineSec
+    assert(BenchBands.loadElevated(Seq(idle * 1.5), idle))
+    assert(!BenchBands.loadElevated(Seq(idle * 1.3), idle))
+    assert(!BenchBands.loadElevated(Nil, idle))
+    // elevated is NOT suspect: the breach still returns un-stamped
+    val name = "q1_agg"
+    val band = BenchBands.bandFor(name).get
+    assert(!BenchBands.loadSuspect(Seq(idle * 1.5)))
+    assert(BenchBands.check(Seq(name -> (band + 0.01)),
+      Seq(idle * 1.5)) === Seq(name))
+  }
+
   test("load sentinel: inflated readings mark the run suspect-load") {
     val idle = BenchBands.SentinelBaselineSec
     // nominal: every checkpoint under the loose 2x ratio
