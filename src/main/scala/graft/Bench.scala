@@ -42,6 +42,58 @@ object Bench {
     * If O_DIRECT is unsupported the read half contributes 0 and the
     * write half still instruments the device (writeback is charged at
     * fsync regardless). */
+  /** True once the O_DIRECT read half of [[ioSentinelSec]] has become
+    * unavailable (filesystem without O_DIRECT, unreadable/uncreatable
+    * probe file): the probe then runs WRITE-ONLY and its readings sit
+    * ~0.02 s under the two-sided idle baseline — which would quietly
+    * loosen trip sensitivity if compared against the full baseline
+    * (r16 VERDICT ask #3 / ADVICE #1). [[BenchBands.ioLoadSuspect]]
+    * takes this flag and switches to the write-only baseline, and the
+    * bench JSON stamps `ioSentinel.writeOnly` so a reader of the
+    * metric line knows which baseline the readings were judged
+    * against. Sticky for the JVM's lifetime: a probe that degrades
+    * mid-run stays degraded so all its checkpoints are comparable. */
+  @volatile private[graft] var ioProbeWriteOnly = false
+
+  /** One O_DIRECT read pass over `fixed`. Returns false — instead of
+    * throwing — ONLY for the expected unavailability classes
+    * (IOException: missing/unreadable file, filesystem refusing
+    * O_DIRECT at open or read; UnsupportedOperationException: the
+    * DIRECT open option itself unsupported). Anything else — OOM,
+    * interrupt, linkage errors — propagates: the old blanket
+    * `catch Throwable` swallowed fatal errors and silently degraded
+    * the probe with no trace in the metric record (r16 VERDICT ask
+    * #3). */
+  private[graft] def directReadPass(fixed: java.nio.file.Path): Boolean =
+    try {
+      val buf = java.nio.ByteBuffer.allocateDirect((1 << 20) + 4096)
+        .alignedSlice(4096)
+      val rch = java.nio.channels.FileChannel.open(fixed,
+        java.nio.file.StandardOpenOption.READ,
+        com.sun.nio.file.ExtendedOpenOption.DIRECT)
+      try {
+        var pos = 0L
+        val sz = rch.size()
+        while (pos < sz) {
+          buf.clear()
+          val r = rch.read(buf, pos)
+          if (r < 0) pos = sz else pos += r
+        }
+      } finally rch.close()
+      true
+    } catch {
+      case _: java.io.IOException => false
+      case _: UnsupportedOperationException => false
+    }
+
+  private def markWriteOnly(why: String): Unit = {
+    if (!ioProbeWriteOnly)
+      System.err.println(s"[bench] io-sentinel: $why — continuing with a " +
+        "WRITE-ONLY probe (readings judged against the write-only baseline; " +
+        "stamped ioSentinel.writeOnly in the metric JSON)")
+    ioProbeWriteOnly = true
+  }
+
   def ioSentinelSec(): Double = {
     val block = new Array[Byte](1 << 20)
     var x = 0x9E3779B97F4A7C15L
@@ -53,15 +105,29 @@ object Bench {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     import java.nio.channels.FileChannel
     val dir = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    val fixed = dir.resolve("graft-iosentinel-fixed.bin")
-    if (!Files.exists(fixed) || Files.size(fixed) != (32L << 20)) {
-      val ch = FileChannel.open(fixed, StandardOpenOption.CREATE,
-        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    // Per-PROCESS probe file (ADVICE r16 #2): the old fixed shared path
+    // raced concurrent JVMs (both see !exists, both recreate — possibly
+    // against an in-flight O_DIRECT read in the other process) and a
+    // squatted path threw out of the probe, aborting the whole bench.
+    // A pid-suffixed name is collision-free across processes; creation
+    // failure degrades the probe to write-only instead of killing the
+    // run, and the file is removed at JVM exit.
+    val fixed = dir.resolve(
+      s"graft-iosentinel-${ProcessHandle.current().pid()}.bin")
+    if (!ioProbeWriteOnly)
       try {
-        (0 until 32).foreach(_ => ch.write(java.nio.ByteBuffer.wrap(block)))
-        ch.force(true)
-      } finally ch.close()
-    }
+        if (!Files.exists(fixed) || Files.size(fixed) != (32L << 20)) {
+          val ch = FileChannel.open(fixed, StandardOpenOption.CREATE,
+            StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+          try {
+            (0 until 32).foreach(_ => ch.write(java.nio.ByteBuffer.wrap(block)))
+            ch.force(true)
+          } finally ch.close()
+          fixed.toFile.deleteOnExit()
+        }
+      } catch { case e: java.io.IOException =>
+        markWriteOnly(s"probe-file creation failed at $fixed ($e)")
+      }
     val runs = (0 until 3).map { _ =>
       val t0 = System.nanoTime()
       val f = Files.createTempFile(dir, "graft-iosent", ".bin")
@@ -70,21 +136,8 @@ object Bench {
         (0 until 32).foreach(_ => wch.write(java.nio.ByteBuffer.wrap(block)))
         wch.force(true)
       } finally { wch.close(); Files.deleteIfExists(f) }
-      try {
-        val buf = java.nio.ByteBuffer.allocateDirect((1 << 20) + 4096)
-          .alignedSlice(4096)
-        val rch = FileChannel.open(fixed, StandardOpenOption.READ,
-          com.sun.nio.file.ExtendedOpenOption.DIRECT)
-        try {
-          var pos = 0L
-          val sz = rch.size()
-          while (pos < sz) {
-            buf.clear()
-            val r = rch.read(buf, pos)
-            if (r < 0) pos = sz else pos += r
-          }
-        } finally rch.close()
-      } catch { case _: Throwable => () } // unsupported FS: write-only probe
+      if (!ioProbeWriteOnly && !directReadPass(fixed))
+        markWriteOnly(s"O_DIRECT read of $fixed unavailable")
       (System.nanoTime() - t0) / 1e9
     }.sorted
     runs(1)
@@ -95,16 +148,31 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ---- preflight (r16 VERDICT ask #1a): sample BOTH probes before
+    // any query warmup and stamp the verdict into the metric JSON — a
+    // run that STARTED on a degraded box is machine-labeled from its
+    // first reading, independent of the three in-sweep checkpoints
+    // (BENCH_r16 itself was such a run: the drift was only visible at
+    // the mid checkpoint, after half the sweep's minutes were already
+    // spent). The probes still need their own settling first — fresh-
+    // JVM first executions of the CPU probe's shape read ~2x the
+    // steady cost, and the IO probe's first call creates the 32 MiB
+    // per-process probe file — which is probe warmup, not query
+    // warmup: it builds no engine state.
+    (0 until 3).foreach(_ => sentinelSec(spark))
+    ioSentinelSec()
+    val preCpu = sentinelSec(spark)
+    val preIo = ioSentinelSec()
+    val preflightSuspect = BenchBands.loadSuspect(Seq(preCpu)) ||
+      BenchBands.ioLoadSuspect(Seq(preIo), ioProbeWriteOnly)
+    System.err.println(f"[bench] preflight cpu $preCpu%.3f s / io $preIo%.3f s → " +
+      (if (preflightSuspect) "SUSPECT-LOAD (the box is degraded before any " +
+        "query ran; this run's readings must not seed bands)" else "nominal"))
     // Warmup: JVM/codegen/parquet-footer costs land here, not on the
     // first timed query.
     try SparkEntry.queries("q1_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    // warm the sentinel's own codegen/JIT path too: fresh-JVM first
-    // executions of its shape read ~2x the settled cost (~0.24 vs
-    // ~0.12 s measured), which would stamp every run suspect-load at
-    // the before-checkpoint; three discarded passes settle it
-    (0 until 3).foreach(_ => sentinelSec(spark))
     CacheHygiene.sweep(spark, "warmup")
     // Headline queries; noop write forces full materialization (a bare
     // count() would let Catalyst prune the computed columns away).
@@ -144,10 +212,8 @@ object Bench {
         CacheHygiene.sweep(spark, s"warmup-${q.name}")
       }
     }
-    // first IO-sentinel call creates the fixed O_DIRECT probe file (a
-    // one-off 32 MiB write) — discard it so the cost lands outside the
-    // checkpoints, like the CPU sentinel's JIT-settling passes above
-    ioSentinelSec()
+    // (probe settling + the one-off 32 MiB probe-file creation already
+    // happened in the preflight block above, outside every checkpoint)
     val sentBefore = sentinelSec(spark)
     val ioBefore = ioSentinelSec()
     val half = names.size / 2
@@ -182,25 +248,71 @@ object Bench {
     // unchanged and band breaches never fail the bench). Subset runs
     // skip the band check: scale-proof subsets run at other SFs/configs
     // and their no-band hints for non-headliners would only mislead.
-    if (sfDir.endsWith("sf0.1") && !subset)
-      // warmup-failed headliners are excluded from band comparison
-      // (stamped cold-state, r15 VERDICT ask #3): their timed region
-      // rebuilt state the probe-only band never pays for
-      BenchBands.check(timed.collect { case (k, v, true) => (k, v) }, sentinel,
-        warmupFailed.toSet, ioSentinel)
+    val breaches =
+      if (sfDir.endsWith("sf0.1") && !subset)
+        // warmup-failed headliners are excluded from band comparison
+        // (stamped cold-state, r15 VERDICT ask #3): their timed region
+        // rebuilt state the probe-only band never pays for
+        BenchBands.check(timed.collect { case (k, v, true) => (k, v) }, sentinel,
+          warmupFailed.toSet, ioSentinel, ioProbeWriteOnly)
+      else Seq.empty
+    // ---- in-JVM breach re-time (r16 VERDICT ask #1b): the band
+    // protocol's "a regression must repeat" rule as MACHINE evidence —
+    // each breached query is re-timed once after the series (fresh
+    // action, same warm JVM, cache-swept), and the retry verdict rides
+    // the metric JSON: a retry landing back in band labels the breach
+    // non-repeating with no prose or stderr tail needed; a retry that
+    // breaches again is same-JVM evidence the regression is real. The
+    // retry only ADDS evidence — the original reading stays in
+    // "queries" and the breach list is unchanged.
+    val retries = breaches.flatMap { name =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] retry $name: $e"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      CacheHygiene.sweep(spark, s"retry-$name")
+      if (!ok) None
+      else {
+        val inBand = BenchBands.retryInBand(name, sec)
+        System.err.println(f"[bands] retry $name: $sec%.2f s → " + (inBand match {
+          case Some(true) => "in band (breach non-repeating — adjudicated environmental)"
+          case Some(false) => "STILL BREACHED (repeats in the same JVM — treat as real)"
+          case None => "no band"
+        }))
+        Some((name, sec, inBand))
+      }
+    }
     // "subset":true marks a partial run so its total can never be
     // mistaken for an official 22-headliner reading.
     val subsetMark = if (subset) s""""subset":true,"nQueries":${names.size},""" else ""
     val warmupMark =
       if (warmupFailed.isEmpty) ""
       else warmupFailed.map("\"" + _ + "\"").mkString(""""warmupFailed":[""", ",", "],")
-    val sentJson = f""""sentinel":{"before":$sentBefore%.3f,"mid":$sentMid%.3f,""" +
+    // loadElevated per probe (r16 VERDICT ask #1c): the advisory
+    // sub-trip tier was stderr-only, so a JSON-only reader could not
+    // see the probe evidence behind a ~30% drift; writeOnly records
+    // which baseline the io readings were judged against.
+    val ioBase = BenchBands.ioBaselineFor(ioProbeWriteOnly)
+    val retryJson =
+      if (retries.isEmpty) ""
+      else retries.map { case (n, s, ib) =>
+        f""""$n":{"retrySec":$s%.3f,"inBand":${ib.map(_.toString).getOrElse("null")}}"""
+      }.mkString(""""retries":{""", ",", "},")
+    val sentJson =
+      f""""preflight":{"cpu":$preCpu%.3f,"io":$preIo%.3f,"suspect":$preflightSuspect},""" +
+      f""""sentinel":{"before":$sentBefore%.3f,"mid":$sentMid%.3f,""" +
       f""""after":$sentAfter%.3f,"idleBaseline":${BenchBands.SentinelBaselineSec}%.3f,""" +
-      s""""suspectLoad":${BenchBands.loadSuspect(sentinel)}},""" +
+      s""""suspectLoad":${BenchBands.loadSuspect(sentinel)},""" +
+      s""""loadElevated":${BenchBands.loadElevated(sentinel, BenchBands.SentinelBaselineSec)}},""" +
       f""""ioSentinel":{"before":$ioBefore%.3f,"mid":$ioMid%.3f,""" +
-      f""""after":$ioAfter%.3f,"idleBaseline":${BenchBands.IoSentinelBaselineSec}%.3f,""" +
-      s""""suspectLoad":${BenchBands.ioLoadSuspect(ioSentinel)}},"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$subsetMark$warmupMark$sentJson"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      f""""after":$ioAfter%.3f,"idleBaseline":$ioBase%.3f,""" +
+      s""""writeOnly":$ioProbeWriteOnly,""" +
+      s""""suspectLoad":${BenchBands.ioLoadSuspect(ioSentinel, ioProbeWriteOnly)},""" +
+      s""""loadElevated":${BenchBands.loadElevated(ioSentinel, ioBase)}},"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$subsetMark$warmupMark$sentJson$retryJson"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (timed.exists(!_._3)) sys.exit(1)
   }

@@ -63,6 +63,12 @@ object BenchBands {
     * (docs/BENCH_NOTES.md "r16 io sentinel"). Same recalibration
     * policy as the CPU baseline: adjudicated-idle official runs only. */
   val IoSentinelBaselineSec = 0.130
+  /** Idle baseline for a probe whose O_DIRECT READ half is unavailable
+    * (r16 VERDICT ask #3): the full baseline was calibrated WITH the
+    * ~0.02 s read half, so judging write-only readings against it
+    * under-trips real IO load by exactly that margin. The write half
+    * idles at ~0.10 s (fsync'd 32 MiB) plus temp-file churn. */
+  val IoSentinelWriteOnlyBaselineSec = 0.110
   /** Looser than the CPU probe's 2×: device-level writeback collisions
     * (a checkpoint landing mid-flush of another process's dirty pages)
     * inflate single readings more than scheduler noise inflates the
@@ -70,13 +76,21 @@ object BenchBands {
     * genuine throttle — 2.5× splits those regimes cleanly. */
   val IoSentinelLoadRatio = 2.5
 
+  /** The io baseline matching the probe's shape this run — see
+    * [[IoSentinelWriteOnlyBaselineSec]]. */
+  def ioBaselineFor(writeOnly: Boolean): Double =
+    if (writeOnly) IoSentinelWriteOnlyBaselineSec else IoSentinelBaselineSec
+
   /** IO-side analog of [[loadSuspect]]: ANY checkpoint past the ratio
     * stamps the run. Validated r16 by re-creating the r15 drift
     * scenario under an induced direct-IO load: the IO probe trips at
-    * 3–6× while the CPU probe stays nominal. */
-  def ioLoadSuspect(ioSentinel: Seq[Double]): Boolean =
+    * 3–6× while the CPU probe stays nominal. `writeOnly` switches to
+    * the write-only baseline when the probe's read half degraded
+    * ([[Bench.ioProbeWriteOnly]]) — judged against the full baseline,
+    * write-only readings would under-trip real IO load. */
+  def ioLoadSuspect(ioSentinel: Seq[Double], writeOnly: Boolean = false): Boolean =
     ioSentinel.nonEmpty &&
-      ioSentinel.max > IoSentinelBaselineSec * IoSentinelLoadRatio
+      ioSentinel.max > ioBaselineFor(writeOnly) * IoSentinelLoadRatio
 
   /** Advisory sub-trip tier (r16 bench series observation): a box can
     * drift query totals ~30% while both probes sit BETWEEN 1.4× and
@@ -127,6 +141,16 @@ object BenchBands {
   def bandFor(name: String): Option[Double] =
     baseline.get(name).map(_ * Ratio + SlackSec)
 
+  /** Adjudicate a post-series in-JVM re-time of a breached query (r16
+    * VERDICT ask #1b — the band protocol's "a regression must repeat"
+    * rule as machine evidence): Some(true) = the retry landed back in
+    * band, so the breach did not repeat and is adjudicated
+    * environmental by the JSON record itself; Some(false) = the breach
+    * repeats in the same warm JVM — treat it as a real regression;
+    * None = the query has no band (nothing to adjudicate against). */
+  def retryInBand(name: String, retrySec: Double): Option[Boolean] =
+    bandFor(name).map(retrySec <= _)
+
   /** Flag timed queries outside their band; returns the breaches.
     * Headliners newer than BENCH_r08 have no band yet (flagged as
     * `no-band` info lines so the table is extended next official run).
@@ -150,11 +174,12 @@ object BenchBands {
   def check(timed: Seq[(String, Double)],
       sentinel: Seq[Double] = Nil,
       warmupFailed: Set[String] = Set.empty,
-      ioSentinel: Seq[Double] = Nil): Seq[String] = {
+      ioSentinel: Seq[Double] = Nil,
+      ioWriteOnly: Boolean = false): Seq[String] = {
     // EITHER probe tripping stamps the run: CPU steal and IO throttle
     // are independent host-side failure modes and each alone inflates
     // query totals (r15's drift was IO-only — CPU probe nominal)
-    val suspect = loadSuspect(sentinel) || ioLoadSuspect(ioSentinel)
+    val suspect = loadSuspect(sentinel) || ioLoadSuspect(ioSentinel, ioWriteOnly)
     def verdict(suspectNow: Boolean, readings: Seq[Double], baseline: Double,
         tag: String): String =
       if (suspectNow) s"SUSPECT-LOAD ($tag)"
@@ -164,10 +189,13 @@ object BenchBands {
       System.err.println(f"[bands] sentinel ${sentinel.map(s => f"$s%.3f").mkString("/")} s " +
         f"vs idle baseline $SentinelBaselineSec%.3f s → " +
         verdict(loadSuspect(sentinel), sentinel, SentinelBaselineSec, "cpu"))
-    if (ioSentinel.nonEmpty)
+    if (ioSentinel.nonEmpty) {
+      val ioBase = ioBaselineFor(ioWriteOnly)
+      val woMark = if (ioWriteOnly) " (WRITE-ONLY probe)" else ""
       System.err.println(f"[bands] io-sentinel ${ioSentinel.map(s => f"$s%.3f").mkString("/")} s " +
-        f"vs idle baseline $IoSentinelBaselineSec%.3f s → " +
-        verdict(ioLoadSuspect(ioSentinel), ioSentinel, IoSentinelBaselineSec, "io"))
+        f"vs idle baseline $ioBase%.3f s$woMark → " +
+        verdict(ioLoadSuspect(ioSentinel, ioWriteOnly), ioSentinel, ioBase, "io"))
+    }
     val breaches = timed.flatMap { case (name, sec) =>
       bandFor(name) match {
         case _ if warmupFailed(name) =>

@@ -90,6 +90,55 @@ class BenchBandsSpec extends AnyFunSuite {
       Seq(idle * 1.5)) === Seq(name))
   }
 
+  test("retry adjudication: in-band retry labels the breach non-repeating, a repeat confirms it") {
+    // r16 VERDICT ask #1b: the "a regression must repeat" protocol as
+    // machine evidence — Bench re-times each breached query once and
+    // stamps retryInBand's verdict into the metric JSON.
+    val name = "q1_agg"
+    val band = BenchBands.bandFor(name).get
+    // retry lands back in band → non-repeating, adjudicated environmental
+    assert(BenchBands.retryInBand(name, band - 0.01) === Some(true))
+    // retry breaches again in the same JVM → treat as a real regression
+    assert(BenchBands.retryInBand(name, band + 0.01) === Some(false))
+    // a band-less headliner has nothing to adjudicate against
+    assert(BenchBands.retryInBand("q_new_headliner", 1.0) === None)
+  }
+
+  test("write-only io probe switches to the write-only baseline") {
+    // r16 VERDICT ask #3: a probe whose O_DIRECT read half degraded
+    // reads ~0.02 s low — judged against the full two-sided baseline it
+    // would under-trip real IO load. The write-only baseline restores
+    // trip sensitivity, and the flag rides the check into the verdict.
+    val full = BenchBands.IoSentinelBaselineSec
+    val wo = BenchBands.IoSentinelWriteOnlyBaselineSec
+    assert(wo < full) // the read half's contribution is gone
+    assert(BenchBands.ioBaselineFor(writeOnly = true) === wo)
+    assert(BenchBands.ioBaselineFor(writeOnly = false) === full)
+    // a reading just past the write-only trip but under the full trip:
+    // suspect ONLY when the probe is known write-only
+    val reading = wo * BenchBands.IoSentinelLoadRatio + 0.01
+    assert(reading < full * BenchBands.IoSentinelLoadRatio)
+    assert(BenchBands.ioLoadSuspect(Seq(reading), writeOnly = true))
+    assert(!BenchBands.ioLoadSuspect(Seq(reading), writeOnly = false))
+  }
+
+  test("O_DIRECT read pass: expected unavailability degrades, never throws") {
+    // r16 VERDICT ask #3 / ADVICE #1: the narrowed catch — a missing
+    // probe file is an IOException (NoSuchFileException) and must
+    // return false rather than abort the bench...
+    val missing = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-iosentinel-definitely-absent.bin")
+    assert(!Bench.directReadPass(missing))
+    // ...while a healthy aligned file reads fine through O_DIRECT on
+    // this box (512-byte multiple — O_DIRECT needs aligned lengths)
+    val f = java.nio.file.Files.createTempFile("graft-iosent-spec", ".bin")
+    try {
+      java.nio.file.Files.write(f, new Array[Byte](4096))
+      assert(Bench.directReadPass(f))
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("load sentinel: inflated readings mark the run suspect-load") {
     val idle = BenchBands.SentinelBaselineSec
     // nominal: every checkpoint under the loose 2x ratio
