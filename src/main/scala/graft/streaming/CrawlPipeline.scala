@@ -257,13 +257,23 @@ object CrawlPipeline {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
     else {
-      val parts = fs.listStatus(p)
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted
+      // RECURSIVE file walk (ADVICE r16 #4): a top-level listStatus
+      // fingerprinted only direct children, so a PARTITIONED documents
+      // table rewritten in place could collide on filesystems where a
+      // directory entry's length/mtime does not reflect nested
+      // part-file rewrites — reviving the stale-pile hazard this
+      // fingerprint exists to kill. Full paths (not names): a part
+      // file moving between partition dirs must change the signature.
+      val it = fs.listFiles(p, true)
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val st = it.next()
+        parts += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
       // fixed-width digest so the key stays bounded on many-file tables
       java.util.Base64.getEncoder.encodeToString(
         java.security.MessageDigest.getInstance("SHA-256")
-          .digest(parts.mkString("\n").getBytes("UTF-8")))
+          .digest(parts.sorted.mkString("\n").getBytes("UTF-8")))
     }
   }
 
@@ -284,16 +294,20 @@ object CrawlPipeline {
     * corpus). Returns (lshIndexPath, spanStatePath, shinglePilePath). */
   private def pilesFor(s: SparkSession, d: String,
       ticks: Seq[DataFrame],
-      ptr: Boolean = false): (String, String, String) =
+      ptr: Boolean = false,
+      splitTag: String): (String, String, String) =
     pileCache.synchronized {
       // the fingerprint in the key makes a mid-JVM input regeneration
       // impossible to read stale (r15 VERDICT ask #4): changed bytes
       // under d → changed listing → new entry → fresh piles. The tick
-      // count is in the key too: two-tick (q258/q259) and three-tick
-      // (q260) builds over the same dataset are distinct pile
-      // histories and must never share an entry.
+      // count AND the caller-supplied splitTag are in the key too
+      // (ADVICE r16 #3): the count separates two-tick (q258/q259) from
+      // three-tick (q260/q261) histories, and the tag separates two
+      // DIFFERENT same-count partitions of the same dataset — without
+      // it, a future caller splitting on a different predicate would
+      // silently read piles built from another split's micro-batches.
       pileCache.getOrElseUpdate(
-        s"$d#${if (ptr) "ptr" else "text"}#t${ticks.size}#${inputFingerprint(s, d)}", {
+        s"$d#${if (ptr) "ptr" else "text"}#t${ticks.size}#$splitTag#${inputFingerprint(s, d)}", {
         pileDirSeq += 1
         val work = s"$workRoot/p$pileDirSeq" + (if (ptr) "-ptr" else "")
         val in = s"$work/in"
@@ -456,7 +470,7 @@ object CrawlPipeline {
         lit(0L).as("gopher_pass"), lit("accepted").as("rejected_by"),
         lit(1L).as("accepted"))
     } else {
-      val (lsh, span, shp) = pilesFor(s, d, Seq(corpus, batch))
+      val (lsh, span, shp) = pilesFor(s, d, Seq(corpus, batch), splitTag = "mod10[<8,>=8]")
       crawlGate(s, batch,
         benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
         docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,
@@ -473,7 +487,7 @@ object CrawlPipeline {
     val docsAll = Tables.documents(s, d)
     val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
     val batch = docsAll.filter(pmod(col("doc_id"), lit(10)) >= 8)
-    if (!batch.isEmpty) pilesFor(s, d, Seq(corpus, batch))
+    if (!batch.isEmpty) pilesFor(s, d, Seq(corpus, batch), splitTag = "mod10[<8,>=8]")
   })
 
   /** q259: the capstone on the POINTER-state dup-span pile — the same
@@ -500,7 +514,7 @@ object CrawlPipeline {
         lit(0L).as("gopher_pass"), lit("accepted").as("rejected_by"),
         lit(1L).as("accepted"))
     } else {
-      val (lsh, span, shp) = pilesFor(s, d, Seq(corpus, batch), ptr = true)
+      val (lsh, span, shp) = pilesFor(s, d, Seq(corpus, batch), ptr = true, splitTag = "mod10[<8,>=8]")
       crawlGate(s, batch,
         benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
         docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,
@@ -517,7 +531,7 @@ object CrawlPipeline {
     val docsAll = Tables.documents(s, d)
     val corpus = docsAll.filter(pmod(col("doc_id"), lit(10)) < 8)
     val batch = docsAll.filter(pmod(col("doc_id"), lit(10)) >= 8)
-    if (!batch.isEmpty) pilesFor(s, d, Seq(corpus, batch), ptr = true)
+    if (!batch.isEmpty) pilesFor(s, d, Seq(corpus, batch), ptr = true, splitTag = "mod10[<8,>=8]")
   })
 
   /** q260: the capstone's SECOND tick — gate the NEXT arriving batch
@@ -556,7 +570,7 @@ object CrawlPipeline {
         lit(1L).as("accepted"))
     } else {
       val batchA = docsAll.filter(pmod(col("doc_id"), lit(10)) === 8)
-      val (lsh, span, shp) = pilesFor(s, d, Seq(corpus, batchA, batchB))
+      val (lsh, span, shp) = pilesFor(s, d, Seq(corpus, batchA, batchB), splitTag = "mod10[<8,=8,=9]")
       crawlGate(s, batchB,
         benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
         docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,
@@ -589,7 +603,7 @@ object CrawlPipeline {
     } else {
       val batchA = docsAll.filter(pmod(col("doc_id"), lit(10)) === 8)
       val (lsh, span, shp) =
-        pilesFor(s, d, Seq(corpus, batchA, batchB), ptr = true)
+        pilesFor(s, d, Seq(corpus, batchA, batchB), ptr = true, splitTag = "mod10[<8,=8,=9]")
       crawlGate(s, batchB,
         benchDocs = docsAll.filter(pmod(col("doc_id"), lit(41)) === 0),
         docsForConfirm = docsAll, lshIndexPath = lsh, spanStatePath = span,

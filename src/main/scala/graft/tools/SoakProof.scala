@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Scale run of the crash-injected incremental-lifecycle soak (r14
   * VERDICT ask #4): the same choreography `graft.SoakSpec` proves at
-  * test scale — 12 maintenance ticks, here across all SIX segment
+  * test scale — 12 maintenance ticks, here across all SEVEN segment
   * piles (agg MV, postings, LSH banding, ExactSubstr window state in
-  * BOTH text and pointer forms, shingle sets), seeded
+  * BOTH text and pointer forms, shingle sets, and the IVF vector
+  * index — the 7th surface, r16 VERDICT ask #2), seeded
   * crash injection between ticks (stale fold tmp, mid-promote kill,
   * lost checkpoint commit, torn marker), and the compaction policy
   * LIVE (threshold 4, so every pile folds ~3× from ingest alone) —
@@ -50,10 +51,17 @@ object SoakProof {
     fs.delete(new Path(work), true)
     val inDocs = s"$work/in-docs"
     val inEv = s"$work/in-ev"
+    val inEmb = s"$work/in-emb"
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val events = graft.sources.Tables.events(spark, sfDir)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    // the IVF quantizer is FIXED for the pile's lifetime (trained
+    // upfront — the standard IVF ingest contract, q58's deterministic
+    // hash sample); per-tick ingest only assigns new vectors to it
+    val cent = graft.operators.Similarity.ivfCentroids(emb)
     def docPrefix(t: Int) = docs.filter(pmod(col("doc_id"), lit(ticks)) <= t)
     def evPrefix(t: Int) = events.filter(pmod(col("event_id"), lit(ticks)) <= t)
+    def embPrefix(t: Int) = emb.filter(pmod(col("vec_id"), lit(ticks)) <= t)
 
     /** (rows, order-independent checksum) — computed on executors;
       * array/struct columns hash via their string form so both sides
@@ -140,7 +148,19 @@ object SoakProof {
       t => sig(docPrefix(t).filter(size(TextPipeline.tokens) >= 3)
         .select(col("doc_id"),
           array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh"))))
-    val piles = Seq(agg, post, lsh, span, spanPtr, shingle)
+    // The IVF pile (the 7th surface, r16 VERDICT ask #2): assignment
+    // rows are immutable per-vector facts against the fixed quantizer,
+    // so the view is the rows themselves (cid partition values read
+    // back as ints — cast to the assignment's long for the checksum).
+    val ivf = Pile("ivf", s"$work/ivf",
+      () => Ingest.streamIvfIngest(spark, inEmb, s"$work/ivf", cent,
+        autoCompactSegments = Threshold),
+      () => Ingest.compactIvfIndex(spark, s"$work/ivf"),
+      () => sig(spark.read.parquet(s"$work/ivf")
+        .select(col("vec_id"), col("cid").cast("long").as("cid"))),
+      t => sig(graft.operators.Similarity.ivfAssign(embPrefix(t), cent)
+        .select(col("vec_id"), col("cid"))))
+    val piles = Seq(agg, post, lsh, span, spanPtr, shingle, ivf)
 
     def segDirs(p: String): Set[String] = {
       val d = new Path(p)
@@ -240,6 +260,8 @@ object SoakProof {
         .write.mode("append").parquet(inDocs)
       events.filter(pmod(col("event_id"), lit(ticks)) === tick)
         .write.mode("append").parquet(inEv)
+      emb.filter(pmod(col("vec_id"), lit(ticks)) === tick)
+        .write.mode("append").parquet(inEmb)
       if (tick > 0) inject(tick)
       for (p <- piles) {
         val liveBefore = segDirs(p.path).count(_ != "seg=-1")
@@ -297,6 +319,19 @@ object SoakProof {
       s""""crashClasses":${injected.size},"probeRows":${probed._1},""" +
       s""""batchRows":${direct._1},"probeEqualsBatch":${probed == direct}}""")
     require(probed == direct, "post-soak dup-span probe diverged from batch q215")
+
+    // IVF probe ≡ batch on the fully-ingested corpus: the pile probe's
+    // top-k must equal ivfSearch's inline answer with the same
+    // quantizer — the q262 contract at soak scale, after 12 ticks of
+    // crash-injected maintenance
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ivfProbed = sig(Ingest.ivfProbe(spark, s"$work/ivf", q, nProbe = 4))
+    val ivfBatch = sig(graft.operators.Similarity.ivfSearch(emb, nProbe = 4,
+      centroids = Some(cent)))
+    println(s"""{"ivfProbeRows":${ivfProbed._1},"ivfBatchRows":${ivfBatch._1},""" +
+      s""""ivfProbeEqualsBatch":${ivfProbed == ivfBatch}}""")
+    require(ivfProbed == ivfBatch, "post-soak IVF probe diverged from batch ivfSearch")
     spark.stop()
   }
 }

@@ -271,12 +271,12 @@ class StreamingSpec extends SparkTestBase {
     }
     // batch 1 arrives: half the corpus
     e.filter(col("vec_id") % 2 === 0).write.mode("overwrite").parquet(in)
-    Ingest.streamIndexIngest(spark, in, cent, idx)
+    Ingest.streamIvfIngest(spark, in, idx, cent)
     val files1 = indexFiles()
     assert(files1.nonEmpty)
     // batch 2 arrives as NEW files in the source dir
     e.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(in)
-    Ingest.streamIndexIngest(spark, in, cent, idx)
+    Ingest.streamIvfIngest(spark, in, idx, cent)
     // append-only maintenance: every batch-1 index file survives untouched
     assert(files1.subsetOf(indexFiles()), "incremental ingest must not rewrite existing lists")
     // the stored index now equals the from-scratch batch assignment
@@ -294,6 +294,68 @@ class StreamingSpec extends SparkTestBase {
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cid"),
       s"probe over the streamed index must partition-prune on cid:\n$plan")
+  }
+
+  test("IVF pile: probe ≡ batch ivfSearch, compaction read-identical, centroid identity enforced") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val cent = Similarity.ivfCentroids(e)
+    val base = Files.createTempDirectory("graft-ivf-pile")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/index"
+    // three real micro-batches through the maintenance (the capstone
+    // tick discipline), auto-compaction policy LIVE at threshold 2 so
+    // the pile folds from ingest alone
+    for (m <- 0 until 3) {
+      e.filter(pmod(col("vec_id"), lit(3)) === m).write.mode("append").parquet(in)
+      Ingest.streamIvfIngest(spark, in, idx, cent, autoCompactSegments = 2)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // probe-≡-batch (r16 VERDICT ask #2): the pile probe must return
+    // exactly the candidate ranking batch q58's ivfSearch computes
+    // inline over the same corpus with the same quantizer
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probed = key(Ingest.ivfProbe(spark, idx, queries, nProbe = 4)
+      .select(col("qid"), col("vec_id"), col("rnk")))
+    val batch = key(Similarity.ivfSearch(e, nProbe = 4,
+        centroids = Some(cent))
+      .select(col("qid"), col("vec_id"), col("rnk")))
+    assert(probed === batch && probed.nonEmpty,
+      "pile probe must equal batch ivfSearch's result")
+    // fold-≡-rebuild: an explicit compaction (rewrite form) changes
+    // nothing a reader sees — assignment rows ≡ from-scratch ivfAssign
+    Ingest.compactIvfIndex(spark, idx)
+    val stored = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity.ivfAssign(e, cent)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === direct && stored.nonEmpty)
+    // the promoted generation carries the identity marker, and the
+    // probe still works (sibling verified against it) after the fold
+    assert(key(Ingest.ivfProbe(spark, idx, queries, nProbe = 4)
+      .select(col("qid"), col("vec_id"), col("rnk"))) === batch)
+    // centroid identity: ingest with a DIFFERENT quantizer is refused
+    // loudly (the mixed-modulus discipline applied to centroids)
+    val otherCent = Similarity.ivfCentroids(e, k = 16)
+    val ex = intercept[java.io.IOException] {
+      Ingest.streamIvfIngest(spark, in, idx, otherCent)
+    }
+    assert(ex.getMessage.contains("different centroid set"))
+    // a swapped sibling artifact is caught by the fingerprint check
+    otherCent.write.mode("overwrite").parquet(idx + "-centroids")
+    val ex2 = intercept[java.io.IOException] {
+      Ingest.ivfProbe(spark, idx, queries, nProbe = 4).collect()
+    }
+    assert(ex2.getMessage.contains("does not match the pile's"))
+    cent.write.mode("overwrite").parquet(idx + "-centroids") // restore
+    // first-boot ordering: probing a never-created pile is an empty
+    // result, not an AnalysisException
+    assert(Ingest.ivfProbe(spark, base.toString + "/nonexistent",
+      queries, nProbe = 4).isEmpty)
   }
 
   test("stream-stream LEFT OUTER interval join: unmatched rows flush as the watermark passes") {
