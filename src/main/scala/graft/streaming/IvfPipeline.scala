@@ -77,14 +77,19 @@ object IvfPipeline {
         val idx = s"$work/index"
         val e = Tables.embeddings(s, d)
         val cent = graft.operators.Similarity.ivfCentroids(e)
+        var ingested = false
         for (m <- 0 until 3) {
           val tick = e.filter(pmod(col("vec_id"), lit(3)) === m)
           if (!tick.isEmpty) {
             tick.write.mode("append").parquet(in)
             Ingest.streamIvfIngest(s, in, idx, cent)
+            ingested = true
           }
         }
-        Ingest.compactIvfIndex(s, idx)
+        // an all-empty input (empty-table fixture) built nothing — there
+        // is no pile to compact, and the probe of a data-less path is an
+        // empty result by the first-boot contract
+        if (ingested) Ingest.compactIvfIndex(s, idx)
         val fs = new org.apache.hadoop.fs.Path(work)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         Seq(in, s"$idx-ckpt").foreach(p =>

@@ -93,7 +93,17 @@ class BroadcastAuditSpec extends SparkTestBase {
     // benchmark's size, NOT a corpus-growth set); executed clean at
     // 100× with exactly that one flag (r16 audit run,
     // docs/BENCH_NOTES.md "r16 100× execute")
-    "q261_crawl_capstone_tick2_ptr")
+    "q261_crawl_capstone_tick2_ptr",
+    // r17 incremental-IVF probe (q58's reviewed "bounded query sets"
+    // class, BENCH_NOTES "r17 BroadcastAudit flag-diff"): the flagged
+    // "embeddings via window+join" broadcast sides are (a) the
+    // centroid set — a LIMIT-k TakeOrderedAndProject, broadcast-
+    // bounded at any corpus by the √N sizing rule — and (b) the
+    // probed (qid, qv, cid) set, ≤ |Q|·nProbe rows after the
+    // row_number ≤ nProbe filter over the pinned vec_id < 5 query
+    // set; broadcasting it is what keeps the corpus-side inverted
+    // lists from shuffling. Flag-diffed at 100× statistics, r17.
+    "q262_ann_ivf_stream")
 
   test("no query outside the reviewed allowlist plans a corpus-derived broadcast (static, AQE off)") {
     val s = spark.newSession()
