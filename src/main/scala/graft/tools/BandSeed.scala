@@ -36,13 +36,23 @@ import scala.jdk.CollectionConverters._
   */
 object BandSeed {
 
-  /** Parse + adjudicate one metric JSON line. Left(reason) = the
+  /** Parse + adjudicate one metric JSON record. Left(reason) = the
     * reading is refused as a band source; Right(diffs) = the
     * (query, newBaselineSec) entries to apply to BenchBands.baseline
-    * (possibly empty: a clean run that beats nothing moves nothing). */
+    * (possibly empty: a clean run that beats nothing moves nothing).
+    *
+    * Provenance is mechanical too (r17, live-fire lesson: the first
+    * builder-box series passed every stamp check and would have
+    * tightened three bands — exactly the r11 mistake r12 reverted):
+    * by default only the DRIVER WRAPPER form (`BENCH_r{N}.json`, the
+    * metric line inside "tail") is accepted; a bare metric line is a
+    * builder/diagnostic run by construction — the driver never emits
+    * one as a round artifact — and is refused unless `allowBare`
+    * (the stamp-logic test seam / explicit --allow-bare override). */
   def propose(json: String,
       currentBaseline: Map[String, Double] = graft.BenchBands.baseline,
-      headliners: Set[String] = graft.SparkEntry.benchNames.toSet)
+      headliners: Set[String] = graft.SparkEntry.benchNames.toSet,
+      allowBare: Boolean = false)
       : Either[String, Seq[(String, Double)]] = {
     val root =
       try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
@@ -59,11 +69,17 @@ object BandSeed {
         .filter(_.contains("\"metric\":"))
       return lines.lastOption match {
         case Some(l) if l.indexOf('{') >= 0 =>
-          propose(l.substring(l.indexOf('{')), currentBaseline, headliners)
+          propose(l.substring(l.indexOf('{')), currentBaseline, headliners,
+            allowBare = true) // unwrapped FROM the wrapper: provenance held
         case _ => Left("driver wrapper carries no metric line in its tail " +
           "(the bench run likely crashed)")
       }
     }
+    if (root.has("queries") && !allowBare)
+      return Left("bare metric line — not an official driver record (the " +
+        "driver's round artifact is the BENCH_r{N}.json wrapper); builder-" +
+        "box readings never seed bands (BenchBands update policy, r12 " +
+        "rebase lesson). Pass --allow-bare only for diagnostics")
     if (root.path("subset").asBoolean(false))
       return Left("subset run (scale-proof diagnostic, not an official series)")
     val sent = root.path("sentinel")
@@ -105,12 +121,14 @@ object BandSeed {
   }
 
   def main(args: Array[String]): Unit = {
-    val path = args.headOption.getOrElse {
-      System.err.println("usage: BandSeed <BENCH_rN.json>"); sys.exit(2)
+    val allowBare = args.contains("--allow-bare")
+    val path = args.filterNot(_.startsWith("--")).headOption.getOrElse {
+      System.err.println("usage: BandSeed <BENCH_rN.json> [--allow-bare]")
+      sys.exit(2)
     }
     val json = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-    propose(json) match {
+    propose(json, allowBare = allowBare) match {
       case Left(reason) =>
         System.err.println(s"[bandseed] REFUSED $path: $reason")
         System.err.println("[bandseed] bands move only on adjudicated-idle " +

@@ -27,50 +27,64 @@ class BandSeedSpec extends AnyFunSuite {
   }
 
   test("clean record: tightens beaten baselines, never loosens") {
-    val got = tools.BandSeed.propose(record(), base, heads)
+    val got = tools.BandSeed.propose(record(), base, heads, allowBare = true)
     // q1_agg 0.9 < 1.0 → tighten; q5 2.5 > 2.0 → untouched (no loosening)
     assert(got === Right(Seq("q1_agg" -> 0.9)))
   }
 
   test("clean record: seeds a first band for a band-less headliner only") {
     val q = """"q1_agg":1.5,"q_new_headliner":3.3,"q_not_headline":0.2"""
-    val got = tools.BandSeed.propose(record(queries = q), base, heads)
+    val got = tools.BandSeed.propose(record(queries = q), base, heads, allowBare = true)
     assert(got === Right(Seq("q_new_headliner" -> 3.3)))
   }
 
   test("suspect stamps refuse: cpu, io, preflight, subset") {
-    assert(tools.BandSeed.propose(record(cpuSuspect = true), base, heads).isLeft)
-    assert(tools.BandSeed.propose(record(ioSuspect = true), base, heads).isLeft)
-    assert(tools.BandSeed.propose(record(preSuspect = Some(true)), base, heads).isLeft)
-    assert(tools.BandSeed.propose(record(subset = true), base, heads).isLeft)
+    assert(tools.BandSeed.propose(record(cpuSuspect = true), base, heads, allowBare = true).isLeft)
+    assert(tools.BandSeed.propose(record(ioSuspect = true), base, heads, allowBare = true).isLeft)
+    assert(tools.BandSeed.propose(record(preSuspect = Some(true)), base, heads, allowBare = true).isLeft)
+    assert(tools.BandSeed.propose(record(subset = true), base, heads, allowBare = true).isLeft)
     // the refusal names its cause so the operator knows what to fix
-    val Left(why) = tools.BandSeed.propose(record(cpuSuspect = true), base, heads)
+    val Left(why) = tools.BandSeed.propose(record(cpuSuspect = true), base, heads, allowBare = true)
     assert(why.contains("cpu sentinel"))
   }
 
   test("records without probe stamps cannot seed") {
     // pre-sentinel-era JSON (no sentinel objects at all)
     val old = """{"metric":"total","value":3.4,"queries":{"q1_agg":0.5}}"""
-    assert(tools.BandSeed.propose(old, base, heads).isLeft)
+    assert(tools.BandSeed.propose(old, base, heads, allowBare = true).isLeft)
     // a preflight-less record with nominal sweep sentinels is still
     // eligible (r13–r16 records carry no preflight field)
-    assert(tools.BandSeed.propose(record(preSuspect = None), base, heads)
+    assert(tools.BandSeed.propose(record(preSuspect = None), base, heads, allowBare = true)
       === Right(Seq("q1_agg" -> 0.9)))
   }
 
   test("cold-state and failed readings are skipped per query") {
     val q = """"q1_agg":0.4,"q5_join_inner":null"""
     val got = tools.BandSeed.propose(
-      record(warmupFailed = Seq("q1_agg"), queries = q), base, heads)
+      record(warmupFailed = Seq("q1_agg"), queries = q), base, heads,
+      allowBare = true)
     // q1_agg's warmup failed (cold-state, not the banded probe-only
     // shape); q5's reading is null (the query failed) — neither seeds
     assert(got === Right(Nil))
   }
 
+  test("provenance: a bare metric line never seeds without --allow-bare") {
+    // r17 live-fire lesson: the first builder-box series passed every
+    // stamp check and would have tightened three bands — the r11
+    // mistake r12 reverted. Only the driver wrapper form is a band
+    // source; the same record INSIDE a wrapper tail is accepted.
+    val bare = record()
+    val got = tools.BandSeed.propose(bare, base, heads)
+    assert(got.isLeft && got.swap.exists(_.contains("not an official driver record")))
+    val wrapped = s"""{"n":17,"rc":0,"tail":"[info] ${bare.replace("\"", "\\\"")}\\n"}"""
+    assert(tools.BandSeed.propose(wrapped, base, heads)
+      === Right(Seq("q1_agg" -> 0.9)))
+  }
+
   test("garbage input refuses instead of throwing") {
-    assert(tools.BandSeed.propose("not json at all", base, heads).isLeft)
-    assert(tools.BandSeed.propose("[1,2,3]", base, heads).isLeft)
-    assert(tools.BandSeed.propose("""{"metric":"total"}""", base, heads).isLeft)
+    assert(tools.BandSeed.propose("not json at all", base, heads, allowBare = true).isLeft)
+    assert(tools.BandSeed.propose("[1,2,3]", base, heads, allowBare = true).isLeft)
+    assert(tools.BandSeed.propose("""{"metric":"total"}""", base, heads, allowBare = true).isLeft)
   }
 
   test("the live r16 official record is refused (it was suspect-stamped)") {

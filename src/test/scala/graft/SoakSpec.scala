@@ -9,9 +9,9 @@ import graft.sources.Tables
 import graft.operators.{InvertedText, TextPipeline}
 
 /** Long-horizon soak of the incremental-index lifecycle (r13 VERDICT
-  * ask #2): 12 maintenance ticks across all four segment piles (agg MV,
-  * postings, LSH banding, ExactSubstr window state) — 48 micro-batches
-  * total — with SEEDED-random crash injection between ticks (stale
+  * ask #2): 12 maintenance ticks across five segment piles (agg MV,
+  * postings, LSH banding, ExactSubstr window state, and — r17 — the
+  * IVF vector index) — 60 micro-batches total — with SEEDED-random crash injection between ticks (stale
   * fold, mid-promote kill, lost checkpoint commit, torn marker), the
   * policy-driven auto-compaction live (threshold 4, so every pile folds
   * ~3× from ingest alone), and from-scratch-rebuild equivalence
@@ -49,7 +49,7 @@ class SoakSpec extends SparkTestBase {
     else d.listFiles.map(_.getName).filter(_.startsWith("seg=")).toSet
   }
 
-  test("48 crash-injected micro-batches keep all four piles consistent and bounded") {
+  test("60 crash-injected micro-batches keep all five piles consistent and bounded") {
     val rng = new scala.util.Random(20260815L)
     val base = Files.createTempDirectory("graft-soak")
     val inDocs = base.toString + "/in-docs"
@@ -107,7 +107,27 @@ class SoakSpec extends SparkTestBase {
         .filter(col("c") >= 2).select(col("hk"), col("g"))
         .collect().map(r => s"${r.getLong(0)}|${r.getString(1)}").toSet)
 
-    val piles = Seq(agg, post, lsh, span)
+    // The IVF pile (r17, the 7th incremental surface — SoakProof runs
+    // all seven at 10×; here the composed test-scale choreography adds
+    // it to the crash-injection rotation): assignment rows against the
+    // FIXED quantizer are immutable facts, so the view is the rows
+    // themselves (cid partition values read back as ints — cast long).
+    val inEmb = base.toString + "/in-emb"
+    val emb = Tables.embeddings(spark, sf)
+    val cent = graft.operators.Similarity.ivfCentroids(emb)
+    def embPrefix(tick: Int) = emb.filter(pmod(col("vec_id"), lit(Ticks)) <= tick)
+    val ivf = Pile("ivf", base.toString + "/ivf",
+      ingest = () => Ingest.streamIvfIngest(spark, inEmb,
+        base.toString + "/ivf", cent, autoCompactSegments = Threshold),
+      compact = () => Ingest.compactIvfIndex(spark, base.toString + "/ivf"),
+      view = () => spark.read.parquet(base.toString + "/ivf")
+        .select(col("vec_id"), col("cid").cast("long"))
+        .collect().map(r => s"${r.getLong(0)}|${r.getLong(1)}").toSet,
+      fromScratch = t => graft.operators.Similarity.ivfAssign(embPrefix(t), cent)
+        .select(col("vec_id"), col("cid"))
+        .collect().map(r => s"${r.getLong(0)}|${r.getLong(1)}").toSet)
+
+    val piles = Seq(agg, post, lsh, span, ivf)
     val fs = new Path(base.toString)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val injected = scala.collection.mutable.Set[String]()
@@ -189,6 +209,8 @@ class SoakSpec extends SparkTestBase {
         .write.mode("append").parquet(inDocs)
       events.filter(pmod(col("event_id"), lit(Ticks)) === tick)
         .write.mode("append").parquet(inEv)
+      emb.filter(pmod(col("vec_id"), lit(Ticks)) === tick)
+        .write.mode("append").parquet(inEmb)
       if (tick > 0) inject(tick)
       piles.foreach(_.ingest())
       // the policy bounds every pile's not-yet-folded segment count:
