@@ -30,7 +30,7 @@ object Similarity {
 
   /** DuckDB fragment: ascending-index double fold, bit-identical to the
     * codegen loop in VecCosineDistance. */
-  private def duckCosineDist(a: String, b: String): String =
+  private[graft] def duckCosineDist(a: String, b: String): String =
     s"""1.0 - list_reduce(list_transform(list_zip($a, $b),
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (u,v) -> u+v)
        |  / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (u,v) -> u+v))
@@ -436,7 +436,7 @@ object Similarity {
         .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }
 
-  private def duckL2Dist(a: String, b: String): String =
+  private[graft] def duckL2Dist(a: String, b: String): String =
     s"""sqrt(list_reduce(list_transform(list_zip($a, $b),
        |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
        |  (u,v) -> u+v))""".stripMargin

@@ -329,6 +329,58 @@ object Ingest {
     } finally probed.unpersist(blocking = false)
   }
 
+  /** Embedding near-dup at ingest — SemDeDup's candidate generation
+    * served from the maintained IVF pile: a NEW batch of embeddings is
+    * assigned to the pile's fixed quantizer (O(batch × k), the same
+    * map-side min_by ingest pays), candidates are the stored corpus
+    * vectors sharing the nearest-centroid LIST (learned blocking — the
+    * ANN analog of q54's projection blocks and q61's LSH buckets; the
+    * pile read partition-prunes to the batch's touched lists), and an
+    * exact cosine confirm keeps only pairs with similarity above
+    * `simThreshold`. Output: (new_id, old_id, sim) — the reject/keep
+    * decision joins it exactly like the crawl gate's LSH candidates.
+    *
+    * Scale shape: candidates per new vector ≈ its list's size (N/k —
+    * √N under the q58 sizing rule), so the confirm is batch × √N
+    * work, never batch × corpus; the batch side grows with the ingest
+    * tick, so the join is shuffle_hash on cid (k lists — at the √N
+    * rule that is √N-way parallelism), NEVER a broadcast (the q215
+    * rule: corpus-growth sets don't broadcast). Recall posture is
+    * q58's single-probe IVF curve (SURVEY §2.8) — a near-dup whose
+    * pair straddles a list boundary is missed, the documented
+    * ANN-blocking trade every SemDeDup deployment makes; exactness
+    * contracts stay with the LSH+Jaccard text gate. Deterministic
+    * given the pile's centroids, so fully DuckDB-oracled (q263). */
+  def ivfNearDupProbe(spark: SparkSession, indexPath: String,
+      batchEmb: DataFrame, simThreshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.vec_cosine_distance
+    if (!pileHasData(spark, indexPath))
+      return spark.range(0).select(col("id").as("new_id"),
+        col("id").as("old_id"), col("id").cast("double").as("sim"))
+    val cent = readIvfCentroids(spark, indexPath)
+    val assigned = graft.operators.Similarity.ivfAssign(batchEmb, cent)
+      .select(col("vec_id").as("new_id"), col("embedding").as("nv"), col("cid"))
+      .persist()
+    try {
+      // touched lists bounded by the centroid count (broadcast-bounded
+      // by the √N rule) — pushed as partition filters like every probe
+      val touched = assigned.select(col("cid")).distinct()
+        .collect().map(_.getLong(0))
+      val pruned = spark.read.parquet(indexPath)
+        .filter(col("cid").isin(touched: _*))
+        .select(col("vec_id").as("old_id"), col("embedding").as("ov"), col("cid"))
+      val out = assigned.hint("shuffle_hash").join(pruned, Seq("cid"))
+        .filter(col("new_id") =!= col("old_id"))
+        .withColumn("sim", lit(1.0) - vec_cosine_distance(col("nv"), col("ov")))
+        .filter(col("sim") > simThreshold)
+        .select(col("new_id"), col("old_id"), round(col("sim"), 6).as("sim"))
+        .persist()
+      try out.count() // candidate-bounded result; swept by the harness
+      catch { case t: Throwable => out.unpersist(blocking = false); throw t }
+      out
+    } finally assigned.unpersist(blocking = true)
+  }
+
   /** Incremental FULL-TEXT index maintenance, same delta-merge posture
     * as `streamIndexIngest` but for the inverted index: each micro-batch
     * builds postings over its OWN documents only and appends them as an

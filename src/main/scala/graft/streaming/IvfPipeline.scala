@@ -61,30 +61,28 @@ object IvfPipeline {
     }
   }
 
-  /** Build (or reuse) the IVF pile for `d`: quantizer = q58's
-    * deterministic hash-sample centroids over the full table, three
-    * vec_id % 3 micro-batch ticks through the live maintenance, then
-    * an explicit compaction to the promoted single generation (the
-    * steady state the policy keeps a production pile in). Staging
-    * input and the stream checkpoint are deleted after the build —
-    * only the pile and its centroid sibling live until JVM exit. */
-  private def pileFor(s: SparkSession, d: String): String =
+  /** Build (or reuse) an IVF pile keyed by `tag` (the split identity —
+    * the ADVICE r16 #3 discipline): `ticks` are ingested as
+    * consecutive REAL micro-batches against the fixed `cent`
+    * quantizer, then the pile is compacted to the promoted single
+    * generation (the steady state the policy keeps a production pile
+    * in). Staging input and the stream checkpoint are deleted after
+    * the build — only the pile and its centroid sibling live until
+    * JVM exit. */
+  private def buildPile(s: SparkSession, d: String, tag: String,
+      cent: org.apache.spark.sql.DataFrame,
+      ticks: Seq[org.apache.spark.sql.DataFrame]): String =
     pileCache.synchronized {
-      pileCache.getOrElseUpdate(s"$d#mod3#${fingerprint(s, d)}", {
+      pileCache.getOrElseUpdate(s"$d#$tag#${fingerprint(s, d)}", {
         pileDirSeq += 1
         val work = s"$workRoot/v$pileDirSeq"
         val in = s"$work/in"
         val idx = s"$work/index"
-        val e = Tables.embeddings(s, d)
-        val cent = graft.operators.Similarity.ivfCentroids(e)
         var ingested = false
-        for (m <- 0 until 3) {
-          val tick = e.filter(pmod(col("vec_id"), lit(3)) === m)
-          if (!tick.isEmpty) {
-            tick.write.mode("append").parquet(in)
-            Ingest.streamIvfIngest(s, in, idx, cent)
-            ingested = true
-          }
+        for (tick <- ticks if !tick.isEmpty) {
+          tick.write.mode("append").parquet(in)
+          Ingest.streamIvfIngest(s, in, idx, cent)
+          ingested = true
         }
         // an all-empty input (empty-table fixture) built nothing — there
         // is no pile to compact, and the probe of a data-less path is an
@@ -97,6 +95,27 @@ object IvfPipeline {
         idx
       })
     }
+
+  /** q262's pile: quantizer = q58's deterministic hash-sample
+    * centroids over the full table, three vec_id % 3 micro-batch
+    * ticks. */
+  private def pileFor(s: SparkSession, d: String): String = {
+    val e = Tables.embeddings(s, d)
+    buildPile(s, d, "full#mod3", graft.operators.Similarity.ivfCentroids(e),
+      (0 until 3).map(m => e.filter(pmod(col("vec_id"), lit(3)) === m)))
+  }
+
+  /** q263's pile: the CORPUS only (vec_id % 10 < 8 — the capstone
+    * split convention), quantizer trained on the corpus, two
+    * micro-batch ticks. The arriving batch (% 10 >= 8) is NOT
+    * ingested — it is what the near-dup probe gates. */
+  private def corpusPileFor(s: SparkSession, d: String): String = {
+    val corpus = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(10)) < 8)
+    buildPile(s, d, "corpus-mod10lt8#mod2",
+      graft.operators.Similarity.ivfCentroids(corpus),
+      (0 until 2).map(m => corpus.filter(pmod(col("vec_id"), lit(2)) === m)))
+  }
 
   /** q262: q58's ANN answer served from the maintained pile. Same
     * oracle SQL as q58 verbatim — the probe must reproduce the batch
@@ -116,5 +135,44 @@ object IvfPipeline {
     pileFor(s, d); ()
   })
 
-  val all: Seq[QueryDef] = Seq(q262AnnIvfStream)
+  /** q263: embedding near-dup at INGEST — SemDeDup's candidate
+    * generation served from the maintained corpus pile
+    * ([[Ingest.ivfNearDupProbe]]): the arriving batch (vec_id % 10 >= 8,
+    * the capstone split convention) is assigned to the corpus-trained
+    * quantizer, candidates share the nearest-centroid list (learned
+    * blocking), and an exact cosine confirm keeps sim > 0.2 (q54's
+    * threshold on this data). The oracle recomputes quantizer,
+    * assignment, blocking, and confirm from first principles in SQL —
+    * assignment is deterministic given the fixed centroid rule, so the
+    * ANN-blocked probe is exactly reproducible. */
+  val q263EmbedNearDupIngest: QueryDef = {
+    import graft.operators.Similarity.{duckCosineDist, duckL2Dist}
+    QueryDef(
+      "q263_embed_neardup_ingest",
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 8),
+         |batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 8),
+         |cent AS (SELECT vec_id AS cid, embedding AS cv FROM corpus
+         |         ORDER BY (vec_id % 1000003) * 2654435761 % 4294967296, vec_id LIMIT 32),
+         |ac AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT c.vec_id, c.embedding, ct.cid,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${duckL2Dist("c.embedding", "ct.cv")}, ct.cid) AS rn
+         |  FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+         |ab AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT b.vec_id, b.embedding, ct.cid,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${duckL2Dist("b.embedding", "ct.cv")}, ct.cid) AS rn
+         |  FROM batch b CROSS JOIN cent ct) WHERE rn = 1)
+         |SELECT ab.vec_id AS new_id, ac.vec_id AS old_id,
+         |  round(1.0 - (${duckCosineDist("ab.embedding", "ac.embedding")}), 6) AS sim
+         |FROM ab JOIN ac USING (cid)
+         |WHERE 1.0 - (${duckCosineDist("ab.embedding", "ac.embedding")}) > 0.2""".stripMargin) {
+      (s, d) =>
+      val batch = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10)) >= 8)
+      Ingest.ivfNearDupProbe(s, corpusPileFor(s, d), batch, simThreshold = 0.2)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q262AnnIvfStream, q263EmbedNearDupIngest)
 }

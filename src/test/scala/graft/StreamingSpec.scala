@@ -358,6 +358,48 @@ class StreamingSpec extends SparkTestBase {
       queries, nProbe = 4).isEmpty)
   }
 
+  test("IVF near-dup probe ≡ direct ANN-blocked pair computation") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.vec_cosine_distance
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.filter(pmod(col("vec_id"), lit(10)) < 8)
+    val batch = e.filter(pmod(col("vec_id"), lit(10)) >= 8)
+    val cent = Similarity.ivfCentroids(corpus)
+    val base = Files.createTempDirectory("graft-ivf-nd")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/index"
+    for (m <- 0 until 2) {
+      corpus.filter(pmod(col("vec_id"), lit(2)) === m)
+        .write.mode("append").parquet(in)
+      Ingest.streamIvfIngest(spark, in, idx, cent)
+    }
+    Ingest.compactIvfIndex(spark, idx)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val probed = key(Ingest.ivfNearDupProbe(spark, idx, batch, simThreshold = 0.2))
+    // first principles: batch and corpus assigned to the same fixed
+    // quantizer, candidates share the list, exact cosine confirm
+    val ac = Similarity.ivfAssign(corpus, cent)
+      .select(col("vec_id").as("old_id"), col("embedding").as("ov"), col("cid"))
+    val ab = Similarity.ivfAssign(batch, cent)
+      .select(col("vec_id").as("new_id"), col("embedding").as("nv"), col("cid"))
+    val direct = key(ab.join(ac, Seq("cid"))
+      .withColumn("sim", lit(1.0) - vec_cosine_distance(col("nv"), col("ov")))
+      .filter(col("sim") > 0.2)
+      .select(col("new_id"), col("old_id"), round(col("sim"), 6)))
+    assert(probed === direct && probed.nonEmpty,
+      "pile near-dup probe must equal the direct ANN-blocked pair set")
+    // a batch member never pairs with itself even if ingested: probe
+    // the CORPUS against its own pile — self-pairs must be excluded
+    val selfProbe = Ingest.ivfNearDupProbe(spark, idx,
+      corpus.limit(20), simThreshold = -1.0)
+    assert(selfProbe.filter(col("new_id") === col("old_id")).isEmpty)
+    selfProbe.unpersist()
+    // first-boot: no pile yet → empty result, not an exception
+    assert(Ingest.ivfNearDupProbe(spark, base.toString + "/none",
+      batch, 0.2).isEmpty)
+  }
+
   test("stream-stream LEFT OUTER interval join: unmatched rows flush as the watermark passes") {
     // outer stream-stream join adds the state-expiry contract: a click
     // with no error inside its 30-minute window may only emit its
