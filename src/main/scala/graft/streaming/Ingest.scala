@@ -329,6 +329,79 @@ object Ingest {
     } finally probed.unpersist(blocking = false)
   }
 
+  /** Offline quantizer rotation ≙ the reference's FULL index rebuild
+    * path (re-clustering for centroid drift is a rebuild, not an
+    * incremental step — `Storages/DeltaMerge/Index/VectorIndex/`; the
+    * same posture this pile documents at [[streamIvfIngest]]): the
+    * pile's stored vectors are re-assigned to `newCent` and the pile
+    * atomically replaced — the ONLY legal way a pile's quantizer can
+    * change, since ingest refuses mixed quantizers. One corpus-pass
+    * background job by design (like the ptr fold).
+    *
+    * Crash-safe at every point, leaning on the probe's fingerprint
+    * verification as the fail-safe:
+    *  1. the new centroid artifact is STAGED at `<sibling>.next`
+    *     (live sibling untouched — aborting here leaves benign
+    *     garbage a later rebuild overwrites);
+    *  2. [[promoteCompacted]] writes the re-assigned generation WITH
+    *     the new `_centroids` fingerprint and promotes atomically;
+    *  3. the staged sibling replaces the live one (delete + rename).
+    * A crash inside step 3 leaves marker(new) ≠ sibling(old/absent):
+    * every probe and ingest REFUSES loudly (never silently
+    * mis-assigns), and [[recoverIvfRebuild]] finishes the swap
+    * mechanically. */
+  def rebuildIvfIndex(spark: SparkSession, indexPath: String,
+      newCent: DataFrame): Unit = {
+    val fp = centroidFingerprint(newCent)
+    requireCheckpointCaughtUp(spark, indexPath)
+    val sib = new org.apache.hadoop.fs.Path(centroidSiblingPath(indexPath))
+    val next = new org.apache.hadoop.fs.Path(centroidSiblingPath(indexPath) + ".next")
+    val fs = sib.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    newCent.write.mode("overwrite").parquet(next.toString)
+    promoteCompacted(spark, indexPath) { tmp =>
+      graft.operators.Similarity.ivfAssign(
+          spark.read.parquet(indexPath).select(col("vec_id"), col("embedding")),
+          newCent)
+        .write.mode("overwrite").partitionBy("cid").parquet(compactedSeg(tmp))
+      writeMarker(spark, centroidsMarkerPath(tmp), fp)
+    }
+    fs.delete(sib, true)
+    if (!fs.rename(next, sib)) throw new java.io.IOException(
+      s"rebuildIvfIndex: staged centroid swap failed for $next — the pile's " +
+        "marker already records the new quantizer, so probes will refuse " +
+        "until recoverIvfRebuild (or a manual rename) completes the swap")
+  }
+
+  /** Recover an IVF pile after a crash mid-[[rebuildIvfIndex]] step 3
+    * (the pile itself is covered by [[recoverCompaction]]): when the
+    * promoted marker matches the STAGED `.next` artifact, finish the
+    * swap; when marker and live sibling already agree, drop stale
+    * staging. Anything else is surfaced loudly. Idempotent; returns
+    * the action taken. */
+  def recoverIvfRebuild(spark: SparkSession, indexPath: String): String = {
+    val sibStr = centroidSiblingPath(indexPath)
+    val sib = new org.apache.hadoop.fs.Path(sibStr)
+    val next = new org.apache.hadoop.fs.Path(sibStr + ".next")
+    val fs = sib.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = readMarker(spark, centroidsMarkerPath(indexPath)).getOrElse(
+      throw new java.io.IOException(
+        s"recoverIvfRebuild: $indexPath has no _centroids marker — not an IVF pile"))
+    def fpOf(p: org.apache.hadoop.fs.Path): Option[String] =
+      if (!fs.exists(p)) None
+      else Some(centroidFingerprint(spark.read.parquet(p.toString)))
+    if (fpOf(sib).contains(marker)) {
+      fs.delete(next, true); "consistent"
+    } else if (fpOf(next).contains(marker)) {
+      fs.delete(sib, true)
+      if (!fs.rename(next, sib)) throw new java.io.IOException(
+        s"recoverIvfRebuild: rename $next -> $sib failed")
+      "swapped-next"
+    } else throw new java.io.IOException(
+      s"recoverIvfRebuild: neither $sibStr nor its .next staging matches the " +
+        s"pile's _centroids marker — restore the trained centroid artifact " +
+        "or re-run rebuildIvfIndex with the intended quantizer")
+  }
+
   /** Embedding near-dup at ingest — SemDeDup's candidate generation
     * served from the maintained IVF pile: a NEW batch of embeddings is
     * assigned to the pile's fixed quantizer (O(batch × k), the same

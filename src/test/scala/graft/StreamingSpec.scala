@@ -400,6 +400,63 @@ class StreamingSpec extends SparkTestBase {
       batch, 0.2).isEmpty)
   }
 
+  test("IVF quantizer rotation: rebuild re-assigns atomically, crash window fails safe and recovers") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val cent32 = Similarity.ivfCentroids(e)
+    val base = Files.createTempDirectory("graft-ivf-rot")
+    val in = base.toString + "/in"
+    val idx = base.toString + "/index"
+    for (m <- 0 until 2) {
+      e.filter(pmod(col("vec_id"), lit(2)) === m).write.mode("append").parquet(in)
+      Ingest.streamIvfIngest(spark, in, idx, cent32)
+    }
+    def stored() = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def directOn(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssign(e, c).select(col("vec_id"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rotate to a RE-TRAINED quantizer (k=16): the offline rebuild path
+    val cent16 = Similarity.ivfCentroids(e, k = 16)
+    Ingest.rebuildIvfIndex(spark, idx, cent16)
+    assert(stored() === directOn(cent16),
+      "rebuilt pile must hold the new quantizer's assignment")
+    // the old quantizer can no longer ingest; the new one can
+    val ex = intercept[java.io.IOException] {
+      Ingest.streamIvfIngest(spark, in, idx, cent32)
+    }
+    assert(ex.getMessage.contains("different centroid set"))
+    // a probe against the rotated pile answers with the new quantizer
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(Ingest.ivfProbe(spark, idx, queries, nProbe = 4)
+        .select(col("qid"), col("vec_id"), col("rnk"))) ===
+      key(Similarity.ivfSearch(e, nProbe = 4, nCentroids = 16,
+          centroids = Some(cent16))
+        .select(col("qid"), col("vec_id"), col("rnk"))))
+    // crash window (step 3 of the rebuild protocol): marker(new) with
+    // the OLD sibling restored — every probe must refuse loudly, and
+    // recoverIvfRebuild finishes the swap from the staged artifact
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sib = new org.apache.hadoop.fs.Path(idx + "-centroids")
+    val next = new org.apache.hadoop.fs.Path(idx + "-centroids.next")
+    assert(fs.rename(sib, next)) // manufactured: swap never finished
+    cent32.write.mode("overwrite").parquet(sib.toString) // stale artifact
+    val ex2 = intercept[java.io.IOException] {
+      Ingest.ivfProbe(spark, idx, queries, nProbe = 4).collect()
+    }
+    assert(ex2.getMessage.contains("does not match the pile's"))
+    assert(Ingest.recoverIvfRebuild(spark, idx) === "swapped-next")
+    assert(key(Ingest.ivfProbe(spark, idx, queries, nProbe = 4)
+      .select(col("qid"), col("vec_id"), col("rnk"))).nonEmpty)
+    // idempotent: a second recovery is a no-op
+    assert(Ingest.recoverIvfRebuild(spark, idx) === "consistent")
+  }
+
   test("stream-stream LEFT OUTER interval join: unmatched rows flush as the watermark passes") {
     // outer stream-stream join adds the state-expiry contract: a click
     // with no error inside its 30-minute window may only emit its
