@@ -27,7 +27,13 @@ package graft.tools
   * corpus pass) for the same table. Both modes report pile bytes
   * before/after the fold.
   *
-  * Usage: runMain graft.tools.IncrementalProof <sfDir> <workDir> [nBatches] [text|ptr]
+  * Mode `ivf` (r17) runs the same flat-cost protocol over the IVF
+  * vector pile ([[graft.streaming.Ingest.streamIvfIngest]] on the
+  * embeddings table, fixed quantizer), times the rewrite compaction,
+  * and checks stored-assignment ≡ rebuild plus probe ≡ batch
+  * ivfSearch — the q262 contracts at measurement scale.
+  *
+  * Usage: runMain graft.tools.IncrementalProof <sfDir> <workDir> [nBatches] [text|ptr|ivf]
   * One JSON line per batch + a fold line + a summary line.
   */
 object IncrementalProof {
@@ -36,11 +42,13 @@ object IncrementalProof {
     val work = args.drop(1).headOption.getOrElse("/tmp/incproof")
     val n = args.drop(2).headOption.map(_.toInt).getOrElse(5)
     val mode = args.drop(3).headOption.getOrElse("text")
-    require(mode == "text" || mode == "ptr", s"unknown mode $mode")
+    require(mode == "text" || mode == "ptr" || mode == "ivf", s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
+
+    if (mode == "ivf") { runIvf(spark, sfDir, work, n); spark.stop(); return }
 
     val in = s"$work/in"
     val lshIdx = s"$work/lsh-index"
@@ -128,5 +136,59 @@ object IncrementalProof {
         s""""consistent":${foldedRows == directRows && foldedDup == directDup}}""")
     }
     spark.stop()
+  }
+
+  /** The IVF pile's flat-cost + consistency run (mode `ivf`). */
+  private def runIvf(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, work: String, n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val in = s"$work/in"
+    val idx = s"$work/ivf-index"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    // quantizer fixed upfront from the full table (the IVF ingest
+    // contract; rotation is rebuildIvfIndex, timed elsewhere)
+    val cent = graft.operators.Similarity.ivfCentroids(emb)
+    for (i <- 0 until n) {
+      emb.filter(pmod(col("vec_id"), lit(n)) === i)
+        .write.mode("append").parquet(in)
+      val t0 = System.nanoTime()
+      graft.streaming.Ingest.streamIvfIngest(spark, in, idx, cent,
+        autoCompactSegments = 0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"mode":"ivf","batch":$i,"ingestSec":$sec%.2f,"corpusBatchesBefore":$i}""")
+    }
+    def pileBytes(p: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    val preBytes = pileBytes(idx)
+    val tf = System.nanoTime()
+    graft.streaming.Ingest.compactIvfIndex(spark, idx)
+    val foldSec = (System.nanoTime() - tf) / 1e9
+    println(f"""{"mode":"ivf","fold":true,"foldSec":$foldSec%.2f,""" +
+      s""""pileBytesPre":$preBytes,"pileBytesPost":${pileBytes(idx)}}""")
+    // consistency: stored assignment ≡ rebuild (count + order-blind
+    // checksum, two longs over the driver), probe ≡ batch ivfSearch
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val h = df.select(xxhash64(df.columns.map(c =>
+        col(c).cast("string")): _*).cast("decimal(38,0)").as("h"))
+      val r = h.agg(count(lit(1)), sum(col("h"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
+    }
+    val stored = sig(spark.read.parquet(idx)
+      .select(col("vec_id"), col("cid").cast("long").as("cid")))
+    val rebuilt = sig(graft.operators.Similarity.ivfAssign(emb, cent)
+      .select(col("vec_id"), col("cid")))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probed = sig(graft.streaming.Ingest.ivfProbe(spark, idx, q, nProbe = 4))
+    val batch = sig(graft.operators.Similarity.ivfSearch(emb, nProbe = 4,
+      centroids = Some(cent)))
+    println(s"""{"mode":"ivf","summary":true,"sfDir":"$sfDir","batches":$n,""" +
+      s""""storedRows":${stored._1},"rebuildRows":${rebuilt._1},""" +
+      s""""assignmentConsistent":${stored == rebuilt},""" +
+      s""""probeRows":${probed._1},"probeEqualsBatch":${probed == batch}}""")
+    require(stored == rebuilt && probed == batch, "ivf consistency failed")
   }
 }
