@@ -106,7 +106,13 @@ object Plans {
       "q260_crawl_capstone_tick2",
       // round-16: the tick-2 capstone on the pointer-state pile (the
       // 2x2 family's fourth member)
-      "q261_crawl_capstone_tick2_ptr")
+      "q261_crawl_capstone_tick2_ptr",
+      // round-17: the incremental-IVF probe (q262 rides headline) and
+      // the ANN-blocked embedding near-dup probe — the reviewable
+      // shapes are the broadcast-bounded centroid/probe sides, the
+      // partition-pruned inverted-list scan, and (q263) the
+      // shuffle_hash batch-side join
+      "q263_embed_neardup_ingest")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")
