@@ -28,7 +28,7 @@ object SparkEntry {
       operators.Evaluation.all ++ operators.SkewRemedy.all ++
       functions.BigIntSum.all ++ functions.ApproxTopK.all ++
       streaming.Ingest.all ++ streaming.CrawlPipeline.all ++
-      streaming.IvfPipeline.all ++
+      streaming.IvfPipeline.all ++ streaming.PileProbes.all ++
       operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -682,7 +682,7 @@ object Ingest {
     * probing such a pile must be an empty result, and reading it via
     * spark.read.parquet would throw schema inference errors — so the
     * probes gate on data files, not directory existence. */
-  private def pileHasData(spark: SparkSession, path: String): Boolean = {
+  private[streaming] def pileHasData(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return false

@@ -1,0 +1,226 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Scored-query surface for the two piles that until now carried only
+  * contract tests — the inverted-postings index and the aggregate MV —
+  * plus the IVF quantizer-rotation path. With these, EVERY incremental
+  * index surface answers a hash-oracled query through its maintained
+  * pile (LSH/span/shingle via the q258–q261 capstones and q230, IVF
+  * via q262/q263, postings via q264, agg MV via q265, rotation via
+  * q266): a probe diverging from the batch semantics is a maintenance
+  * bug caught by the DuckDB gate, not just by a unit test.
+  *
+  * Reference analogs: segment-incremental inverted/full-text index
+  * build + read (`/root/reference/dbms/src/Storages/DeltaMerge/Index/InvertedIndex/`,
+  * `Index/FullTextIndex/Reader.h`), mergeable aggregate states shipped
+  * between stages (`/root/reference/dbms/src/Columns/ColumnAggregateFunction.h`),
+  * and the full vector-index rebuild on re-train
+  * (`Storages/DeltaMerge/Index/VectorIndex/`).
+  */
+object PileProbes {
+  /** Process-lifetime pile cache — the [[IvfPipeline]] discipline:
+    * deterministic pile per (dataset, table, split tag), input
+    * fingerprint in the key so a mid-JVM regeneration of the source
+    * table can never be read stale, workdir dies with the JVM. */
+  private val pileCache = scala.collection.mutable.Map[String, String]()
+  private var pileDirSeq = 0
+  private lazy val workRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pileprobes").toString
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+
+  private def fingerprint(s: SparkSession, d: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val it = fs.listFiles(p, true)
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val st = it.next()
+        parts += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+      java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(parts.sorted.mkString("\n").getBytes("UTF-8")))
+    }
+  }
+
+  /** Build (or reuse) a pile: `ticks` are staged and ingested as
+    * consecutive REAL micro-batches by `ingest`, then `finish` runs
+    * (compaction — or, for q266, the quantizer rotation) while the
+    * stream checkpoint still exists. Staging input and checkpoint are
+    * deleted after the build; only the pile (and any identity
+    * siblings) live until JVM exit. An all-empty input builds nothing
+    * — probing a data-less path is an empty result by the first-boot
+    * contract. */
+  private def buildPile(s: SparkSession, d: String, table: String,
+      tag: String, ticks: Seq[DataFrame],
+      ingest: (String, String) => Unit,
+      finish: String => Unit): String =
+    pileCache.synchronized {
+      pileCache.getOrElseUpdate(s"$d#$table#$tag#${fingerprint(s, d, table)}", {
+        pileDirSeq += 1
+        val work = s"$workRoot/v$pileDirSeq"
+        val in = s"$work/in"
+        val pile = s"$work/pile"
+        var ingested = false
+        for (tick <- ticks if !tick.isEmpty) {
+          tick.write.mode("append").parquet(in)
+          ingest(in, pile)
+          ingested = true
+        }
+        if (ingested) finish(pile)
+        val fs = new org.apache.hadoop.fs.Path(work)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(in, s"$pile-ckpt").foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        pile
+      })
+    }
+
+  // ---------------------------------------------------- q264: postings
+
+  private val probeTerms = Seq("hash", "join")
+  private val PostingsBuckets = 16
+
+  /** Postings pile over the documents table: three doc_id % 3
+    * micro-batch ticks through the REAL [[Ingest.streamPostingsIngest]]
+    * maintenance, then compacted to the promoted single generation. */
+  private def postingsPileFor(s: SparkSession, d: String): String = {
+    val docs = Tables.documents(s, d)
+    buildPile(s, d, "documents", "post#mod3",
+      (0 until 3).map(m => docs.filter(pmod(col("doc_id"), lit(3)) === m)),
+      (in, pile) => Ingest.streamPostingsIngest(s, in, pile, PostingsBuckets),
+      pile => Ingest.compactPostings(s, pile, PostingsBuckets))
+  }
+
+  /** q264: q75's CONTAINS-all answer served from the maintained
+    * postings pile — a term-bucket partition-pruned read of the probed
+    * terms' rows, [[Ingest.mergePostingsSegments]] over just those
+    * rows, then the same posting-intersection as batch q75. Same
+    * oracle SQL as q75 verbatim: the pile probe must reproduce the
+    * from-scratch index answer exactly (segment merge is proven ≡
+    * rebuild in `StreamingSpec`; this scores it end-to-end). */
+  val q264FulltextStream: QueryDef = QueryDef(
+    "q264_fulltext_stream",
+    graft.operators.InvertedText.q75FulltextAnd.oracle.get) { (s, d) =>
+    val pile = postingsPileFor(s, d)
+    if (!Ingest.pileHasData(s, pile))
+      s.range(0).select(col("id").as("doc_id"), col("id").as("n_terms"))
+    else {
+      // the probed terms' bucket ids, computed by the pile's OWN
+      // term→bucket rule — a |terms|-row driver-side evaluation (2
+      // rows here) so the bucket literals reach the scan as partition
+      // filters (the lshProbe touched-partition discipline)
+      import s.implicits._
+      val tb = probeTerms.toDF("term")
+        .select(pmod(abs(hash(col("term"))), lit(PostingsBuckets)).cast("int"))
+        .collect().map(_.getInt(0)).distinct.toSeq
+      val pruned = s.read.parquet(pile)
+        .filter(col("tbucket").isin(tb: _*) &&
+          col("term").isin(probeTerms.map(_.asInstanceOf[Any]): _*))
+        .select(col("term"), col("postings"), col("df"))
+      graft.operators.InvertedText.searchAll(
+        Ingest.mergePostingsSegments(pruned), probeTerms)
+    }
+  }.copy(headline = true, benchWarmup = Some { (s, d) =>
+    // benched headliner: the pile is built UNTIMED (a live pipeline
+    // maintains it across its ingest history), so the headline number
+    // measures the PROBE — the production recurring read — per the
+    // q258/q262 discipline. First official band seeds via
+    // tools/BandSeed from the next BENCH_r{N}.
+    postingsPileFor(s, d); ()
+  })
+
+  // ------------------------------------------------------ q265: agg MV
+
+  /** Agg-MV pile over the events table: three event_id % 3 micro-batch
+    * ticks of mergeable partial states through the REAL
+    * [[Ingest.streamAggMaintain]], then fold-compacted. */
+  private def aggMvPileFor(s: SparkSession, d: String): String = {
+    val ev = Tables.events(s, d)
+    buildPile(s, d, "events", "aggmv#mod3",
+      (0 until 3).map(m => ev.filter(pmod(col("event_id"), lit(3)) === m)),
+      (in, pile) => Ingest.streamAggMaintain(s, in, pile),
+      pile => Ingest.compactAggState(s, pile))
+  }
+
+  /** q265: the (event_type, day) rollup served from the maintained
+    * aggregate-MV pile through the canonical read view
+    * ([[Ingest.aggViewOf]] — the segment fold every reader goes
+    * through), oracled by a from-scratch GROUP BY over the raw events
+    * stream. count and the exact-decimal value sum are
+    * order-insensitive mergeable states, so the folded MV must equal
+    * the rebuild bit-for-bit (the HLL distinct-user state stays
+    * contract-land: its fold estimates via a different estimator than
+    * a direct build — see SoakProof — so it is asserted with tolerance
+    * there, never hashed here). */
+  val q265AggMvStream: QueryDef = QueryDef(
+    "q265_agg_mv_stream",
+    """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS vsum
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val pile = aggMvPileFor(s, d)
+    if (!Ingest.pileHasData(s, pile))
+      s.range(0).select(lit(null).cast("string").as("event_type"),
+        lit(null).cast("date").as("day"), col("id").as("cnt"),
+        lit(null).cast("double").as("vsum"))
+    else
+      Ingest.aggViewOf(s.read.parquet(pile))
+        .select(col("event_type"), col("day"), col("cnt"),
+          col("vsum").cast("double").as("vsum"))
+  }
+
+  // ------------------------------------------- q266: quantizer rotation
+
+  /** q266's pile: ingest the full embeddings table as three vec_id % 3
+    * ticks against a SEED quantizer trained on the first tick only,
+    * then run the REAL [[Ingest.rebuildIvfIndex]] rotation to the
+    * full-corpus quantizer (q58's hash-sample rule) — the
+    * centroid-drift re-train a production pipeline runs after its
+    * corpus has grown past the training sample. */
+  private def rotatedPileFor(s: SparkSession, d: String): String = {
+    val e = Tables.embeddings(s, d)
+    val seedCent = graft.operators.Similarity.ivfCentroids(
+      e.filter(pmod(col("vec_id"), lit(3)) === 0))
+    buildPile(s, d, "embeddings", "ivfrot#mod3",
+      (0 until 3).map(m => e.filter(pmod(col("vec_id"), lit(3)) === m)),
+      (in, pile) => Ingest.streamIvfIngest(s, in, pile, seedCent),
+      // rotation runs while the checkpoint still exists (it asserts
+      // caught-up ingest) and REPLACES compaction: the rebuild itself
+      // promotes one re-assigned generation under the new marker
+      pile => Ingest.rebuildIvfIndex(s, pile,
+        graft.operators.Similarity.ivfCentroids(e)))
+  }
+
+  /** q266: q58's ANN answer served from the ROTATED pile. After the
+    * rotation the pile's quantizer is exactly q58's full-corpus
+    * hash-sample rule, so the probe is oracled by q58's SQL verbatim —
+    * scoring that the rebuild re-assigned every stored vector to the
+    * new quantizer (a partial or stale re-assignment cannot
+    * hash-match), the end-to-end complement of the rotation crash/
+    * recovery contracts in `StreamingSpec`. */
+  val q266AnnIvfRotate: QueryDef = QueryDef(
+    "q266_ann_ivf_rotate",
+    graft.operators.Similarity.q58AnnIvf.oracle.get) { (s, d) =>
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Ingest.ivfProbe(s, rotatedPileFor(s, d), queries, nProbe = 4)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q264FulltextStream, q265AggMvStream, q266AnnIvfRotate)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{InvertedText, Similarity}
+import graft.sources.Tables
+import graft.streaming.PileProbes
+
+/** The scored pile probes must reproduce their batch counterparts
+  * exactly — the same ≡-rebuild contract the DuckDB gate scores at
+  * sf0.01, pinned here at test scale so a probe-path regression fails
+  * fast and locally. */
+class PileProbesSpec extends SparkTestBase {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("q264: postings-pile probe equals the batch q75 answer") {
+    val probe = rows(PileProbes.q264FulltextStream.fn(spark, sf))
+    val batch = rows(InvertedText.q75FulltextAnd.fn(spark, sf))
+    assert(probe === batch && probe.nonEmpty,
+      "the maintained-postings probe must equal the from-scratch index answer")
+  }
+
+  test("q265: agg-MV pile fold equals the from-scratch rollup") {
+    val probe = rows(PileProbes.q265AggMvStream.fn(spark, sf))
+    val batch = rows(Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("vsum")))
+    assert(probe === batch && probe.nonEmpty,
+      "the folded MV must equal the raw-events rollup bit-for-bit")
+  }
+
+  test("q266: rotated-pile probe equals batch q58 (rotation re-assigned everything)") {
+    // the seed quantizer (tick-0-trained) must differ from the rotated
+    // one for the equality to be evidence of re-assignment, not of a
+    // no-op rotation
+    val e = Tables.embeddings(spark, sf)
+    val seed = Similarity.ivfCentroids(
+        e.filter(pmod(col("vec_id"), lit(3)) === 0))
+      .collect().map(_.getLong(0)).toSet
+    val full = Similarity.ivfCentroids(e).collect().map(_.getLong(0)).toSet
+    assert(seed !== full,
+      "fixture degenerate: seed and rotated quantizers coincide")
+    val probe = rows(PileProbes.q266AnnIvfRotate.fn(spark, sf))
+    val batch = rows(Similarity.q58AnnIvf.fn(spark, sf))
+    assert(probe === batch && probe.nonEmpty,
+      "the rotated pile's probe must equal the batch IVF answer")
+  }
+}
