@@ -103,7 +103,14 @@ class BroadcastAuditSpec extends SparkTestBase {
     // row_number ≤ nProbe filter over the pinned vec_id < 5 query
     // set; broadcasting it is what keeps the corpus-side inverted
     // lists from shuffling. Flag-diffed at 100× statistics, r17.
-    "q262_ann_ivf_stream")
+    "q262_ann_ivf_stream",
+    // r17 rotation probe: q266 answers through the SAME ivfProbe path
+    // as q262 (the pile differs only in its quantizer history), so it
+    // carries q262's exact reviewed flag — the broadcast-bounded
+    // centroid set and the ≤ |Q|·nProbe probed side. Flag-diffed at
+    // /tmp/sf10 statistics late r17: one flag, identical class
+    // ("embeddings via window+join"), zero new.
+    "q266_ann_ivf_rotate")
 
   test("no query outside the reviewed allowlist plans a corpus-derived broadcast (static, AQE off)") {
     val s = spark.newSession()
