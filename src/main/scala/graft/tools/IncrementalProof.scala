@@ -33,7 +33,17 @@ package graft.tools
   * and checks stored-assignment ≡ rebuild plus probe ≡ batch
   * ivfSearch — the q262 contracts at measurement scale.
   *
-  * Usage: runMain graft.tools.IncrementalProof <sfDir> <workDir> [nBatches] [text|ptr|ivf]
+  * Modes `post` and `aggmv` (late r17, alongside the q264/q265 scored
+  * probes): the same flat-cost protocol over the postings pile
+  * ([[graft.streaming.Ingest.streamPostingsIngest]] on documents;
+  * consistency = merged segments ≡ from-scratch `buildPostings` and
+  * the q264 bucket-pruned probe ≡ the batch q75 answer) and over the
+  * aggregate-MV pile ([[graft.streaming.Ingest.streamAggMaintain]] on
+  * events; consistency = the `aggViewOf` fold's (cnt, vsum) ≡ a
+  * from-scratch rollup — the HLL column is excluded from the checksum
+  * per its estimator property, see SoakProof).
+  *
+  * Usage: runMain graft.tools.IncrementalProof <sfDir> <workDir> [nBatches] [text|ptr|ivf|post|aggmv]
   * One JSON line per batch + a fold line + a summary line.
   */
 object IncrementalProof {
@@ -42,13 +52,15 @@ object IncrementalProof {
     val work = args.drop(1).headOption.getOrElse("/tmp/incproof")
     val n = args.drop(2).headOption.map(_.toInt).getOrElse(5)
     val mode = args.drop(3).headOption.getOrElse("text")
-    require(mode == "text" || mode == "ptr" || mode == "ivf", s"unknown mode $mode")
+    require(Set("text", "ptr", "ivf", "post", "aggmv")(mode), s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
 
     if (mode == "ivf") { runIvf(spark, sfDir, work, n); spark.stop(); return }
+    if (mode == "post") { runPost(spark, sfDir, work, n); spark.stop(); return }
+    if (mode == "aggmv") { runAggMv(spark, sfDir, work, n); spark.stop(); return }
 
     val in = s"$work/in"
     val lshIdx = s"$work/lsh-index"
@@ -170,12 +182,6 @@ object IncrementalProof {
       s""""pileBytesPre":$preBytes,"pileBytesPost":${pileBytes(idx)}}""")
     // consistency: stored assignment ≡ rebuild (count + order-blind
     // checksum, two longs over the driver), probe ≡ batch ivfSearch
-    def sig(df: org.apache.spark.sql.DataFrame): (Long, String) = {
-      val h = df.select(xxhash64(df.columns.map(c =>
-        col(c).cast("string")): _*).cast("decimal(38,0)").as("h"))
-      val r = h.agg(count(lit(1)), sum(col("h"))).collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
-    }
     val stored = sig(spark.read.parquet(idx)
       .select(col("vec_id"), col("cid").cast("long").as("cid")))
     val rebuilt = sig(graft.operators.Similarity.ivfAssign(emb, cent)
@@ -190,5 +196,118 @@ object IncrementalProof {
       s""""assignmentConsistent":${stored == rebuilt},""" +
       s""""probeRows":${probed._1},"probeEqualsBatch":${probed == batch}}""")
     require(stored == rebuilt && probed == batch, "ivf consistency failed")
+  }
+
+  /** Order-blind (count, checksum) signature — two longs over the
+    * driver regardless of pile size (decimal cast before sum: ANSI
+    * BIGINT overflow, see the ivf mode). */
+  private def sig(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+    import org.apache.spark.sql.functions._
+    val h = df.select(xxhash64(df.columns.map(c =>
+      col(c).cast("string")): _*).cast("decimal(38,0)").as("h"))
+    val r = h.agg(count(lit(1)), sum(col("h"))).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
+  }
+
+  /** The postings pile's flat-cost + consistency run (mode `post`). */
+  private def runPost(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, work: String, n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = s"$work/in"
+    val idx = s"$work/post-index"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    for (i <- 0 until n) {
+      docs.filter(pmod(col("doc_id"), lit(n)) === i)
+        .write.mode("append").parquet(in)
+      val t0 = System.nanoTime()
+      graft.streaming.Ingest.streamPostingsIngest(spark, in, idx,
+        autoCompactSegments = 0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"mode":"post","batch":$i,"ingestSec":$sec%.2f,"corpusBatchesBefore":$i}""")
+    }
+    def pileBytes(p: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    val preBytes = pileBytes(idx)
+    val tf = System.nanoTime()
+    graft.streaming.Ingest.compactPostings(spark, idx)
+    val foldSec = (System.nanoTime() - tf) / 1e9
+    println(f"""{"mode":"post","fold":true,"foldSec":$foldSec%.2f,""" +
+      s""""pileBytesPre":$preBytes,"pileBytesPost":${pileBytes(idx)}}""")
+    // consistency: merged segments ≡ from-scratch buildPostings
+    // (postings arrays stringify deterministically — per-segment lists
+    // are disjoint in doc_id and the merge re-sorts), and the q264
+    // bucket-pruned probe ≡ the batch q75 answer.
+    def postSig(df: org.apache.spark.sql.DataFrame) = sig(df.select(
+      col("term"), col("postings").cast("string"), col("df")))
+    val merged = postSig(graft.streaming.Ingest.mergePostingsSegments(
+      spark.read.parquet(idx).drop("tbucket", "seg")))
+    val rebuilt = postSig(graft.operators.InvertedText.buildPostings(docs))
+    val terms = Seq("hash", "join")
+    val tb = terms.toDF("term")
+      .select(pmod(abs(hash(col("term"))), lit(16)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val probed = sig(graft.operators.InvertedText.searchAll(
+      graft.streaming.Ingest.mergePostingsSegments(
+        spark.read.parquet(idx)
+          .filter(col("tbucket").isin(tb: _*))
+          .select(col("term"), col("postings"), col("df"))), terms))
+    val batch = sig(graft.operators.InvertedText.searchAll(
+      graft.operators.InvertedText.buildPostings(docs), terms))
+    println(s"""{"mode":"post","summary":true,"sfDir":"$sfDir","batches":$n,""" +
+      s""""mergedTerms":${merged._1},"rebuildTerms":${rebuilt._1},""" +
+      s""""postingsConsistent":${merged == rebuilt},""" +
+      s""""probeRows":${probed._1},"probeEqualsBatch":${probed == batch}}""")
+    require(merged == rebuilt && probed == batch, "postings consistency failed")
+  }
+
+  /** The aggregate-MV pile's flat-cost + consistency run (mode
+    * `aggmv`). */
+  private def runAggMv(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, work: String, n: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val in = s"$work/in"
+    val state = s"$work/agg-state"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    for (i <- 0 until n) {
+      ev.filter(pmod(col("event_id"), lit(n)) === i)
+        .write.mode("append").parquet(in)
+      val t0 = System.nanoTime()
+      graft.streaming.Ingest.streamAggMaintain(spark, in, state,
+        autoCompactSegments = 0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"mode":"aggmv","batch":$i,"ingestSec":$sec%.2f,"corpusBatchesBefore":$i}""")
+    }
+    def pileBytes(p: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    val preBytes = pileBytes(state)
+    val tf = System.nanoTime()
+    graft.streaming.Ingest.compactAggState(spark, state)
+    val foldSec = (System.nanoTime() - tf) / 1e9
+    println(f"""{"mode":"aggmv","fold":true,"foldSec":$foldSec%.2f,""" +
+      s""""pileBytesPre":$preBytes,"pileBytesPost":${pileBytes(state)}}""")
+    // consistency: the canonical read view's exact columns ≡ a
+    // from-scratch rollup (HLL excluded from the checksum — a unioned
+    // sketch estimates via the composite estimator, a direct build via
+    // HIP; SoakProof asserts it with tolerance instead)
+    def mvSig(df: org.apache.spark.sql.DataFrame) = sig(df.select(
+      col("event_type"), col("day").cast("string"), col("cnt"),
+      col("vsum").cast("decimal(38,2)").cast("string")))
+    val folded = mvSig(graft.streaming.Ingest.aggViewOf(
+      spark.read.parquet(state)))
+    val rebuilt = mvSig(ev.groupBy(col("event_type"),
+        to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(30,2)")).as("vsum")))
+    println(s"""{"mode":"aggmv","summary":true,"sfDir":"$sfDir","batches":$n,""" +
+      s""""foldedGroups":${folded._1},"rebuildGroups":${rebuilt._1},""" +
+      s""""mvConsistent":${folded == rebuilt}}""")
+    require(folded == rebuilt, "agg-mv consistency failed")
   }
 }
