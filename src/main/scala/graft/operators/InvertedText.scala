@@ -148,6 +148,23 @@ object InvertedText {
       .limit(10)
   }
 
+  /** Per-document term frequencies + document length — the row layout
+    * the BM25-at-ingest pile stores ([[graft.streaming.Ingest
+    * .streamTfPostingsIngest]]): (term, doc_id, tf, dl). dl is
+    * denormalized onto every row so a term-pruned probe is
+    * self-contained (no corpus-side doc-length join at read time);
+    * doc_ids are batch-disjoint under incremental ingest, so segments
+    * never need a merge fold — they are append-only facts like the
+    * LSH banding rows. One batch-local groupBy + a batch-local dl
+    * join; cost O(batch tokens). */
+  def buildTfPostings(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+  }
+
   /** Positional postings: term → sorted (doc_id, pos) occurrences —
     * the index layout phrase and proximity queries need (the
     * with-positions variant of `buildPostings`; same one-groupBy build,

@@ -485,6 +485,137 @@ object Ingest {
       compactPostings(spark, indexPath, buckets)
   }
 
+  /** Incremental TF-POSTINGS pile — the ranked-retrieval (BM25) side
+    * of the inverted index (≙ the reference's scored FullTextIndex
+    * reads, `Index/FullTextIndex/Reader.h`, maintained per segment
+    * during delta-merge like the boolean postings above): each
+    * micro-batch stores (term, doc_id, tf, dl) rows for its OWN
+    * documents only ([[graft.operators.InvertedText.buildTfPostings]]
+    * — dl denormalized so probes never join a corpus-side doc-length
+    * table), partitioned by term-hash bucket. doc_ids are
+    * batch-disjoint, so segments are append-only facts needing no
+    * read-side merge; ingest cost per batch is O(batch tokens), never
+    * O(corpus). The corpus-level BM25 constants (N, avgdl) live in the
+    * companion [[streamDocStatsIngest]] stats pile. */
+  def streamTfPostingsIngest(spark: SparkSession, inputDir: String,
+      indexPath: String, buckets: Int = 16,
+      autoCompactSegments: Int = SegmentCompactionPolicy.DefaultMaxSegments): Unit = {
+    requireConsistentBuckets(spark, indexPath, buckets)
+    writeBucketsMarker(spark, indexPath, buckets)
+    runAvailableNow(spark, inputDir, s"$indexPath-ckpt") { (batch, id) =>
+      graft.operators.InvertedText.buildTfPostings(batch)
+        .withColumn("tbucket", pmod(abs(hash(col("term"))), lit(buckets)))
+        .write.mode("overwrite").partitionBy("tbucket").parquet(seg(indexPath, id))
+    }
+    if (pileHasData(spark, indexPath) &&
+        SegmentCompactionPolicy.shouldCompact(segmentCount(spark, indexPath),
+          autoCompactSegments))
+      compactTfPostings(spark, indexPath)
+  }
+
+  /** Compact the tf-postings pile: rows are immutable per-(doc, term)
+    * facts (no fold), so compaction rewrites accumulated small-file
+    * segments as one generation per tbucket partition — file-count
+    * hygiene, read-identical by construction (the LSH/shingle rewrite
+    * form). */
+  def compactTfPostings(spark: SparkSession, indexPath: String): Unit = {
+    val b = readBucketsMarker(spark, indexPath, 16)
+    requireCheckpointCaughtUp(spark, indexPath)
+    promoteCompacted(spark, indexPath) { tmp =>
+      spark.read.parquet(indexPath).drop("seg")
+        .repartition(col("tbucket"))
+        .write.mode("overwrite").partitionBy("tbucket").parquet(compactedSeg(tmp))
+      writeBucketsMarker(spark, tmp, b)
+    }
+  }
+
+  /** Per-batch corpus-stats partial for BM25's (N, avgdl): document
+    * count and total token length — two mergeable sums, the keyless
+    * degenerate of [[aggPartial]]'s mergeable-state posture. The
+    * token rule is the SAME whitespace split the tf rows use, so
+    * total_len ≡ Σ dl by construction. */
+  def docStatsPartial(batch: DataFrame): DataFrame =
+    batch.select(size(split(trim(col("text")), "\\s+")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+
+  /** Read-side fold of doc-stats segments — idempotent (sum of sums),
+    * so the compacted single row re-folds unchanged. */
+  def docStatsView(segments: DataFrame): DataFrame =
+    segments.agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("total_len")).as("total_len"))
+
+  /** Incremental BM25 corpus-stats maintenance: each micro-batch
+    * appends its 1-row partial; the read view folds by addition
+    * (associative + commutative). */
+  def streamDocStatsIngest(spark: SparkSession, inputDir: String,
+      statePath: String,
+      autoCompactSegments: Int = SegmentCompactionPolicy.DefaultMaxSegments): Unit = {
+    runAvailableNow(spark, inputDir, s"$statePath-ckpt") { (batch, id) =>
+      docStatsPartial(batch).write.mode("overwrite").parquet(seg(statePath, id))
+    }
+    if (pileHasData(spark, statePath) &&
+        SegmentCompactionPolicy.shouldCompact(segmentCount(spark, statePath),
+          autoCompactSegments))
+      compactDocStats(spark, statePath)
+  }
+
+  /** Collapse the doc-stats pile to its one folded row (read-identical;
+    * crash safety via [[promoteCompacted]]). */
+  def compactDocStats(spark: SparkSession, statePath: String): Unit = {
+    requireCheckpointCaughtUp(spark, statePath)
+    promoteCompacted(spark, statePath) { tmp =>
+      docStatsView(spark.read.parquet(statePath))
+        .write.mode("overwrite").parquet(compactedSeg(tmp))
+    }
+  }
+
+  /** BM25-ranked retrieval served from the maintained piles — the
+    * production recurring read of ranked full-text search on a live
+    * crawl: the probed terms' rows come from a term-bucket
+    * partition-pruned scan of the tf-postings pile (cost ∝ posting
+    * sizes, never corpus size — dl rides each row, so no corpus-side
+    * join), df per term is counted over those rows alone, and the
+    * corpus constants (N, avgdl) fold from the stats pile's segment
+    * partials (a ≤ segments-row read). Scoring math, double
+    * determinism (single contribution per (doc, term), FIXED
+    * literal-order final sum), and tie ordering are exactly
+    * [[graft.operators.InvertedText.q75bBm25]]'s — the probe is
+    * oracled by that SQL verbatim (q267). */
+  def bm25Probe(spark: SparkSession, indexPath: String, statsPath: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    if (!pileHasData(spark, indexPath) || !pileHasData(spark, statsPath))
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("n_terms"), col("id").cast("double").as("bm25"))
+    val b = readBucketsMarker(spark, indexPath, 16)
+    import spark.implicits._
+    // |terms|-row driver-side bucket computation (the q264 discipline):
+    // literals reach the pile scan as partition filters
+    val tb = terms.toDF("term")
+      .select(pmod(abs(hash(col("term"))), lit(b)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val tf = spark.read.parquet(indexPath)
+      .filter(col("tbucket").isin(tb: _*) &&
+        col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val st = docStatsView(spark.read.parquet(statsPath))
+      .select(col("n_docs").as("n"), col("total_len").as("total"))
+    val contrib = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+      (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+        (col("total").cast("double") / col("n"))))
+    val co = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("term"), contrib.as("c"))
+    def termSum(t: String) =
+      coalesce(sum(when(col("term") === t, col("c"))), lit(0.0))
+    co.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(terms.map(termSum).reduce(_ + _), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Incremental MinHash-LSH index maintenance — the delta-merge
     * posture applied to near-dup detection (r11 VERDICT ask #6): each
     * micro-batch computes (doc_id, band, bucket) banding rows for its

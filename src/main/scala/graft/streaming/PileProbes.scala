@@ -7,12 +7,13 @@ import graft.sources.Tables
 
 /** Scored-query surface for the two piles that until now carried only
   * contract tests — the inverted-postings index and the aggregate MV —
-  * plus the IVF quantizer-rotation path. With these, EVERY incremental
-  * index surface answers a hash-oracled query through its maintained
-  * pile (LSH/span/shingle via the q258–q261 capstones and q230, IVF
-  * via q262/q263, postings via q264, agg MV via q265, rotation via
-  * q266): a probe diverging from the batch semantics is a maintenance
-  * bug caught by the DuckDB gate, not just by a unit test.
+  * plus the IVF quantizer-rotation path and BM25-at-ingest. With
+  * these, EVERY incremental index surface answers a hash-oracled query
+  * through its maintained pile (LSH/span/shingle via the q258–q261
+  * capstones and q230, IVF via q262/q263, postings via q264, agg MV
+  * via q265, rotation via q266, ranked retrieval via q267): a probe
+  * diverging from the batch semantics is a maintenance bug caught by
+  * the DuckDB gate, not just by a unit test.
   *
   * Reference analogs: segment-incremental inverted/full-text index
   * build + read (`/root/reference/dbms/src/Storages/DeltaMerge/Index/InvertedIndex/`,
@@ -144,6 +145,44 @@ object PileProbes {
     postingsPileFor(s, d); ()
   })
 
+  // ------------------------------------------------- q267: BM25 piles
+
+  /** q267's piles: tf-postings + doc-stats over the documents table,
+    * three doc_id % 3 micro-batch ticks through the REAL maintenance,
+    * both compacted. The two piles live under one workdir; their
+    * inner checkpoints die with the build. */
+  private def bm25PilesFor(s: SparkSession, d: String): String = {
+    val docs = Tables.documents(s, d)
+    buildPile(s, d, "documents", "bm25#mod3",
+      (0 until 3).map(m => docs.filter(pmod(col("doc_id"), lit(3)) === m)),
+      (in, pile) => {
+        Ingest.streamTfPostingsIngest(s, in, s"$pile/tf")
+        Ingest.streamDocStatsIngest(s, in, s"$pile/stats")
+      },
+      pile => {
+        Ingest.compactTfPostings(s, s"$pile/tf")
+        Ingest.compactDocStats(s, s"$pile/stats")
+        val fs = new org.apache.hadoop.fs.Path(pile)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(s"$pile/tf-ckpt", s"$pile/stats-ckpt").foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      })
+  }
+
+  /** q267: q75b's BM25-ranked top-10 served ENTIRELY from maintained
+    * state — the tf-postings pile (term-pruned, dl denormalized) and
+    * the doc-stats pile (mergeable (N, Σdl) partials) — through
+    * [[Ingest.bm25Probe]]. Same oracle SQL as q75b verbatim: scoring
+    * math, double determinism, and tie order must reproduce the
+    * from-scratch ranked answer exactly. */
+  val q267Bm25Stream: QueryDef = QueryDef(
+    "q267_bm25_stream",
+    graft.operators.InvertedText.q75bBm25.oracle.get) { (s, d) =>
+    val pile = bm25PilesFor(s, d)
+    Ingest.bm25Probe(s, s"$pile/tf", s"$pile/stats",
+      Seq("hash", "join", "scan"))
+  }
+
   // ------------------------------------------------------ q265: agg MV
 
   /** Agg-MV pile over the events table: three event_id % 3 micro-batch
@@ -222,5 +261,6 @@ object PileProbes {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q264FulltextStream, q265AggMvStream, q266AnnIvfRotate)
+    Seq(q264FulltextStream, q265AggMvStream, q266AnnIvfRotate,
+      q267Bm25Stream)
 }

@@ -33,11 +33,13 @@ package graft.tools
   * and checks stored-assignment ≡ rebuild plus probe ≡ batch
   * ivfSearch — the q262 contracts at measurement scale.
   *
-  * Modes `post` and `aggmv` (late r17, alongside the q264/q265 scored
-  * probes): the same flat-cost protocol over the postings pile
-  * ([[graft.streaming.Ingest.streamPostingsIngest]] on documents;
-  * consistency = merged segments ≡ from-scratch `buildPostings` and
-  * the q264 bucket-pruned probe ≡ the batch q75 answer) and over the
+  * Modes `post` and `aggmv` (late r17, alongside the q264/q265/q267
+  * scored probes): the same flat-cost protocol over the retrieval
+  * piles ([[graft.streaming.Ingest.streamPostingsIngest]] plus the
+  * q267 tf-postings + doc-stats companions on documents; consistency
+  * = merged segments ≡ from-scratch `buildPostings`, the q264
+  * bucket-pruned probe ≡ the batch q75 answer, and the pile-served
+  * BM25 ≡ the batch q75b ranking) and over the
   * aggregate-MV pile ([[graft.streaming.Ingest.streamAggMaintain]] on
   * events; consistency = the `aggViewOf` fold's (cnt, vsum) ≡ a
   * from-scratch rollup — the HLL column is excluded from the checksum
@@ -219,6 +221,8 @@ object IncrementalProof {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    val tfIdx = s"$work/tf-index"
+    val stats = s"$work/doc-stats"
     val docs = graft.sources.Tables.documents(spark, sfDir)
     for (i <- 0 until n) {
       docs.filter(pmod(col("doc_id"), lit(n)) === i)
@@ -227,7 +231,14 @@ object IncrementalProof {
       graft.streaming.Ingest.streamPostingsIngest(spark, in, idx,
         autoCompactSegments = 0)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"mode":"post","batch":$i,"ingestSec":$sec%.2f,"corpusBatchesBefore":$i}""")
+      // the ranked-retrieval companions (q267): tf rows + stats partial
+      val t1 = System.nanoTime()
+      graft.streaming.Ingest.streamTfPostingsIngest(spark, in, tfIdx,
+        autoCompactSegments = 0)
+      graft.streaming.Ingest.streamDocStatsIngest(spark, in, stats,
+        autoCompactSegments = 0)
+      val tfSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"mode":"post","batch":$i,"ingestSec":$sec%.2f,"tfIngestSec":$tfSec%.2f,"corpusBatchesBefore":$i}""")
     }
     def pileBytes(p: String): Long =
       fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
@@ -235,7 +246,11 @@ object IncrementalProof {
     val tf = System.nanoTime()
     graft.streaming.Ingest.compactPostings(spark, idx)
     val foldSec = (System.nanoTime() - tf) / 1e9
-    println(f"""{"mode":"post","fold":true,"foldSec":$foldSec%.2f,""" +
+    val t2 = System.nanoTime()
+    graft.streaming.Ingest.compactTfPostings(spark, tfIdx)
+    graft.streaming.Ingest.compactDocStats(spark, stats)
+    val tfFoldSec = (System.nanoTime() - t2) / 1e9
+    println(f"""{"mode":"post","fold":true,"foldSec":$foldSec%.2f,"tfFoldSec":$tfFoldSec%.2f,""" +
       s""""pileBytesPre":$preBytes,"pileBytesPost":${pileBytes(idx)}}""")
     // consistency: merged segments ≡ from-scratch buildPostings
     // (postings arrays stringify deterministically — per-segment lists
@@ -257,11 +272,17 @@ object IncrementalProof {
           .select(col("term"), col("postings"), col("df"))), terms))
     val batch = sig(graft.operators.InvertedText.searchAll(
       graft.operators.InvertedText.buildPostings(docs), terms))
+    // the ranked probe (q267's read): pile-served BM25 ≡ from-scratch
+    val bmTerms = Seq("hash", "join", "scan")
+    val bmProbe = sig(graft.streaming.Ingest.bm25Probe(spark, tfIdx, stats, bmTerms))
+    val bmBatch = sig(graft.operators.InvertedText.q75bBm25.fn(spark, sfDir))
     println(s"""{"mode":"post","summary":true,"sfDir":"$sfDir","batches":$n,""" +
       s""""mergedTerms":${merged._1},"rebuildTerms":${rebuilt._1},""" +
       s""""postingsConsistent":${merged == rebuilt},""" +
-      s""""probeRows":${probed._1},"probeEqualsBatch":${probed == batch}}""")
-    require(merged == rebuilt && probed == batch, "postings consistency failed")
+      s""""probeRows":${probed._1},"probeEqualsBatch":${probed == batch},""" +
+      s""""bm25Rows":${bmProbe._1},"bm25EqualsBatch":${bmProbe == bmBatch}}""")
+    require(merged == rebuilt && probed == batch && bmProbe == bmBatch,
+      "postings consistency failed")
   }
 
   /** The aggregate-MV pile's flat-cost + consistency run (mode

@@ -31,6 +31,14 @@ class PileProbesSpec extends SparkTestBase {
       "the folded MV must equal the raw-events rollup bit-for-bit")
   }
 
+  test("q267: BM25 served from the tf-postings + doc-stats piles equals batch q75b") {
+    val probe = rows(PileProbes.q267Bm25Stream.fn(spark, sf))
+    val batch = rows(InvertedText.q75bBm25.fn(spark, sf))
+    assert(probe === batch && probe.nonEmpty,
+      "the pile-served ranked answer must equal the from-scratch BM25 " +
+        "top-k bit-for-bit (scores included)")
+  }
+
   test("q266: rotated-pile probe equals batch q58 (rotation re-assigned everything)") {
     // the seed quantizer (tick-0-trained) must differ from the rotated
     // one for the equality to be evidence of re-assignment, not of a

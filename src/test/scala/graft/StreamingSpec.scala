@@ -594,6 +594,60 @@ class StreamingSpec extends SparkTestBase {
       s"term probe must partition-prune on tbucket:\n$plan")
   }
 
+  test("tf-postings + doc-stats piles: append-only segments, BM25 probe ≡ batch, compaction read-identical") {
+    val docs = Tables.documents(spark, sf)
+    val base = Files.createTempDirectory("graft-tfpost")
+    val in = base.toString + "/in"
+    val tf = base.toString + "/tf"
+    val st = base.toString + "/stats"
+    def pileFiles(p: String): Set[String] = {
+      val d = new java.io.File(p)
+      if (!d.exists) Set.empty
+      else {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+        walk(d).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+      }
+    }
+    // batch 1
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(in)
+    Ingest.streamTfPostingsIngest(spark, in, tf)
+    Ingest.streamDocStatsIngest(spark, in, st)
+    val files1 = pileFiles(tf)
+    assert(files1.nonEmpty)
+    // batch 2: new immutable segments, batch-1 files untouched
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(in)
+    Ingest.streamTfPostingsIngest(spark, in, tf)
+    Ingest.streamDocStatsIngest(spark, in, st)
+    assert(files1.subsetOf(pileFiles(tf)),
+      "incremental tf ingest must not rewrite existing segments")
+    // stats fold ≡ the batch-side totals (count + Σ token length)
+    val folded = Ingest.docStatsView(spark.read.parquet(st)).collect()(0)
+    val direct = docs
+      .select(size(split(trim(col("text")), "\\s+")).as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    assert(folded.getLong(0) === direct.getLong(0) &&
+      folded.getLong(1) === direct.getLong(1))
+    // the served BM25 answer ≡ the from-scratch q75b ranking, scores
+    // included, and the probe partition-prunes to the probed buckets
+    def key(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    val probe = Ingest.bm25Probe(spark, tf, st, Seq("hash", "join", "scan"))
+    val want = key(graft.operators.InvertedText.q75bBm25.fn(spark, sf))
+    assert(key(probe) === want && want.nonEmpty)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tbucket"),
+      s"BM25 probe must partition-prune on tbucket:\n$plan")
+    // compaction: answer byte-identical across both piles' rewrites
+    Ingest.compactTfPostings(spark, tf)
+    Ingest.compactDocStats(spark, st)
+    assert(key(Ingest.bm25Probe(spark, tf, st, Seq("hash", "join", "scan")))
+      === want, "compaction must not change the served ranking")
+    // first-boot contract: data-less paths answer empty, not throw
+    assert(Ingest.bm25Probe(spark, base.toString + "/absent",
+      base.toString + "/absent2", Seq("hash")).isEmpty)
+  }
+
   test("incremental aggregate MV: appended partial states fold to the batch rollup") {
     val base = Files.createTempDirectory("graft-aggmv")
     val in = base.resolve("in")
