@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Scale run of the crash-injected incremental-lifecycle soak (r14
   * VERDICT ask #4): the same choreography `graft.SoakSpec` proves at
-  * test scale — 12 maintenance ticks, here across all SEVEN segment
+  * test scale — 12 maintenance ticks, here across all NINE segment
   * piles (agg MV, postings, LSH banding, ExactSubstr window state in
-  * BOTH text and pointer forms, shingle sets, and the IVF vector
-  * index — the 7th surface, r16 VERDICT ask #2), seeded
+  * BOTH text and pointer forms, shingle sets, the IVF vector
+  * index — the 7th surface, r16 VERDICT ask #2 — and, late r17, the
+  * tf-postings + doc-stats pair behind the q267 BM25 probe), seeded
   * crash injection between ticks (stale fold tmp, mid-promote kill,
   * lost checkpoint commit, torn marker), and the compaction policy
   * LIVE (threshold 4, so every pile folds ~3× from ingest alone) —
@@ -160,7 +161,26 @@ object SoakProof {
         .select(col("vec_id"), col("cid").cast("long").as("cid"))),
       t => sig(graft.operators.Similarity.ivfAssign(embPrefix(t), cent)
         .select(col("vec_id"), col("cid"))))
-    val piles = Seq(agg, post, lsh, span, spanPtr, shingle, ivf)
+    // The tf-postings pile (the 8th surface, late r17 — the ranked-
+    // retrieval index behind q267): rows are immutable per-(doc, term)
+    // facts with the denormalized doc length, so the view is the rows
+    // themselves.
+    val tfPost = Pile("tf-postings", s"$work/tfpost",
+      () => Ingest.streamTfPostingsIngest(spark, inDocs, s"$work/tfpost",
+        autoCompactSegments = Threshold),
+      () => Ingest.compactTfPostings(spark, s"$work/tfpost"),
+      () => sig(spark.read.parquet(s"$work/tfpost")
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))),
+      t => sig(InvertedText.buildTfPostings(docPrefix(t))))
+    // The doc-stats pile (the 9th surface): keyless mergeable sums —
+    // BM25's (N, Σdl) corpus constants; the fold view is one row.
+    val stats = Pile("doc-stats", s"$work/docstats",
+      () => Ingest.streamDocStatsIngest(spark, inDocs, s"$work/docstats",
+        autoCompactSegments = Threshold),
+      () => Ingest.compactDocStats(spark, s"$work/docstats"),
+      () => sig(Ingest.docStatsView(spark.read.parquet(s"$work/docstats"))),
+      t => sig(Ingest.docStatsPartial(docPrefix(t))))
+    val piles = Seq(agg, post, lsh, span, spanPtr, shingle, ivf, tfPost, stats)
 
     def segDirs(p: String): Set[String] = {
       val d = new Path(p)
@@ -202,7 +222,8 @@ object SoakProof {
     val injected = scala.collection.mutable.Set[String]()
 
     def inject(tick: Int): Unit = {
-      val p = piles(rng.nextInt(piles.size))
+      val pick = rng.nextInt(piles.size)
+      val p = piles(pick)
       schedule(tick - 1) match {
         case 0 => // no crash this tick
         case 1 =>
@@ -224,20 +245,27 @@ object SoakProof {
           require(got == want, s"mid-promote view drift: $want -> $got")
           println(s"""{"tick":$tick,"crash":"mid-promote","pile":"${p.name}","recovered":"$act","viewPreserved":true}""")
         case 3 =>
-          val commits = new Path(p.path + "-ckpt/commits")
-          if (segDirs(p.path).exists(_ != "seg=-1") && fs.exists(commits)) {
-            injected += "lost-commit"
-            val last = fs.listStatus(commits).map(_.getPath.getName)
-              .filter(_.forall(_.isDigit)).map(_.toLong).max
-            require(fs.delete(new Path(s"$commits/$last"), false))
-            val refused =
-              try { p.compact(); false }
-              catch { case e: java.io.IOException =>
-                e.getMessage.contains("not yet committed") }
-            require(refused, "lost-commit: compaction must refuse in the replay window")
-            p.ingest() // idempotent replay heals the commit log
-            println(s"""{"tick":$tick,"crash":"lost-commit","pile":"${p.name}","refused":true}""")
-          }
+          // rotate from the random pick to the first ELIGIBLE pile
+          // (un-folded segments + a commit log) so the class fires
+          // whenever any pile is eligible — the fixed-seed schedule
+          // stays class-complete as piles are added (the SoakSpec fix)
+          piles.indices.map(j => piles((pick + j) % piles.size))
+            .find(c => segDirs(c.path).exists(_ != "seg=-1") &&
+              fs.exists(new Path(c.path + "-ckpt/commits")))
+            .foreach { c =>
+              val commits = new Path(c.path + "-ckpt/commits")
+              injected += "lost-commit"
+              val last = fs.listStatus(commits).map(_.getPath.getName)
+                .filter(_.forall(_.isDigit)).map(_.toLong).max
+              require(fs.delete(new Path(s"$commits/$last"), false))
+              val refused =
+                try { c.compact(); false }
+                catch { case e: java.io.IOException =>
+                  e.getMessage.contains("not yet committed") }
+              require(refused, "lost-commit: compaction must refuse in the replay window")
+              c.ingest() // idempotent replay heals the commit log
+              println(s"""{"tick":$tick,"crash":"lost-commit","pile":"${c.name}","refused":true}""")
+            }
         case 4 =>
           val marker = new Path(lsh.path + "/_buckets")
           if (fs.exists(marker)) {
@@ -332,6 +360,16 @@ object SoakProof {
     println(s"""{"ivfProbeRows":${ivfProbed._1},"ivfBatchRows":${ivfBatch._1},""" +
       s""""ivfProbeEqualsBatch":${ivfProbed == ivfBatch}}""")
     require(ivfProbed == ivfBatch, "post-soak IVF probe diverged from batch ivfSearch")
+
+    // BM25 probe ≡ batch on the fully-ingested corpus: the pile-served
+    // ranking (tf-postings + doc-stats) must equal q75b's from-scratch
+    // answer, scores included — the q267 contract at soak scale
+    val bmProbed = sig(Ingest.bm25Probe(spark, tfPost.path, stats.path,
+      Seq("hash", "join", "scan")))
+    val bmBatch = sig(InvertedText.q75bBm25.fn(spark, sfDir))
+    println(s"""{"bm25ProbeRows":${bmProbed._1},"bm25BatchRows":${bmBatch._1},""" +
+      s""""bm25ProbeEqualsBatch":${bmProbed == bmBatch}}""")
+    require(bmProbed == bmBatch, "post-soak BM25 probe diverged from batch q75b")
     spark.stop()
   }
 }

@@ -49,7 +49,7 @@ class SoakSpec extends SparkTestBase {
     else d.listFiles.map(_.getName).filter(_.startsWith("seg=")).toSet
   }
 
-  test("60 crash-injected micro-batches keep all five piles consistent and bounded") {
+  test("crash-injected micro-batches keep all seven piles consistent and bounded") {
     val rng = new scala.util.Random(20260815L)
     val base = Files.createTempDirectory("graft-soak")
     val inDocs = base.toString + "/in-docs"
@@ -127,7 +127,30 @@ class SoakSpec extends SparkTestBase {
         .select(col("vec_id"), col("cid"))
         .collect().map(r => s"${r.getLong(0)}|${r.getLong(1)}").toSet)
 
-    val piles = Seq(agg, post, lsh, span, ivf)
+    // The tf-postings + doc-stats pair (late r17, behind the q267 BM25
+    // probe): tf rows are immutable per-(doc, term) facts with the
+    // denormalized doc length; doc-stats is the keyless mergeable-sum
+    // fold.
+    val tfPost = Pile("tf-postings", base.toString + "/tfpost",
+      ingest = () => Ingest.streamTfPostingsIngest(spark, inDocs,
+        base.toString + "/tfpost", autoCompactSegments = Threshold),
+      compact = () => Ingest.compactTfPostings(spark, base.toString + "/tfpost"),
+      view = () => spark.read.parquet(base.toString + "/tfpost")
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .collect().map(_.mkString("|")).toSet,
+      fromScratch = t => InvertedText.buildTfPostings(docPrefix(t))
+        .collect().map(_.mkString("|")).toSet)
+    val stats = Pile("doc-stats", base.toString + "/docstats",
+      ingest = () => Ingest.streamDocStatsIngest(spark, inDocs,
+        base.toString + "/docstats", autoCompactSegments = Threshold),
+      compact = () => Ingest.compactDocStats(spark, base.toString + "/docstats"),
+      view = () => Ingest.docStatsView(
+          spark.read.parquet(base.toString + "/docstats"))
+        .collect().map(_.mkString("|")).toSet,
+      fromScratch = t => Ingest.docStatsPartial(docPrefix(t))
+        .collect().map(_.mkString("|")).toSet)
+
+    val piles = Seq(agg, post, lsh, span, ivf, tfPost, stats)
     val fs = new Path(base.toString)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val injected = scala.collection.mutable.Set[String]()
@@ -142,7 +165,8 @@ class SoakSpec extends SparkTestBase {
       * can leave; content is always a LEGAL generation or garbage in a
       * location recovery may discard. */
     def inject(tick: Int): Unit = {
-      val p = piles(rng.nextInt(piles.size))
+      val pick = rng.nextInt(piles.size)
+      val p = piles(pick)
       val live = new Path(p.path)
       schedule(tick - 1) match {
         case 0 => // no crash this tick
@@ -174,19 +198,25 @@ class SoakSpec extends SparkTestBase {
           // maintenance tick replays idempotently and heals the log.
           // Only meaningful while un-folded segments exist — a
           // just-folded pile (seg=-1 only) has nothing in the replay
-          // window, and its compaction is legal.
-          val commits = new Path(p.path + "-ckpt/commits")
-          if (segDirs(p.path).exists(_ != "seg=-1") && fs.exists(commits)) {
-            injected += "lost-commit"
-            val last = fs.listStatus(commits).map(_.getPath.getName)
-              .filter(_.forall(_.isDigit)).map(_.toLong).max
-            assert(fs.delete(new Path(s"$commits/$last"), false))
-            val e = intercept[java.io.IOException] { p.compact() }
-            assert(e.getMessage.contains("not yet committed"),
-              s"[${p.name} tick $tick] replay-window refusal")
-            // heal: re-run the maintenance tick (idempotent replay)
-            p.ingest()
-          }
+          // window, and its compaction is legal. Rotate from the
+          // random pick to the first ELIGIBLE pile so the class fires
+          // whenever any pile is eligible (a fixed-seed schedule must
+          // stay class-complete as piles are added).
+          piles.indices.map(j => piles((pick + j) % piles.size))
+            .find(c => segDirs(c.path).exists(_ != "seg=-1") &&
+              fs.exists(new Path(c.path + "-ckpt/commits")))
+            .foreach { c =>
+              val commits = new Path(c.path + "-ckpt/commits")
+              injected += "lost-commit"
+              val last = fs.listStatus(commits).map(_.getPath.getName)
+                .filter(_.forall(_.isDigit)).map(_.toLong).max
+              assert(fs.delete(new Path(s"$commits/$last"), false))
+              val e = intercept[java.io.IOException] { c.compact() }
+              assert(e.getMessage.contains("not yet committed"),
+                s"[${c.name} tick $tick] replay-window refusal")
+              // heal: re-run the maintenance tick (idempotent replay)
+              c.ingest()
+            }
         case 4 =>
           // torn marker write (kill mid-create): 0-byte _buckets on a
           // marker-carrying pile — the next ingest must refuse loudly
