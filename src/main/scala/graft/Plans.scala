@@ -112,7 +112,11 @@ object Plans {
       // shapes are the broadcast-bounded centroid/probe sides, the
       // partition-pruned inverted-list scan, and (q263) the
       // shuffle_hash batch-side join
-      "q263_embed_neardup_ingest")
+      "q263_embed_neardup_ingest",
+      // late r17: BM25 served from maintained piles — the reviewable
+      // shapes are the term-bucket partition-pruned tf scan, the
+      // |terms|-row broadcast df side, and the 1-row stats broadcast
+      "q267_bm25_stream")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")
