@@ -183,6 +183,102 @@ object PileProbes {
       Seq("hash", "join", "scan"))
   }
 
+  // --------------------------------------------- q268: hybrid at ingest
+
+  /** q268: hybrid retrieval with reciprocal-rank fusion where BOTH
+    * legs are served from maintained piles — the lexical top-20 via
+    * [[Ingest.bm25Probe]] (tf-postings + doc-stats, q267's read) and
+    * the vector top-20 via [[Ingest.ivfProbe]] over the ROTATED pile
+    * (whose quantizer is q58's full-corpus rule, so the ANN leg is
+    * exactly reproducible). Fusion is q187's: integer-ppm RRF over
+    * two bounded 20-row sets, engine-independent by construction. The
+    * oracle recomputes the BM25 leg (q75b's CTEs), the IVF leg (q58's
+    * CTEs at nProbe=4, self-excluded, rank ≤ 20), and the fusion from
+    * first principles. Unlike q187's brute-force vector leg, the ANN
+    * leg here carries q58's single-probe recall posture — the
+    * documented trade an index-served hybrid makes. */
+  val q268HybridRrfStream: QueryDef = {
+    import graft.operators.Similarity.{duckCosineDist, duckL2Dist}
+    QueryDef(
+      "q268_hybrid_rrf_stream",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+         |tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+         |co AS (SELECT tfq.doc_id, tfq.term,
+         |         ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+         |           * (tfq.tf * 2.2)
+         |           / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dl
+         |                / (CAST(st.total AS DOUBLE) / st.n))) AS c
+         |       FROM tfq JOIN dfq ON tfq.term = dfq.term
+         |       JOIN dl ON tfq.doc_id = dl.doc_id CROSS JOIN st),
+         |bm AS (SELECT doc_id,
+         |  round(COALESCE(SUM(CASE WHEN term = 'hash' THEN c END), 0)
+         |      + COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0)
+         |      + COALESCE(SUM(CASE WHEN term = 'scan' THEN c END), 0), 6) AS bm25
+         |  FROM co GROUP BY doc_id),
+         |brank AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rb
+         |  FROM bm QUALIFY rb <= 20),
+         |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |         ORDER BY (vec_id % 1000003) * 2654435761 % 4294967296, vec_id LIMIT 32),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckL2Dist("e.embedding", "c.cv")}, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |a2 AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT q.qid, q.qv, c.cid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${duckL2Dist("q.qv", "c.cv")}, c.cid) AS rn
+         |  FROM q CROSS JOIN cent c),
+         |p2 AS (SELECT qid, qv, cid FROM probe WHERE rn <= 4),
+         |cand AS (SELECT p2.qid, a2.vec_id, p2.qv, a2.embedding
+         |         FROM p2 JOIN a2 USING (cid) WHERE a2.vec_id <> p2.qid),
+         |vrank AS (SELECT vec_id,
+         |    CAST(row_number() OVER (
+         |      ORDER BY ${duckCosineDist("qv", "embedding")}, vec_id) AS INTEGER) AS rv
+         |  FROM cand QUALIFY rv <= 20)
+         |SELECT COALESCE(b.doc_id, v.vec_id) AS doc_id,
+         |  COALESCE(b.rb, 0) AS rb, COALESCE(v.rv, 0) AS rv,
+         |  CAST(CASE WHEN b.rb IS NULL THEN 0 ELSE 1000000 // (60 + b.rb) END
+         |     + CASE WHEN v.rv IS NULL THEN 0 ELSE 1000000 // (60 + v.rv) END
+         |    AS BIGINT) AS rrf_ppm
+         |FROM brank b FULL OUTER JOIN vrank v ON b.doc_id = v.vec_id
+         |ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pile = bm25PilesFor(s, d)
+      // rank windows run over bounded ≤20-row leg outputs only (the
+      // q187 fusion discipline — no corpus-scale unpartitioned window)
+      val brank = Ingest.bm25Probe(s, s"$pile/tf", s"$pile/stats",
+          Seq("hash", "join", "scan"), k = 20)
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+        .select(col("doc_id"), col("rb"))
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val vrank = Ingest.ivfProbe(s, rotatedPileFor(s, d), q, nProbe = 4, k = 20)
+        .select(col("vec_id"), col("rnk").cast("int").as("rv"))
+      brank.join(vrank, col("doc_id") === col("vec_id"), "full_outer")
+        .select(
+          coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          coalesce(col("rb"), lit(0)).as("rb"),
+          coalesce(col("rv"), lit(0)).as("rv"),
+          (when(col("rb").isNull, 0L)
+            .otherwise(expr("1000000L div (60 + rb)")) +
+           when(col("rv").isNull, 0L)
+            .otherwise(expr("1000000L div (60 + rv)"))).cast("long").as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(10)
+    }
+  }
+
   // ------------------------------------------------------ q265: agg MV
 
   /** Agg-MV pile over the events table: three event_id % 3 micro-batch
@@ -262,5 +358,5 @@ object PileProbes {
 
   val all: Seq[QueryDef] =
     Seq(q264FulltextStream, q265AggMvStream, q266AnnIvfRotate,
-      q267Bm25Stream)
+      q267Bm25Stream, q268HybridRrfStream)
 }

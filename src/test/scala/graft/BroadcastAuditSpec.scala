@@ -110,7 +110,14 @@ class BroadcastAuditSpec extends SparkTestBase {
     // centroid set and the ≤ |Q|·nProbe probed side. Flag-diffed at
     // /tmp/sf10 statistics late r17: one flag, identical class
     // ("embeddings via window+join"), zero new.
-    "q266_ann_ivf_rotate")
+    "q266_ann_ivf_rotate",
+    // late-r17 pile-served hybrid: the vector leg goes through the
+    // SAME ivfProbe path as q262/q266 (rotated pile, q58 quantizer),
+    // so it carries the identical reviewed flag class — the
+    // broadcast-bounded centroid set and the ≤ |Q|·nProbe probed
+    // side; the lexical leg's broadcasts are the |terms|-row df and
+    // the 1-row corpus stats. Flag-diffed at /tmp/sf10 statistics.
+    "q268_hybrid_rrf_stream")
 
   test("no query outside the reviewed allowlist plans a corpus-derived broadcast (static, AQE off)") {
     val s = spark.newSession()

@@ -39,6 +39,26 @@ class PileProbesSpec extends SparkTestBase {
         "top-k bit-for-bit (scores included)")
   }
 
+  test("q268: pile-served hybrid fusion is internally consistent and ppm-exact") {
+    // the legs' correctness is pinned by q267/q266 ≡-batch tests and
+    // the DuckDB oracle; this pins the FUSION: rrf_ppm must be the
+    // exact integer-ppm combiner of the emitted ranks, the output
+    // sorted by (rrf_ppm desc, doc_id), and both legs represented
+    val out = PileProbes.q268HybridRrfStream.fn(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    def ppm(r: Int): Long = if (r == 0) 0L else 1000000L / (60 + r)
+    out.foreach { r =>
+      val (rb, rv, got) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      assert(got === ppm(rb) + ppm(rv),
+        s"rrf_ppm must be the exact integer combiner: doc ${r.getLong(0)}")
+      assert(rb > 0 || rv > 0, "a fused row must come from at least one leg")
+    }
+    val keys = out.map(r => (-r.getLong(3), r.getLong(0))).toSeq
+    assert(keys === keys.sorted, "fusion output must be (rrf_ppm desc, doc_id)")
+    assert(out.exists(_.getInt(1) > 0) && out.exists(_.getInt(2) > 0),
+      "both the lexical and the vector leg must contribute at this SF")
+  }
+
   test("q266: rotated-pile probe equals batch q58 (rotation re-assigned everything)") {
     // the seed quantizer (tick-0-trained) must differ from the rotated
     // one for the equality to be evidence of re-assignment, not of a
