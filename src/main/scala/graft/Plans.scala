@@ -116,7 +116,10 @@ object Plans {
       // late r17: BM25 served from maintained piles — the reviewable
       // shapes are the term-bucket partition-pruned tf scan, the
       // |terms|-row broadcast df side, and the 1-row stats broadcast
-      "q267_bm25_stream")
+      "q267_bm25_stream",
+      // late r17: the pile-served hybrid — both legs bounded top-20,
+      // fusion a full-outer join over ≤40 rows
+      "q268_hybrid_rrf_stream")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")
