@@ -119,7 +119,10 @@ object Plans {
       "q267_bm25_stream",
       // late r17: the pile-served hybrid — both legs bounded top-20,
       // fusion a full-outer join over ≤40 rows
-      "q268_hybrid_rrf_stream")
+      "q268_hybrid_rrf_stream",
+      // late r17: phrase from the positional pile — two bucket-pruned
+      // occurrence scans + the adjacency join
+      "q269_phrase_stream")
     val picked = SparkEntry.defs.filter(q => q.headline || extra(q.name))
     val sb = new StringBuilder
     sb.append("# Physical plans — generated by `graft.Plans` at sf0.01\n")

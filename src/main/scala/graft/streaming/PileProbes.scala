@@ -183,6 +183,29 @@ object PileProbes {
       Seq("hash", "join", "scan"))
   }
 
+  // ----------------------------------------------- q269: phrase search
+
+  /** q269's pile: positional postings over the documents table, three
+    * doc_id % 3 micro-batch ticks, compacted. */
+  private def posPileFor(s: SparkSession, d: String): String = {
+    val docs = Tables.documents(s, d)
+    buildPile(s, d, "documents", "pos#mod3",
+      (0 until 3).map(m => docs.filter(pmod(col("doc_id"), lit(3)) === m)),
+      (in, pile) => Ingest.streamPosPostingsIngest(s, in, pile),
+      pile => Ingest.compactPosPostings(s, pile))
+  }
+
+  /** q269: q142's exact-phrase answer ("hash join") served from the
+    * maintained positional pile — bucket-pruned occurrence reads +
+    * the adjacency join, oracled by q142's SQL verbatim. Completes
+    * the retrieval-at-ingest family: AND (q264), ranked (q267),
+    * hybrid (q268), phrase (q269). */
+  val q269PhraseStream: QueryDef = QueryDef(
+    "q269_phrase_stream",
+    graft.operators.InvertedText.q142PhraseSearch.oracle.get) { (s, d) =>
+    Ingest.phraseProbe(s, posPileFor(s, d), "hash", "join")
+  }
+
   // --------------------------------------------- q268: hybrid at ingest
 
   /** q268: hybrid retrieval with reciprocal-rank fusion where BOTH
@@ -358,5 +381,5 @@ object PileProbes {
 
   val all: Seq[QueryDef] =
     Seq(q264FulltextStream, q265AggMvStream, q266AnnIvfRotate,
-      q267Bm25Stream, q268HybridRrfStream)
+      q267Bm25Stream, q268HybridRrfStream, q269PhraseStream)
 }

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Scale run of the crash-injected incremental-lifecycle soak (r14
   * VERDICT ask #4): the same choreography `graft.SoakSpec` proves at
-  * test scale — 12 maintenance ticks, here across all NINE segment
+  * test scale — 12 maintenance ticks, here across all TEN segment
   * piles (agg MV, postings, LSH banding, ExactSubstr window state in
   * BOTH text and pointer forms, shingle sets, the IVF vector
   * index — the 7th surface, r16 VERDICT ask #2 — and, late r17, the
-  * tf-postings + doc-stats pair behind the q267 BM25 probe), seeded
+  * tf-postings + doc-stats pair behind the q267 BM25 probe plus the
+  * positional pile behind q269's phrase probe), seeded
   * crash injection between ticks (stale fold tmp, mid-promote kill,
   * lost checkpoint commit, torn marker), and the compaction policy
   * LIVE (threshold 4, so every pile folds ~3× from ingest alone) —
@@ -180,7 +181,19 @@ object SoakProof {
       () => Ingest.compactDocStats(spark, s"$work/docstats"),
       () => sig(Ingest.docStatsView(spark.read.parquet(s"$work/docstats"))),
       t => sig(Ingest.docStatsPartial(docPrefix(t))))
-    val piles = Seq(agg, post, lsh, span, spanPtr, shingle, ivf, tfPost, stats)
+    // The positional-postings pile (the 10th surface — q269's phrase
+    // index): flat occurrence rows are immutable per-token facts.
+    val posPost = Pile("pos-postings", s"$work/pospost",
+      () => Ingest.streamPosPostingsIngest(spark, inDocs, s"$work/pospost",
+        autoCompactSegments = Threshold),
+      () => Ingest.compactPosPostings(spark, s"$work/pospost"),
+      () => sig(spark.read.parquet(s"$work/pospost")
+        .select(col("term"), col("doc_id"), col("pos"))),
+      t => sig(docPrefix(t).select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "term")))
+        .select(col("term"), col("doc_id"), col("pos"))))
+    val piles = Seq(agg, post, lsh, span, spanPtr, shingle, ivf, tfPost,
+      stats, posPost)
 
     def segDirs(p: String): Set[String] = {
       val d = new Path(p)
@@ -370,6 +383,13 @@ object SoakProof {
     println(s"""{"bm25ProbeRows":${bmProbed._1},"bm25BatchRows":${bmBatch._1},""" +
       s""""bm25ProbeEqualsBatch":${bmProbed == bmBatch}}""")
     require(bmProbed == bmBatch, "post-soak BM25 probe diverged from batch q75b")
+
+    // phrase probe ≡ batch q142 — the q269 contract at soak scale
+    val phProbed = sig(Ingest.phraseProbe(spark, posPost.path, "hash", "join"))
+    val phBatch = sig(InvertedText.q142PhraseSearch.fn(spark, sfDir))
+    println(s"""{"phraseProbeRows":${phProbed._1},"phraseBatchRows":${phBatch._1},""" +
+      s""""phraseProbeEqualsBatch":${phProbed == phBatch}}""")
+    require(phProbed == phBatch, "post-soak phrase probe diverged from batch q142")
     spark.stop()
   }
 }

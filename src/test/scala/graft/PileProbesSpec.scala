@@ -39,6 +39,13 @@ class PileProbesSpec extends SparkTestBase {
         "top-k bit-for-bit (scores included)")
   }
 
+  test("q269: phrase search from the positional pile equals the batch q142 answer") {
+    val probe = rows(PileProbes.q269PhraseStream.fn(spark, sf))
+    val batch = rows(InvertedText.q142PhraseSearch.fn(spark, sf))
+    assert(probe === batch && probe.nonEmpty,
+      "the pile-served phrase answer must equal the from-scratch index answer")
+  }
+
   test("q268: pile-served hybrid fusion is internally consistent and ppm-exact") {
     // the legs' correctness is pinned by q267/q266 ≡-batch tests and
     // the DuckDB oracle; this pins the FUSION: rrf_ppm must be the

@@ -49,7 +49,7 @@ class SoakSpec extends SparkTestBase {
     else d.listFiles.map(_.getName).filter(_.startsWith("seg=")).toSet
   }
 
-  test("crash-injected micro-batches keep all seven piles consistent and bounded") {
+  test("crash-injected micro-batches keep all eight piles consistent and bounded") {
     val rng = new scala.util.Random(20260815L)
     val base = Files.createTempDirectory("graft-soak")
     val inDocs = base.toString + "/in-docs"
@@ -150,7 +150,19 @@ class SoakSpec extends SparkTestBase {
       fromScratch = t => Ingest.docStatsPartial(docPrefix(t))
         .collect().map(_.mkString("|")).toSet)
 
-    val piles = Seq(agg, post, lsh, span, ivf, tfPost, stats)
+    val posPost = Pile("pos-postings", base.toString + "/pospost",
+      ingest = () => Ingest.streamPosPostingsIngest(spark, inDocs,
+        base.toString + "/pospost", autoCompactSegments = Threshold),
+      compact = () => Ingest.compactPosPostings(spark, base.toString + "/pospost"),
+      view = () => spark.read.parquet(base.toString + "/pospost")
+        .select(col("term"), col("doc_id"), col("pos"))
+        .collect().map(_.mkString("|")).toSet,
+      fromScratch = t => docPrefix(t).select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "term")))
+        .select(col("term"), col("doc_id"), col("pos"))
+        .collect().map(_.mkString("|")).toSet)
+
+    val piles = Seq(agg, post, lsh, span, ivf, tfPost, stats, posPost)
     val fs = new Path(base.toString)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val injected = scala.collection.mutable.Set[String]()
