@@ -196,6 +196,154 @@ case class VecL2Norm(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Numeric-exact codegen fold kernels (r17 optimization round):
+  * drop-in replacements for the interpreted `aggregate(zip_with(...))`
+  * higher-order-function folds in the iterative-trainer hot paths
+  * (k-means distances, PCA/GD integer dot products, SemDeDup integer
+  * dots, PQ-ADC sub-distances). HOF lambdas evaluate OUTSIDE
+  * whole-stage codegen — per-element interpreter dispatch — while
+  * these loop over the ArrayData in generated code. Semantics match
+  * the HOF form EXACTLY: ascending-index fold from the zero
+  * accumulator (identical IEEE sequence / wrapping integer ops),
+  * length mismatch → NULL (zip_with pads the shorter side with nulls
+  * and the fold's `+` propagates them), any NULL element → NULL. */
+abstract class VectorFoldExpression extends BinaryExpression with ExpectsInputTypes {
+  override def nullable: Boolean = true
+
+  /** Java primitive type of the accumulator/elements. */
+  protected def elemJava: String
+  /** ArrayData getter name for the element type. */
+  protected def getter: String
+  /** Java expression combining elements x and y into the fold term. */
+  protected def termGen(x: String, y: String): String
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    foldScala(a, b)
+  }
+  protected def foldScala(a: ArrayData, b: ArrayData): Any
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  $elemJava $acc = ($elemJava) 0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $elemJava $x = $a.$getter($i);
+         |    $elemJava $y = $b.$getter($i);
+         |    $acc += ${termGen(x, y)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+}
+
+/** SUM((x-y)^2) over array<double> — the k-means/SemDeDup distance fold
+  * (`aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)`), no
+  * sqrt: ascending-index double adds, bit-identical to the HOF form
+  * and to the DuckDB oracle's list_reduce. */
+case class VecL2SqDistanceD(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+  override def prettyName: String = "vec_l2sq_distance_d"
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  protected def elemJava = "double"
+  protected def getter = "getDouble"
+  protected def termGen(x: String, y: String): String = s"($x - $y) * ($x - $y)"
+  protected def foldScala(a: ArrayData, b: ArrayData): Any = {
+    var acc = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** SUM(x*y) over array<bigint> — the exact integer dot product of the
+  * PCA projection / GD residual / SemDeDup grid folds
+  * (`aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)`); wrapping 64-bit
+  * ops, identical to Spark's non-ANSI long arithmetic. */
+case class VecDotLong(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+  override def prettyName: String = "vec_dot_long"
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  protected def elemJava = "long"
+  protected def getter = "getLong"
+  protected def termGen(x: String, y: String): String = s"$x * $y"
+  protected def foldScala(a: ArrayData, b: ArrayData): Any = {
+    var acc = 0L; var i = 0; val n = a.numElements()
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** SUM((x-y)^2) over array<float> (doubles inside, no sqrt) — the
+  * PQ-ADC sub-distance fold (`aggregate(zip_with(a, b, (x,y) ->
+  * (double(x)-double(y))^2), 0.0, +)`). */
+case class VecL2SqDistanceF(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+  override def prettyName: String = "vec_l2sq_distance"
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  protected def elemJava = "double"
+  protected def getter = "getFloat"
+  protected def termGen(x: String, y: String): String = s"($x - $y) * ($x - $y)"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $acc += ($x - $y) * ($x - $y);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+  protected def foldScala(a: ArrayData, b: ArrayData): Any = {
+    var acc = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column-API facade + SQL registration. */
 object VectorFunctions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -208,6 +356,13 @@ object VectorFunctions {
   def vec_cosine_distance(a: Column, b: Column): Column =
     c(VecCosineDistance(x(a), x(b)))
   def vec_l2_norm(a: Column): Column = c(VecL2Norm(x(a)))
+  // r17 fold kernels (Column-only: internal operator hot paths, not
+  // part of the SQL surface — no registry entries, no new features)
+  def vec_l2sq_distance_d(a: Column, b: Column): Column =
+    c(VecL2SqDistanceD(x(a), x(b)))
+  def vec_dot_long(a: Column, b: Column): Column = c(VecDotLong(x(a), x(b)))
+  def vec_l2sq_distance_f(a: Column, b: Column): Column =
+    c(VecL2SqDistanceF(x(a), x(b)))
 
   /** Register the vector functions for SQL use (≙ the closed tipb
     * function registry; `registerFunctions.cpp`). */

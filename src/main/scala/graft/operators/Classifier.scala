@@ -67,9 +67,9 @@ object Classifier {
     * BigInt truncating division. Bounded driver materialization —
     * 5 values per round. */
   private def step(feat: DataFrame, w: Array[Long], n: Long): Array[Long] = {
-    val wlit = array(w.map(lit): _*)
-    val resid = aggregate(zip_with(col("x"), wlit, (a, b) => a * b),
-      lit(0L), (acc, t) => acc + t) - col("y") * lit(targetScale)
+    val wlit = typedLit(w.toSeq) // one ArrayData literal: stable codegen source across GD rounds (r17)
+    val resid = graft.functions.VectorFunctions.vec_dot_long(col("x"), wlit) -
+      col("y") * lit(targetScale) // r17: codegen integer dot kernel
     val rows = feat
       .select(resid.as("r"), posexplode(col("x")).as(Seq("i", "xi")))
       .groupBy(col("i"))
@@ -94,9 +94,9 @@ object Classifier {
 
   /** Exact integer loss Σ r² (grid units) — the convergence contract. */
   def loss(feat: DataFrame, w: Array[Long]): BigDecimal = {
-    val wlit = array(w.map(lit): _*)
-    val r = aggregate(zip_with(col("x"), wlit, (a, b) => a * b),
-      lit(0L), (acc, t) => acc + t) - col("y") * lit(targetScale)
+    val wlit = typedLit(w.toSeq) // one ArrayData literal: stable codegen source across GD rounds (r17)
+    val r = graft.functions.VectorFunctions.vec_dot_long(col("x"), wlit) -
+      col("y") * lit(targetScale) // r17: codegen integer dot kernel
     BigDecimal(feat.select(sum((r * r).cast("decimal(38,0)")).as("l"))
       .head().getDecimal(0))
   }
@@ -146,10 +146,10 @@ object Classifier {
     // bench-breach class); harness sweeps via CacheHygiene.
     val feat = features(Tables.documents(s, d)).cache()
     val w = train(feat, iters = 3)
-    val wlit = array(w.map(lit): _*)
+    val wlit = typedLit(w.toSeq) // one ArrayData literal: stable codegen source across GD rounds (r17)
     feat.select(col("doc_id"), col("y"),
-      aggregate(zip_with(col("x"), wlit, (a, b) => a * b),
-        lit(0L), (acc, t) => acc + t).as("score9"))
+      graft.functions.VectorFunctions.vec_dot_long(col("x"), wlit)
+        .as("score9")) // r17: codegen integer dot kernel
       .select(col("doc_id"), col("y"), col("score9"),
         (col("score9") > lit(500000000L)).cast("long").as("pred"))
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
 import graft.QueryDef
 import graft.sources.Tables
 
@@ -38,10 +39,10 @@ object Clustering {
     * quantized/averaged vectors the float-typed codegen vec_*
     * expressions can't take). */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val dd = x - y
-      dd * dd
-    }), lit(0.0), (acc, v) => acc + v)
+    // r17: codegen fold kernel — same ascending-index double adds as
+    // the interpreted aggregate(zip_with(...)) HOF it replaces
+    // (bit-identical; VectorExpressionsSpec pins the equivalence)
+    graft.functions.VectorFunctions.vec_l2sq_distance_d(a, b)
 
   /** Quantize to the 1e-6 grid: round(x·1e6)/1e6 as double. */
   def quantized(e: DataFrame): DataFrame =
@@ -56,15 +57,38 @@ object Clustering {
       .limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
-  /** Nearest-centroid assignment; keeps the squared distance. */
-  def assign(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .withColumn("d", l2sq(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cid"), col("d")), struct(col("d"), col("cid"))).as("best"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"),
-        col("best.cid").as("cid"), col("best.d").as("d"))
+  /** Collected (cid, cv) centroid rows — bounded by construction
+    * (k ≤ ~10⁶), the same justified-collect discipline the previous
+    * `materialized` LocalRelation used. */
+  private def centsOf(df: DataFrame): Array[(Long, Seq[Double])] =
+    df.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Nearest-centroid assignment against DRIVER-LOCAL centroids as ONE
+    * codegen projection (r17 optimization): the old shape was a
+    * broadcast crossJoin (N×k expansion) re-collapsed by a min_by
+    * groupBy — a broadcast exchange plus a corpus-wide aggregation
+    * exchange per Lloyd round, and at bench scale most of each round's
+    * wall was that plan's scheduling, not math. Folding the k (d, cid)
+    * candidate structs with `least` computes the identical argmin in
+    * the map stage: `least` orders structs lexicographically — exactly
+    * min_by's struct(d, cid) key — and cids are distinct so there are
+    * no ties; each distance is the same ascending-index l2sq fold
+    * against the SAME centroid values (now array literals), so every
+    * d is bit-identical. Shuffle volume per round drops from one
+    * corpus-wide min_by exchange to ZERO. */
+  def assignLocal(e: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame =
+    if (cents.isEmpty)
+      // empty corpus (init saw no rows): nothing to assign
+      e.select(col("vec_id"), col("v"), lit(0L).as("cid"), lit(0.0).as("d"))
+        .limit(0)
+    else {
+      val cand = cents.map { case (cid, cv) =>
+        struct(l2sq(col("v"), typedLit(cv)).as("d"), lit(cid).as("cid"))
+      }
+      val best = if (cand.length == 1) cand.head else least(cand: _*)
+      e.select(col("vec_id"), col("v"),
+        best.getField("cid").as("cid"), best.getField("d").as("d"))
+    }
 
   /** One Lloyd update: exact per-dimension mean of the quantized
     * coordinates (BIGINT sums / count — no float-order sensitivity).
@@ -80,34 +104,37 @@ object Clustering {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
         s => s.getField("m")).as("cv"))
 
-  /** Materialize a small centroid table to a driver-local relation:
-    * k rows × (dims doubles) — bounded by construction (k ≤ ~10⁶), the
-    * same justified-collect discipline as `Tokenizer.bpeTrain`'s
-    * 1-row-per-merge argmax. This TRUNCATES the iteration lineage: each
-    * Lloyd round starts from a LocalRelation literal instead of
-    * re-deriving every prior round's assign+update chain, so the plan
-    * depth is constant in `iters` and an executor loss never re-runs
-    * earlier rounds. */
-  private def materialized(df: DataFrame): DataFrame = {
-    val rows = df.collect()
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
-  }
-
   /** `iters` Lloyd updates from the hash-sampled init; returns the
-    * trained centroids (cid, cv: array<double>) as a LocalRelation.
+    * trained centroids driver-side. Each round collects k rows (the
+    * justified bounded materialization — it truncates the iteration
+    * lineage so plan depth is constant in `iters` and an executor loss
+    * never re-runs earlier rounds) and feeds the next round's
+    * assignment as array literals via [[assignLocal]].
     *
     * The quantized corpus is read `iters + 1` times (init + one scan
     * per assignment round), so it is cached for the duration of
     * training and unpersisted before returning — the result has no
     * lineage back to it. */
-  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[operators] def trainCents(e: DataFrame, k: Int,
+      iters: Int): Array[(Long, Seq[Double])] = {
     val q = quantized(e).cache()
     try
-      (0 until iters).foldLeft(materialized(init(q, k))) { (c, _) =>
-        materialized(update(assign(q, c)))
+      (0 until iters).foldLeft(centsOf(init(q, k))) { (c, _) =>
+        centsOf(update(assignLocal(q, c)))
       }
     finally q.unpersist(blocking = true)
+  }
+
+  /** Trained centroids (cid, cv: array<double>) as a LocalRelation. */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val schema = StructType(Seq(
+      StructField("cid", LongType, nullable = true),
+      StructField("cv", ArrayType(DoubleType, containsNull = true),
+        nullable = true)))
+    val rows = trainCents(e, k, iters).map { case (cid, cv) =>
+      org.apache.spark.sql.Row(cid, cv) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Trained centroids in the float-array shape `Similarity.ivfSearch`
@@ -119,7 +146,7 @@ object Clustering {
   /** `iters` Lloyd updates from the hash-sampled init; returns the
     * final assignment (vec_id, v, cid, d). */
   def kmeans(e: DataFrame, k: Int, iters: Int): DataFrame =
-    assign(quantized(e), kmeansCentroids(e, k, iters))
+    assignLocal(quantized(e), trainCents(e, k, iters))
 
   private def duckL2Sq(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
@@ -216,13 +243,15 @@ object Clustering {
        |       AS BIGINT) AS is_dup
        |FROM m""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    val a = assign(quantized(e), kmeansCentroids(e, k = 8, iters = 2))
+    val a = assignLocal(quantized(e), trainCents(e, k = 8, iters = 2))
     val m = a.select(col("vec_id"), col("cid"),
         transform(col("v"), x => round(x * 1000000.0).cast("long")).as("iv"))
       .withColumn("n2",
-        aggregate(transform(col("iv"), x => x * x), lit(0L), (u, w) => u + w))
-    val dot = aggregate(zip_with(col("a.iv"), col("b.iv"), (x, y) => x * y),
-      lit(0L), (u, w) => u + w)
+        // r17: Σx² as the codegen integer dot of iv with itself —
+        // identical wrapping long arithmetic to the interpreted fold
+        graft.functions.VectorFunctions.vec_dot_long(col("iv"), col("iv")))
+    val dot =
+      graft.functions.VectorFunctions.vec_dot_long(col("a.iv"), col("b.iv"))
     val dup = m.as("a").join(m.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .filter(dot.cast("double") /

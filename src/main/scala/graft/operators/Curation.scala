@@ -572,7 +572,10 @@ object Curation {
     // Gopher's canonical list plus the indefinite article (the synthetic
     // corpus's function words are 'the'/'a'; real crawls hit the rest)
     val stop = Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
-    val t = docsDf
+    // width repartition before the per-row rule battery (r17, the q201
+    // rule): tokenize + per-word regex/HOF work off a one-file scan
+    // otherwise runs single-task; rows untouched, output invariant
+    val t = docsDf.repartition(Par.width(docsDf.sparkSession))
       .select(col("doc_id"), col("text"),
         filter(split(trim(col("text")), "\\s+"), x => x =!= "").as("w"))
       .filter(size(col("w")) > 0)
@@ -656,7 +659,11 @@ object Curation {
       |  CAST(SUM(CASE WHEN rn = 1 THEN length(span) ELSE 0 END) AS BIGINT) AS kept_chars
       |FROM ranked GROUP BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // width repartition before the per-row span construction (r17, the
+    // q201 rule): the interpreted transform+slice HOF otherwise runs at
+    // the one-file scan's parallelism
     val spans = Tables.documents(s, d)
+      .repartition(Par.width(s))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       // per-row span construction: spans[k] = words[10k..10k+9] joined
       .select(col("doc_id"), expr(
@@ -947,9 +954,14 @@ object Curation {
         countDistinct(col("source")).as("n_sources"))
   }
 
-  /** doc_id → distinct word n-grams (shared by q139/q212). */
+  /** doc_id → distinct word n-grams (shared by q139/q212 and the
+    * crawl capstone's decontamination gate). Width-repartitioned
+    * before the per-row tokenize+gram explode (r17, the q201 rule):
+    * off a one-file scan this CPU-bound stage otherwise runs
+    * single-task. */
   def corpusGrams(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    docs.repartition(Par.width(docs.sparkSession))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(expr(

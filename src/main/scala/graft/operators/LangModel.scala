@@ -19,7 +19,15 @@ import graft.sources.Tables
   */
 object LangModel {
 
-  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  // Width-repartitioned scan (guide §2.5 input-skew rule / the q201
+  // discipline, extended r17): every LM operator's expensive stage is
+  // per-row CPU (tokenize + bigram explode) that otherwise runs at the
+  // SCAN's parallelism — one task when the documents table is a single
+  // parquet file (measured r17: q197's whole tokenize/explode/score
+  // lineage ran t=1 with 32 cores idle). Round-robin to cluster width
+  // before any per-row work; row content is untouched.
+  private def docs(s: SparkSession, d: String) =
+    Tables.documents(s, d).repartition(Par.width(s))
 
   /** doc_id → exploded non-empty whitespace tokens. */
   private def words(s: SparkSession, d: String): DataFrame =
@@ -173,11 +181,10 @@ object LangModel {
         filter(split(col("text"), " "), w => w =!= "").as("ws"))
       .filter(size(col("ws")) >= 2)
     val pairs = tok.select(col("doc_id"),
-        explode(zip_with(
+        explode(arrays_zip(
           slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p")) // r17: codegen pair stream (zip_with lambdas run interpreted)
+      .select(col("doc_id"), col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
     val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val cw = cb.groupBy(col("w1")).agg(sum(col("c")).cast("long").as("cw"))
     val vv = cw.agg((count(lit(1)) + 1).as("v"))
@@ -246,11 +253,10 @@ object LangModel {
         filter(split(col("text"), " "), w => w =!= "").as("ws"))
       .filter(size(col("ws")) >= 2)
     val pairs = tok.select(
-        explode(zip_with(
+        explode(arrays_zip(
           slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p")) // r17: codegen pair stream (zip_with lambdas run interpreted)
+      .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
     val topW = pairs.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(50)
     val und = pairs.filter(col("w1") =!= col("w2"))
@@ -473,11 +479,10 @@ object LangModel {
         filter(split(col("text"), " "), x => x =!= "").as("ws"))
       .filter(size(col("ws")) >= 2)
     val pairs = tok.select(
-        explode(zip_with(
+        explode(arrays_zip(
           slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p")) // r17: codegen pair stream (zip_with lambdas run interpreted)
+      .select(col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
     val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 5)
     cb.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
@@ -542,11 +547,10 @@ object LangModel {
         filter(split(col("text"), " "), x => x =!= "").as("ws"))
       .filter(size(col("ws")) >= 2)
     val pairs = tok.select(col("doc_id"),
-        explode(zip_with(
+        explode(arrays_zip(
           slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p")) // r17: codegen pair stream (zip_with lambdas run interpreted)
+      .select(col("doc_id"), col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
     val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
     val cw = cb.groupBy(col("w1"))
       .agg(sum(col("c")).cast("long").as("cw"), count(lit(1)).as("n1f"))
@@ -787,11 +791,10 @@ object LangModel {
           |  element_at(ws, i + 2) AS w3))""".stripMargin)).as("g"))
       .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
     val pairs = tok.filter(size(col("ws")) >= 2)
-      .select(explode(zip_with(
+      .select(explode(arrays_zip(
         slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1),
-        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p")) // r17: codegen pair stream
+      .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
     val c3t = tri.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))
     val c12 = c3t.groupBy(col("w1"), col("w2"))

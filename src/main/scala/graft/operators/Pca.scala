@@ -62,9 +62,18 @@ object Pca {
     * a − a%10⁶ is a multiple of 10⁶ below 2⁵³, so the double divide
     * returns the integer quotient exactly. */
   private def proj(c: Column, v6: Array[Long]): Column = {
-    val vlit = array(v6.map(lit): _*)
-    val dot = aggregate(zip_with(c, vlit, (a, b) => a * b),
-      lit(0L), (acc, t) => acc + t)
+    // ONE array literal (typedLit), not array(lit, lit, ...): 64
+    // per-element literals inline their VALUES into the generated
+    // source, so every power-iteration round produced new codegen
+    // source and paid a fresh janino compile (r17 measurement: the
+    // round's wall was dominated by driver plan+compile time, not
+    // tasks). A single ArrayData literal rides the references array —
+    // the generated source is identical across rounds and the codegen
+    // cache hits. Same values, same ArrayType(LongType), same fold.
+    val vlit = typedLit(v6.toSeq)
+    // r17: codegen integer dot kernel — identical wrapping long ops to
+    // the interpreted aggregate(zip_with(...)) it replaces
+    val dot = graft.functions.VectorFunctions.vec_dot_long(c, vlit)
     val a = abs(dot)
     val q = ((a - a % lit(1000000L)) / lit(1000000L)).cast("long")
     when(dot < 0, -q).otherwise(q)

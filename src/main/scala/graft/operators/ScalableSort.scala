@@ -68,9 +68,24 @@ object ScalableSort {
       .sortWithinPartitions(sortCols: _*)
     val schema = StructType(
       parted.schema.fields :+ StructField(out, LongType, nullable = false))
-    val rdd = parted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+    // INTERNAL-row zipWithIndex (r17 optimization): `parted.rdd`
+    // decoded every field to external Scala objects (strings included)
+    // and re-encoded them through createDataFrame — guide §1.4's
+    // `df.rdd` conversion cost, paid on the full ranked table at every
+    // call site. `toRdd` keeps Tungsten rows end to end: copy the
+    // iterator-reused UnsafeRow, append the rank as a 1-field joined
+    // row. The consistency contract is unchanged — zipWithIndex still
+    // runs its count job and its output pass over the SAME RDD, so
+    // range boundaries are sampled exactly once.
+    val rdd = parted.queryExecution.toRdd.zipWithIndex().map { case (r, i) =>
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+        r.copy(),
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i + 1L)))
     }
-    spark.createDataFrame(rdd, schema)
+    org.apache.spark.sql.graftshim.ColumnBridge
+      .internalCreateDataFrame(spark,
+        rdd.asInstanceOf[org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow]], schema)
   }
 }

@@ -309,13 +309,10 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     // distance lookup table: |Q|·M·16 squared sub-distances, ascending
     // fold in doubles (bit-identical to the oracle's list_reduce)
-    val ld = aggregate(
-      zip_with(slice(col("qv"), col("start"), lit(subDim)), col("cvm"),
-        (x, y) => {
-          val dx = x.cast("double") - y.cast("double")
-          dx * dx
-        }),
-      lit(0.0), (acc, v) => acc + v)
+    // r17: codegen sub-distance kernel — same ascending-index
+    // double fold as the interpreted zip_with it replaces
+    val ld = graft.functions.VectorFunctions.vec_l2sq_distance_f(
+      slice(col("qv"), col("start"), lit(subDim)), col("cvm"))
     val lut = q.crossJoin(cb)
       .select(col("qid"), col("m").as("lm"), col("code_vec"), ld.as("ld"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
@@ -634,13 +631,9 @@ object Similarity {
     // PQ: codebook broadcast, corpus encoded once, |Q|-sized LUT
     val cb = pqCodebook(e)
     val enc = pqCodes(e, cb)
-    val ld = aggregate(
-      zip_with(slice(col("qv"), col("start"), lit(16)), col("cvm"),
-        (x, y) => {
-          val dx = x.cast("double") - y.cast("double")
-          dx * dx
-        }),
-      lit(0.0), (acc, v) => acc + v)
+    // r17: codegen sub-distance kernel (see pqSearch)
+    val ld = graft.functions.VectorFunctions.vec_l2sq_distance_f(
+      slice(col("qv"), col("start"), lit(16)), col("cvm"))
     val lut = q.crossJoin(cb)
       .select(col("qid").as("lqid"), col("m").as("lm"),
         col("code_vec"), ld.as("ld"))

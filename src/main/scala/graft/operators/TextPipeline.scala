@@ -103,7 +103,14 @@ object TextPipeline {
     val nBands = numHashes / bandSize
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shh = docsDf
+    // Repartition BY doc_id to cluster width before the per-row
+    // explode+hash (r17, the q201 rule): off a one-file scan the whole
+    // tokenize/hash/window lineage otherwise runs in ONE task (measured
+    // t=1 at 8+ CPU-seconds in q258's probe). Keying on doc_id makes
+    // this the SAME exchange the lead-window requires — no second
+    // shuffle — while moving only the doc rows (text once), not the
+    // exploded token stream.
+    val shh = docsDf.repartition(Par.width(docsDf.sparkSession), col("doc_id"))
       .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
       .withColumn("h1", xxhash64(col("tok")))
       .withColumn("h2", lead(col("h1"), 1).over(wDoc))
@@ -903,8 +910,20 @@ object TextPipeline {
     // BOTH the df-count pass and the rank-array build
     val e = distinctShingleRows(s, d).persist()
     val dfTab = e.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
-    val ranked = ScalableSort.globalRowNumber(dfTab, "rank",
-      col("dfc"), col("w")).select(col("w"), col("rank"))
+    // Rarity rank WITHOUT the RDD-layer zipWithIndex (r17): q201 uses
+    // ranks only as a total ORDER (array sort key + join equality) —
+    // never as contiguous positions — so monotonically_increasing_id
+    // over the range-partitioned, partition-sorted table is an
+    // equivalent rank (strictly increasing in (dfc, w): range
+    // partitions are ordered and ids are (partition << 33) + row).
+    // This removes zipWithIndex's extra count job and the
+    // internal-row → external-Row → DataFrame round trip (which also
+    // broke whole-stage codegen downstream); candidates and the final
+    // verified pairs are invariant to the rank relabeling.
+    val ranked = dfTab
+      .repartitionByRange(Par.width(s), col("dfc"), col("w"))
+      .sortWithinPartitions(col("dfc"), col("w"))
+      .select(col("w"), monotonically_increasing_id().as("rank"))
     // The rank-array table feeds THREE consumers (both prefix sides +
     // the verify joins); persist it once (memory-and-disk) or the whole
     // explode→df-join→collect lineage recomputes per consumer — the
@@ -990,6 +1009,15 @@ object TextPipeline {
     // the per-char window stream feeds BOTH the phase-1 hash count and
     // the candidate join — persist it (q201's discipline) or the
     // corpus explode re-runs for every consumer
+    // Window stream WITHOUT the 50-char text (r17, guide §2.3 "shuffle
+    // keys and metadata instead of payloads"): the old stream persisted
+    // (doc_id, i, g, hk) — ~70+ bytes per corpus CHARACTER held in
+    // cache and shuffled wholesale into the phase-2 candidate join
+    // (measured 48.5 MB shuffle write at sf0.1, dominated by g). The
+    // hash is all phase 1 needs; g is re-derived below for the
+    // candidate SUBSET only, by re-substringing the documents table at
+    // the candidate offsets — one text-sized exchange instead of a
+    // corpus×50 one, and a ~3× smaller cache with far less GC.
     val w = Tables.documents(s, d)
       .filter(length(col("text")) >= 50)
       // the q201 rule: per-char window construction is pure CPU — give
@@ -999,8 +1027,7 @@ object TextPipeline {
         explode(expr("sequence(1, length(text) - 49)")).as("i"),
         col("text"))
       .select(col("doc_id"), col("i"),
-        expr("substring(text, i, 50)").as("g"))
-      .withColumn("hk", xxhash64(col("g")))
+        xxhash64(expr("substring(text, i, 50)")).as("hk"))
       .persist()
     // phase 1: count 8-byte hash keys (cheap exchange, no strings)
     val dupHk = w.groupBy(col("hk")).agg(count(lit(1)).as("c"))
@@ -1015,8 +1042,16 @@ object TextPipeline {
     // and at 100x the broadcast collect is 5+ GB of task results —
     // the driver dies at maxResultSize. The shuffle join also reuses
     // the aggregation's exchange on the same key (probe side is
-    // already hash-partitioned on hk/g by the count that built it).
-    val cand = w.join(dupHk.hint("shuffle_hash"), "hk").persist()
+    // already hash-partitioned on hk by the count that built it).
+    // The candidate (doc_id, i) rows then fetch their window text by
+    // re-substringing the documents table — candidate-side rows are
+    // dup-fraction-sized, the text side is ONE corpus-text pass.
+    val cand = w.join(dupHk.hint("shuffle_hash"), "hk")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .hint("shuffle_hash"), "doc_id")
+      .select(col("doc_id"), col("i"),
+        expr("substring(text, i, 50)").as("g"))
+      .persist()
     val dupg = cand.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("g"))
     // hits is only the duplicated windows — corpus-dup-fraction-sized,
@@ -1072,7 +1107,13 @@ object TextPipeline {
   private[graft] def charWindowHashes(docsDf: DataFrame,
       hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         xxhash64(_)): DataFrame =
-    docsDf.filter(length(col("text")) >= 50)
+    // width repartition before the per-char explode (r17, the q215/q201
+    // rule): probe/partial callers feed batch frames whose lineage is a
+    // one-file scan filter — the window explode+substring+hash (the
+    // dominant per-row cost of every dup-span probe tick) otherwise
+    // runs single-task. Moves doc rows once; row content untouched.
+    docsDf.repartition(Par.width(docsDf.sparkSession))
+      .filter(length(col("text")) >= 50)
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text) - 49)")).as("i"),
         col("text"))

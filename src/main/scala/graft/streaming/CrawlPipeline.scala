@@ -126,7 +126,13 @@ object CrawlPipeline {
     cand = Ingest.lshProbe(spark, lshIndexPath, batchDocs,
       maxBucket = 256, refuseDegenerate = true)
     val minTokens = size(TextPipeline.tokens) >= 3
-    val newSh = batchDocs.filter(minTokens)
+    // width repartition before the per-row shingling (r17, the q201
+    // rule): the interpreted shingle HOF over the batch otherwise runs
+    // at the one-file scan's parallelism (measured t=1, ~8 CPU-seconds
+    // single-threaded per tick at sf0.1)
+    val newSh = batchDocs
+      .repartition(graft.operators.Par.width(spark))
+      .filter(minTokens)
       .select(col("doc_id").as("new_doc"),
         array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh_new"))
     // partner shingle sets fetched only for candidate partners (bounded
@@ -142,6 +148,11 @@ object CrawlPipeline {
       case None =>
         docsForConfirm.filter(minTokens)
           .join(oldIds, col("doc_id") === col("old_doc"), "left_semi")
+          // repartition AFTER the pruning semi-join, BEFORE the per-row
+          // shingling (r17): the broadcast semi keeps the corpus scan
+          // unshuffled, so the shingle HOF otherwise runs at the scan's
+          // one-file parallelism
+          .repartition(graft.operators.Par.width(spark))
           .select(col("doc_id").as("old_doc"),
             array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh_old"))
     }

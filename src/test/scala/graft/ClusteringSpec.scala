@@ -111,19 +111,23 @@ class ClusteringSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
-  test("assignment plan: broadcast crossJoin collapsed by partial min_by, no sort-merge join") {
+  test("assignment plan: pure map-stage argmin — no join, no exchange, no aggregate") {
+    // r17 optimization contract: nearest-centroid assignment against
+    // driver-local centroids is ONE codegen projection (`least` over k
+    // (d, cid) structs). The old shape — broadcast crossJoin collapsed
+    // by a partial min_by — carried a broadcast exchange plus a
+    // corpus-wide aggregation per Lloyd round; the new plan must carry
+    // NEITHER. (ClusteringSpec's value tests pin output equality to
+    // the oracle-replayed Lloyd chain, so the argmin itself is
+    // semantics-checked elsewhere.)
     val df = Clustering.kmeans(sources.Tables.embeddings(spark, sf), k = 8, iters = 1)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"centroids must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"no corpus-sized shuffle join allowed:\n$p")
-    // min_by over a struct-with-array buffer lowers to SortAggregate
-    // (non-mutable buffer type); the scale contract is the same: a
-    // partial (map-side) + final pair, never a single-pass aggregate
-    assert("(HashAggregate|SortAggregate|ObjectHashAggregate)".r.findAllIn(p).length >= 2,
-      s"min_by must run partial (map-side) + final:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Aggregate"), s"assignment must not aggregate:\n$p")
+    assert(p.contains("vec_l2sq_distance_d"),
+      s"distances must run the codegen fold kernel:\n$p")
   }
 
   // ---- PCA power iteration (q202) -----------------------------------

@@ -92,4 +92,71 @@ class VectorExpressionsSpec extends SparkTestBase {
       assert(a === b, "custom expression must be bit-identical to the built-in fold")
     }
   }
+
+  test("r17 fold kernels are bit-identical to the interpreted HOF folds") {
+    // the optimization-round contract: vec_l2sq_distance_d / vec_dot_long /
+    // vec_l2sq_distance_f replaced aggregate(zip_with(...)) folds in the
+    // k-means / PCA / GD / SemDeDup / PQ-ADC hot paths — outputs must be
+    // indistinguishable, including null and length-mismatch behavior
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dd = (0 until 200).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextDouble() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val hofD = aggregate(zip_with($"a", $"b", (x, y) => { val d = x - y; d * d }),
+      lit(0.0), (acc, v) => acc + v)
+    dd.select(vec_l2sq_distance_d($"a", $"b").as("k"), hofD.as("h"))
+      .collect().foreach { case Row(k: Double, h: Double) =>
+        assert(java.lang.Double.doubleToRawLongBits(k) ==
+          java.lang.Double.doubleToRawLongBits(h), s"$k != $h") }
+
+    val dl = (0 until 200).map { i =>
+      (i.toLong,
+        Array.fill(5)(rnd.nextLong() % 2000000L),
+        Array.fill(5)(rnd.nextLong() % 2000000L))
+    }.toDF("id", "a", "b")
+    val hofL = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    dl.select(vec_dot_long($"a", $"b").as("k"), hofL.as("h"))
+      .collect().foreach { case Row(k: Long, h: Long) => assert(k == h) }
+
+    val df2 = (0 until 200).map { i =>
+      (i.toLong,
+        Array.fill(16)(rnd.nextFloat() * 2 - 1),
+        Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val hofF = aggregate(zip_with($"a", $"b",
+      (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+      lit(0.0), (acc, v) => acc + v)
+    df2.select(vec_l2sq_distance_f($"a", $"b").as("k"), hofF.as("h"))
+      .collect().foreach { case Row(k: Double, h: Double) =>
+        assert(java.lang.Double.doubleToRawLongBits(k) ==
+          java.lang.Double.doubleToRawLongBits(h)) }
+
+    // null / mismatch parity: zip_with pads with nulls -> fold yields null
+    val edge = Seq(
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0)),
+      (Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)),
+      (null, Array[java.lang.Double](1.0))
+    ).toDF("a", "b")
+    val hofEdge = aggregate(zip_with($"a", $"b", (x, y) => { val d = x - y; d * d }),
+      lit(0.0), (acc, v) => acc + v)
+    edge.select(vec_l2sq_distance_d($"a", $"b").as("k"), hofEdge.as("h"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1))
+        if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1)) }
+
+    // interpreted (no-codegen) eval path of the kernels matches too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val convD = CatalystTypeConverters.createToCatalystConverter(ArrayType(DoubleType))
+    val a = Literal.create(convD(Array(1.0, 2.0, 3.5)), ArrayType(DoubleType))
+    val b = Literal.create(convD(Array(0.5, 2.0, -1.0)), ArrayType(DoubleType))
+    val expected = { val d1 = 0.5; val d2 = 0.0; val d3 = 4.5; d1*d1 + d2*d2 + d3*d3 }
+    assert(graft.functions.VecL2SqDistanceD(a, b).eval() == expected)
+    val mism = Literal.create(convD(Array(1.0)), ArrayType(DoubleType))
+    assert(graft.functions.VecL2SqDistanceD(a, mism).eval() == null)
+  }
 }
