@@ -89,7 +89,9 @@ object Multimodal {
     * serialization of those dimensions with the text bytes as pixels. */
   def withPpmPayload(df: DataFrame)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    df.filter(octet_length(col("text")) === length(col("text")) &&
+    // width repartition before the per-row encode (r17, the q201 rule)
+    df.repartition(Par.width(s))
+      .filter(octet_length(col("text")) === length(col("text")) &&
         length(col("text")) > 1)
       .select(col("doc_id"),
         (lit(64) + ascii(substring(col("text"), 1, 1)) % 192).as("w"),
@@ -101,9 +103,13 @@ object Multimodal {
   }
 
   /** documents.text encoded as a binary payload column — stands in for
-    * image/audio bytes so the plumbing runs on the provided testdata. */
+    * image/audio bytes so the plumbing runs on the provided testdata.
+    * Width-repartitioned (r17, the q201 rule): every multimodal
+    * operator's expensive stage is per-row codec/hash CPU that
+    * otherwise runs at the one-file scan's parallelism. */
   def withPayload(df: DataFrame): DataFrame =
-    df.withColumn("payload", col("text").cast("binary"))
+    df.repartition(Par.width(df.sparkSession))
+      .withColumn("payload", col("text").cast("binary"))
 
   /** REAL codec for one tiny format: BMP. Serializes a 54-byte
     * BITMAPFILEHEADER+BITMAPINFOHEADER and parses it back with genuine

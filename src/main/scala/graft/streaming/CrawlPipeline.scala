@@ -96,15 +96,42 @@ object CrawlPipeline {
     var pileFetch: Option[DataFrame] = None
     var bloomBc: Option[org.apache.spark.broadcast.Broadcast[_]] = None
     try {
-    val nBench = bench.count()
-    val batchGrams = Curation.corpusGrams(batchDocs, DecontamGramN)
-    val prefiltered = if (nBench == 0) batchGrams else {
-      val bf = bench.stat.bloomFilter("gram", nBench, 0.01)
-      val bc = spark.sparkContext.broadcast(bf)
-      bloomBc = Some(bc)
-      val mightContain = udf((g: String) => bc.value.mightContainString(g))
-      batchGrams.filter(mightContain(col("gram")))
+    // Gate 1's state build (bench-gram materialize + Bloom aggregation,
+    // two jobs) and gate 2's index probe (lshProbe + shingle fetch,
+    // several bounded jobs) are INDEPENDENT — overlap them on driver
+    // threads (guide §2.6 "overlap independent jobs": actions are only
+    // sequential because the driver calls them sequentially; the
+    // trailing tasks of one job back-fill cores the other frees). Each
+    // future only SUBMITS Spark jobs — session use is thread-safe —
+    // and both are awaited before anything composes, so failure
+    // propagation and the finally-release discipline are unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fGate1 = Future {
+      val nBench = bench.count()
+      val batchGrams = Curation.corpusGrams(batchDocs, DecontamGramN)
+      if (nBench == 0) batchGrams
+      else {
+        val bf = bench.stat.bloomFilter("gram", nBench, 0.01)
+        val bc = spark.sparkContext.broadcast(bf)
+        bloomBc = Some(bc)
+        val mightContain = udf((g: String) => bc.value.mightContainString(g))
+        batchGrams.filter(mightContain(col("gram")))
+      }
     }
+    val fCand = Future {
+      Ingest.lshProbe(spark, lshIndexPath, batchDocs,
+        maxBucket = 256, refuseDegenerate = true)
+    }
+    // await BOTH before composing: a failure in either must not leave
+    // the other's persisted frames stranded (the outer finally releases
+    // whatever was assigned), and failures re-raise in a fixed order
+    val candTry = scala.util.Try(Await.result(fCand, Duration.Inf))
+    val prefilteredTry = scala.util.Try(Await.result(fGate1, Duration.Inf))
+    candTry.foreach(c => cand = c)
+    val prefiltered = prefilteredTry.get
+    cand = candTry.get
     val contaminated = prefiltered.join(bench, "gram")
       .filter(col("bench_id") =!= col("doc_id"))
       .select(col("doc_id")).distinct()
@@ -123,8 +150,7 @@ object CrawlPipeline {
     // dropped over-cap bucket would silently under-match (its members
     // never reach the confirm step) — so an over-cap bucket raises
     // loudly instead. Candidates stay bounded by batch × bands × cap.
-    cand = Ingest.lshProbe(spark, lshIndexPath, batchDocs,
-      maxBucket = 256, refuseDegenerate = true)
+    // (cand itself was probed concurrently with gate 1 above.)
     val minTokens = size(TextPipeline.tokens) >= 3
     // width repartition before the per-row shingling (r17, the q201
     // rule): the interpreted shingle HOF over the batch otherwise runs
