@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-contract plumbing (r17 VERDICT ask #2): the driver tails
+// the sbt output and parses the LAST stdout line as the bench's metric
+// JSON. Two sbt behaviors broke that in every round so far: the forked
+// process's stdout was logged with an "[info] " prefix (no line in the
+// tail ever STARTS with '{'), and sbt appended "[success] Total time..."
+// after the program's final line. StdoutOutput passes fork output
+// through verbatim; showSuccess drops the trailing success banner.
+// Exit codes (what VERIFY/BENCH record as rc) are unchanged.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -274,17 +274,42 @@ object Bench {
           System.err.println(s"[bench] retry $name: $e"); false }
       val sec = (System.nanoTime() - t0) / 1e9
       CacheHygiene.sweep(spark, s"retry-$name")
+      // Nearest-sentinel stamp (r17 VERDICT ask #8): BENCH_r17's q215
+      // retry ALSO breached on a box that stayed degraded, and the
+      // record carried no probe evidence against the retry itself —
+      // adjudication needed cross-run forensics. One CPU-sentinel
+      // reading taken right after each retry rides the record as
+      // `sentinelAt`; a still-breached retry on a tripped sentinel is
+      // machine-labeled suspect instead of "treat as real".
+      val sentAt = sentinelSec(spark)
+      val sentSuspect = BenchBands.loadSuspect(Seq(sentAt))
       if (!ok) None
       else {
         val inBand = BenchBands.retryInBand(name, sec)
-        System.err.println(f"[bands] retry $name: $sec%.2f s → " + (inBand match {
+        System.err.println(f"[bands] retry $name: $sec%.2f s " +
+          f"(sentinel $sentAt%.3f s) → " + (inBand match {
           case Some(true) => "in band (breach non-repeating — adjudicated environmental)"
+          case Some(false) if sentSuspect =>
+            "STILL BREACHED, but the nearest sentinel is tripped — " +
+              "suspect-load, not band evidence; re-run idle"
           case Some(false) => "STILL BREACHED (repeats in the same JVM — treat as real)"
           case None => "no band"
         }))
-        Some((name, sec, inBand))
+        Some((name, sec, inBand, sentAt))
       }
     }
+    // ---- streaming-maintenance tick costs (r17 VERDICT ask #6): the
+    // pile families whose per-tick ingest/compaction appears in NO
+    // timed query region — IVF, the postings/BM25 companions, and the
+    // agg-MV state (LSH/dup-span/shingle maintenance already rides the
+    // q258/q259 capstone warmups and IncrementalProof). Each family
+    // ingests its table as two micro-batches into a fresh temp pile:
+    // tick 1 is setup, tick 2 is the timed STEADY-STATE per-tick cost
+    // (a new batch against existing state + checkpoint), and the
+    // compaction is timed separately. Runs AFTER every timed query and
+    // retry (nothing here can inflate a query reading), full runs
+    // only; a family that throws reports -1 and never fails the bench.
+    val maintenance = if (subset) Seq.empty else benchMaintenance(spark, sfDir)
     // "subset":true marks a partial run so its total can never be
     // mistaken for an official 22-headliner reading.
     val subsetMark = if (subset) s""""subset":true,"nQueries":${names.size},""" else ""
@@ -298,9 +323,15 @@ object Bench {
     val ioBase = BenchBands.ioBaselineFor(ioProbeWriteOnly)
     val retryJson =
       if (retries.isEmpty) ""
-      else retries.map { case (n, s, ib) =>
-        f""""$n":{"retrySec":$s%.3f,"inBand":${ib.map(_.toString).getOrElse("null")}}"""
+      else retries.map { case (n, s, ib, sa) =>
+        f""""$n":{"retrySec":$s%.3f,"inBand":${ib.map(_.toString).getOrElse("null")},""" +
+          f""""sentinelAt":$sa%.3f}"""
       }.mkString(""""retries":{""", ",", "},")
+    val maintJson =
+      if (maintenance.isEmpty) ""
+      else maintenance.map { case (n, t, c) =>
+        f""""$n":{"tickSec":$t%.3f,"compactSec":$c%.3f}"""
+      }.mkString(""""maintenance":{""", ",", "},")
     val sentJson =
       f""""preflight":{"cpu":$preCpu%.3f,"io":$preIo%.3f,"suspect":$preflightSuspect},""" +
       f""""sentinel":{"before":$sentBefore%.3f,"mid":$sentMid%.3f,""" +
@@ -312,8 +343,112 @@ object Bench {
       s""""writeOnly":$ioProbeWriteOnly,""" +
       s""""suspectLoad":${BenchBands.ioLoadSuspect(ioSentinel, ioProbeWriteOnly)},""" +
       s""""loadElevated":${BenchBands.loadElevated(ioSentinel, ioBase)}},"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$subsetMark$warmupMark$sentJson$retryJson"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    spark.stop()
+    // Two-line metric output (r17 VERDICT ask #2): the driver tails the
+    // sbt output (~2 KB) and parses the LAST line — the r13..r17 metric
+    // line had grown past that window (full-precision seconds + retry
+    // blocks), so the driver's whole perf adjudication ran on a
+    // truncated string (`parsed: null`, `n_common: 0`). The DETAIL line
+    // below keeps everything the old line carried (full-precision
+    // seconds, retries, the new maintenance ticks); the FINAL line is
+    // the compact driver contract — total + ms-precision per-query
+    // seconds + failed + sf, plus the probe stamps BandSeed requires —
+    // and is printed after spark.stop() so nothing can follow it on
+    // stdout.
+    println(s"""{"metric":"detail","value":$total,"unit":"sec",$subsetMark$warmupMark$sentJson$retryJson$maintJson"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val qsCompact = timed.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null")
+    }.mkString("{", ",", "}")
+    val finalLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s"""$subsetMark$warmupMark$sentJson"queries":$qsCompact,""" +
+      s""""failed":$failed,"sf":"$sfDir"}"""
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop: $e") }
+    println(finalLine)
+    System.out.flush()
     if (timed.exists(!_._3)) sys.exit(1)
+  }
+
+  /** Per-tick streaming-maintenance costs (r17 VERDICT ask #6) — see
+    * the call site. Returns (family, steadyTickSec, compactSec); -1 on
+    * failure. The temp piles are deleted before returning. */
+  private def benchMaintenance(spark: SparkSession, sfDir: String)
+      : Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.Ingest
+    val root = java.nio.file.Files.createTempDirectory("graft-benchmaint")
+    val rootS = root.toString
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(name: String)(body: => (Double, Double)): (String, Double, Double) =
+      try {
+        val (t, c) = body
+        System.err.println(f"[bench] maintenance $name: tick $t%.2f s, compact $c%.2f s")
+        (name, t, c)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] maintenance $name failed: $e")
+        (name, -1.0, -1.0)
+      }
+    val out = Seq(
+      run("ivf") {
+        val in = s"$rootS/ivf/in"; val idx = s"$rootS/ivf/pile"
+        val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        // quantizer fixed upfront from the full table (the IVF ingest
+        // contract; rotation is rebuildIvfIndex, not a tick cost)
+        val cent = graft.operators.Similarity.ivfCentroids(emb)
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .write.mode("append").parquet(in)
+        Ingest.streamIvfIngest(spark, in, idx, cent, autoCompactSegments = 0)
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .write.mode("append").parquet(in)
+        (timed(Ingest.streamIvfIngest(spark, in, idx, cent, autoCompactSegments = 0)),
+          timed(Ingest.compactIvfIndex(spark, idx)))
+      },
+      run("post") {
+        val in = s"$rootS/post/in"
+        val idx = s"$rootS/post/pile"
+        val tfIdx = s"$rootS/post/tf"
+        val stats = s"$rootS/post/stats"
+        val docs = graft.sources.Tables.documents(spark, sfDir)
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .write.mode("append").parquet(in)
+        Ingest.streamPostingsIngest(spark, in, idx, autoCompactSegments = 0)
+        Ingest.streamTfPostingsIngest(spark, in, tfIdx, autoCompactSegments = 0)
+        Ingest.streamDocStatsIngest(spark, in, stats, autoCompactSegments = 0)
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .write.mode("append").parquet(in)
+        // one tick = the full q264/q267 read surface's state: postings
+        // + tf-postings + doc-stats, maintained in tandem
+        (timed {
+          Ingest.streamPostingsIngest(spark, in, idx, autoCompactSegments = 0)
+          Ingest.streamTfPostingsIngest(spark, in, tfIdx, autoCompactSegments = 0)
+          Ingest.streamDocStatsIngest(spark, in, stats, autoCompactSegments = 0)
+        }, timed {
+          Ingest.compactPostings(spark, idx)
+          Ingest.compactTfPostings(spark, tfIdx)
+          Ingest.compactDocStats(spark, stats)
+        })
+      },
+      run("aggmv") {
+        val in = s"$rootS/aggmv/in"; val state = s"$rootS/aggmv/pile"
+        val ev = graft.sources.Tables.events(spark, sfDir)
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .write.mode("append").parquet(in)
+        Ingest.streamAggMaintain(spark, in, state, autoCompactSegments = 0)
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .write.mode("append").parquet(in)
+        (timed(Ingest.streamAggMaintain(spark, in, state, autoCompactSegments = 0)),
+          timed(Ingest.compactAggState(spark, state)))
+      })
+    // diagnostic temp piles — delete now, not at JVM exit
+    try {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(root.toFile)
+    } catch { case _: java.io.IOException => }
+    CacheHygiene.sweep(spark, "maintenance")
+    out
   }
 }

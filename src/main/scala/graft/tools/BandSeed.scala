@@ -27,6 +27,13 @@ import scala.jdk.CollectionConverters._
   *  - per-query: `warmupFailed` names are skipped (cold-state reading,
   *    not the probe-only shape the band prices), as are failed (null)
   *    readings.
+  *  - `retries` values are NEVER read (r17 VERDICT ask #8): a retry is
+  *    a same-JVM breach adjudication aid, taken warm and immediately
+  *    after a band breach — not an official series reading. Its
+  *    `sentinelAt` stamp (one CPU-probe reading taken right after the
+  *    retry) exists so a still-breached retry on a degraded box is
+  *    machine-labeled suspect in the record itself; seeds come from
+  *    the `queries` block alone.
   *
   * Provenance (that the file IS an official driver reading, not a
   * builder-box series) stays with the operator — the tool codifies
