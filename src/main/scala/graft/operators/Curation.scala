@@ -574,8 +574,9 @@ object Curation {
     val stop = Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
     // width repartition before the per-row rule battery (r17, the q201
     // rule): tokenize + per-word regex/HOF work off a one-file scan
-    // otherwise runs single-task; rows untouched, output invariant
-    val t = docsDf.repartition(Par.width(docsDf.sparkSession))
+    // otherwise runs single-task; rows untouched, output invariant.
+    // Gated on scan splits (r18 VERDICT ask #3) — no-op at scale.
+    val t = Par.widen(docsDf)
       .select(col("doc_id"), col("text"),
         filter(split(trim(col("text")), "\\s+"), x => x =!= "").as("w"))
       .filter(size(col("w")) > 0)
@@ -661,9 +662,8 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     // width repartition before the per-row span construction (r17, the
     // q201 rule): the interpreted transform+slice HOF otherwise runs at
-    // the one-file scan's parallelism
-    val spans = Tables.documents(s, d)
-      .repartition(Par.width(s))
+    // the one-file scan's parallelism. Gated on scan splits (r18).
+    val spans = Par.widen(Tables.documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       // per-row span construction: spans[k] = words[10k..10k+9] joined
       .select(col("doc_id"), expr(
@@ -958,9 +958,10 @@ object Curation {
     * crawl capstone's decontamination gate). Width-repartitioned
     * before the per-row tokenize+gram explode (r17, the q201 rule):
     * off a one-file scan this CPU-bound stage otherwise runs
-    * single-task. */
+    * single-task. Gated on scan splits (r18 VERDICT ask #3): a
+    * many-split corpus skips the exchange. */
   def corpusGrams(docs: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame =
-    docs.repartition(Par.width(docs.sparkSession))
+    Par.widen(docs)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),

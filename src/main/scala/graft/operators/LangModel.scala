@@ -25,9 +25,12 @@ object LangModel {
   // SCAN's parallelism — one task when the documents table is a single
   // parquet file (measured r17: q197's whole tokenize/explode/score
   // lineage ran t=1 with 32 cores idle). Round-robin to cluster width
-  // before any per-row work; row content is untouched.
+  // before any per-row work; row content is untouched. GATED on the
+  // scan's estimated split count (r18, VERDICT ask #3): a many-split
+  // corpus at scale already parallelizes and must not pay a full
+  // corpus-text shuffle for nothing.
   private def docs(s: SparkSession, d: String) =
-    Tables.documents(s, d).repartition(Par.width(s))
+    Par.widen(Tables.documents(s, d))
 
   /** doc_id → exploded non-empty whitespace tokens. */
   private def words(s: SparkSession, d: String): DataFrame =

@@ -89,8 +89,9 @@ object Multimodal {
     * serialization of those dimensions with the text bytes as pixels. */
   def withPpmPayload(df: DataFrame)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    // width repartition before the per-row encode (r17, the q201 rule)
-    df.repartition(Par.width(s))
+    // width repartition before the per-row encode (r17, the q201 rule;
+    // gated on scan splits r18 — no-op when the scan parallelizes)
+    Par.widen(df)
       .filter(octet_length(col("text")) === length(col("text")) &&
         length(col("text")) > 1)
       .select(col("doc_id"),
@@ -106,9 +107,10 @@ object Multimodal {
     * image/audio bytes so the plumbing runs on the provided testdata.
     * Width-repartitioned (r17, the q201 rule): every multimodal
     * operator's expensive stage is per-row codec/hash CPU that
-    * otherwise runs at the one-file scan's parallelism. */
+    * otherwise runs at the one-file scan's parallelism. Gated on scan
+    * splits (r18 VERDICT ask #3): no-op at scale. */
   def withPayload(df: DataFrame): DataFrame =
-    df.repartition(Par.width(df.sparkSession))
+    Par.widen(df)
       .withColumn("payload", col("text").cast("binary"))
 
   /** REAL codec for one tiny format: BMP. Serializes a 54-byte

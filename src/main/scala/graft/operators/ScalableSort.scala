@@ -16,6 +16,57 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Par {
   def width(spark: SparkSession): Int =
     math.max(32, spark.sparkContext.defaultParallelism)
+
+  /** Estimated number of scan splits Spark will give `df`'s underlying
+    * files — Spark's own packing formula (FilePartition.maxSplitBytes:
+    * each file padded by openCostInBytes, split size capped at
+    * maxPartitionBytes and floored at bytes-per-core) applied to the
+    * plan's file listing. Driver-side metadata only: no physical
+    * planning, no jobs, and crucially no AQE stage materialization
+    * (which `df.rdd.getNumPartitions` would trigger on a plan with
+    * exchanges). 0 when the plan has no file sources (in-memory
+    * relations) or the listing fails — callers treat that as "cannot
+    * prove parallelism". */
+  def estimatedScanSplits(df: DataFrame): Long = {
+    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.isEmpty) return 0L
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    val maxPartitionBytes = conf.filesMaxPartitionBytes
+    val openCost = conf.filesOpenCostInBytes
+    val minPartitionNum = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var total = 0L
+    var n = 0L
+    files.foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen
+        n += 1
+      } catch { case _: java.io.IOException => }
+    }
+    if (n == 0) return 0L
+    val padded = total + n * openCost
+    val bytesPerCore = padded / math.max(1, minPartitionNum)
+    val maxSplit = math.min(maxPartitionBytes, math.max(openCost, bytesPerCore))
+    (padded + maxSplit - 1) / math.max(1L, maxSplit)
+  }
+
+  /** Width-repartition `df` ONLY when its scan cannot already supply
+    * the parallelism (r17 VERDICT ask #3; guide §2.3/§2.5). The r17
+    * unconditional `repartition(width)` before per-row CPU stages fixed
+    * the bench fixture's one-file/one-task scans, but at 100 TB the
+    * same scans have thousands of splits and the exchange becomes a
+    * pure corpus-payload shuffle that buys nothing. Gate: skip the
+    * exchange when the estimated scan split count already reaches the
+    * cluster width. At bench SF every table is one small file → splits
+    * ≪ width → the exchange stays (plans unchanged); a many-split scan
+    * passes through untouched. */
+  def widen(df: DataFrame): DataFrame = {
+    val w = width(df.sparkSession)
+    if (estimatedScanSplits(df) >= w) df else df.repartition(w)
+  }
 }
 
 /** Scale-safe global ordering — the Spark mapping of the reference's
@@ -63,29 +114,43 @@ object ScalableSort {
     */
   def globalRowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
-    val parted = df
-      .repartitionByRange(Par.width(spark), sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val schema = StructType(
-      parted.schema.fields :+ StructField(out, LongType, nullable = false))
-    // INTERNAL-row zipWithIndex (r17 optimization): `parted.rdd`
-    // decoded every field to external Scala objects (strings included)
-    // and re-encoded them through createDataFrame — guide §1.4's
-    // `df.rdd` conversion cost, paid on the full ranked table at every
-    // call site. `toRdd` keeps Tungsten rows end to end: copy the
-    // iterator-reused UnsafeRow, append the rank as a 1-field joined
-    // row. The consistency contract is unchanged — zipWithIndex still
-    // runs its count job and its output pass over the SAME RDD, so
-    // range boundaries are sampled exactly once.
-    val rdd = parted.queryExecution.toRdd.zipWithIndex().map { case (r, i) =>
-      new org.apache.spark.sql.catalyst.expressions.JoinedRow(
-        r.copy(),
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](i + 1L)))
-    }
-    org.apache.spark.sql.graftshim.ColumnBridge
-      .internalCreateDataFrame(spark,
-        rdd.asInstanceOf[org.apache.spark.rdd.RDD[
-          org.apache.spark.sql.catalyst.InternalRow]], schema)
+    // Persist the input ACROSS the range exchange (r18, the q209
+    // profile): materializing a RangePartitioning exchange evaluates
+    // the input lineage TWICE — once for the boundary-sample job, once
+    // for the shuffle map write — so an expensive upstream (q209's
+    // per-row tokenize+score) paid itself double at every call site.
+    // zipWithIndex is EAGER (count job at construction), so by the time
+    // this method returns the map output exists and downstream actions
+    // read shuffle files, never the cache — the persist is released
+    // before returning. (The round-7 lesson was a persist with NO
+    // unpersist leaking an input-sized cache per call; the bounded
+    // persist-use-release here is the q215/q201 discipline.)
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parted = cached
+        .repartitionByRange(Par.width(spark), sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+      val schema = StructType(
+        parted.schema.fields :+ StructField(out, LongType, nullable = false))
+      // INTERNAL-row zipWithIndex (r17 optimization): `parted.rdd`
+      // decoded every field to external Scala objects (strings included)
+      // and re-encoded them through createDataFrame — guide §1.4's
+      // `df.rdd` conversion cost, paid on the full ranked table at every
+      // call site. `toRdd` keeps Tungsten rows end to end: copy the
+      // iterator-reused UnsafeRow, append the rank as a 1-field joined
+      // row. The consistency contract is unchanged — zipWithIndex still
+      // runs its count job and its output pass over the SAME RDD, so
+      // range boundaries are sampled exactly once.
+      val rdd = parted.queryExecution.toRdd.zipWithIndex().map { case (r, i) =>
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          r.copy(),
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](i + 1L)))
+      }
+      org.apache.spark.sql.graftshim.ColumnBridge
+        .internalCreateDataFrame(spark,
+          rdd.asInstanceOf[org.apache.spark.rdd.RDD[
+            org.apache.spark.sql.catalyst.InternalRow]], schema)
+    } finally cached.unpersist(blocking = false)
   }
 }

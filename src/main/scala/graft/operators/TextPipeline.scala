@@ -59,7 +59,7 @@ object TextPipeline {
     * array_distinct. Docs with < 3 tokens contribute their whole text
     * as the single shingle, matching `shingles`' otherwise-branch. */
   private[operators] def distinctShingleRows(s: SparkSession, d: String): DataFrame = {
-    val b = docs(s, d).repartition(Par.width(s))
+    val b = Par.widen(docs(s, d))
       .select(col("doc_id"), tokens.as("toks"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1018,11 +1018,11 @@ object TextPipeline {
     // candidate SUBSET only, by re-substringing the documents table at
     // the candidate offsets — one text-sized exchange instead of a
     // corpus×50 one, and a ~3× smaller cache with far less GC.
-    val w = Tables.documents(s, d)
-      .filter(length(col("text")) >= 50)
+    val w = Par.widen(Tables.documents(s, d)
+      .filter(length(col("text")) >= 50))
       // the q201 rule: per-char window construction is pure CPU — give
       // it cluster-width parallelism, not the scan's file count
-      .repartition(Par.width(s))
+      // (gated on scan splits, r18: a many-split corpus skips this)
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text) - 49)")).as("i"),
         col("text"))
@@ -1104,6 +1104,27 @@ object TextPipeline {
     * the planted-collision contract substitutes a truncated hash to
     * make 64-bit collisions constructible (real xxhash64 collisions
     * are not brute-forceable in a test). */
+  /** The KEY form of [[charWindowHashes]] — identical (doc_id, i, hk)
+    * rows, WITHOUT materializing the 50-char window text `g` into the
+    * stream (r18, guide §2.3 "shuffle keys and metadata instead of
+    * payloads"): g is ~50 bytes per corpus CHARACTER, so any exchange
+    * that carries it moves ~50× the batch text. The pointer-state
+    * probe joins these keys on the 8-byte hash and re-derives both
+    * window texts for the CANDIDATE subset only (see
+    * [[graft.streaming.Ingest.dupSpanProbePtr]]). The hash is computed
+    * over the same substring expression, so hk is bit-identical to
+    * [[charWindowHashes]]'s. */
+  private[graft] def charWindowKeys(docsDf: DataFrame,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame =
+    Par.widen(docsDf)
+      .filter(length(col("text")) >= 50)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 49)")).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        hashOf(expr("substring(text, i, 50)")).as("hk"))
+
   private[graft] def charWindowHashes(docsDf: DataFrame,
       hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         xxhash64(_)): DataFrame =
@@ -1112,7 +1133,8 @@ object TextPipeline {
     // one-file scan filter — the window explode+substring+hash (the
     // dominant per-row cost of every dup-span probe tick) otherwise
     // runs single-task. Moves doc rows once; row content untouched.
-    docsDf.repartition(Par.width(docsDf.sparkSession))
+    // Gated on scan splits (r18 VERDICT ask #3): no-op at scale.
+    Par.widen(docsDf)
       .filter(length(col("text")) >= 50)
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text) - 49)")).as("i"),

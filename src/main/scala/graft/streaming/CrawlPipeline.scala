@@ -92,9 +92,13 @@ object CrawlPipeline {
     // recompute of the materialized `out` legal — executors re-fetch
     // from the driver on demand; CacheHygiene sweeps frames, not
     // broadcasts, so the gate must drop its own.
-    var cand: DataFrame = null
+    // @volatile (ADVICE r17 #2): bloomBc is written from a future
+    // thread and read by the main thread's finally — correctness no
+    // longer rests only on Await.result's happens-before; cand gets the
+    // same treatment for uniformity (it is main-thread-only today).
+    @volatile var cand: DataFrame = null
     var pileFetch: Option[DataFrame] = None
-    var bloomBc: Option[org.apache.spark.broadcast.Broadcast[_]] = None
+    @volatile var bloomBc: Option[org.apache.spark.broadcast.Broadcast[_]] = None
     try {
     // Gate 1's state build (bench-gram materialize + Bloom aggregation,
     // two jobs) and gate 2's index probe (lshProbe + shingle fetch,
@@ -105,33 +109,48 @@ object CrawlPipeline {
     // future only SUBMITS Spark jobs — session use is thread-safe —
     // and both are awaited before anything composes, so failure
     // propagation and the finally-release discipline are unchanged.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
+    // blocking{} (ADVICE r17 #2): both futures run blocking Spark
+    // actions on the global pool — mark them so the pool can grow past
+    // its core size instead of starving other tasks; the finite await
+    // below makes a wedged gate job fail loudly instead of hanging the
+    // tick forever (generous bound: a tick is O(batch), minutes even at
+    // scale, and the two gates run concurrently).
+    val gateTimeout = sys.props.get("graft.gate.timeoutSec")
+      .map(_.toLong.seconds).getOrElse(2.hours)
     val fGate1 = Future {
-      val nBench = bench.count()
-      val batchGrams = Curation.corpusGrams(batchDocs, DecontamGramN)
-      if (nBench == 0) batchGrams
-      else {
-        val bf = bench.stat.bloomFilter("gram", nBench, 0.01)
-        val bc = spark.sparkContext.broadcast(bf)
-        bloomBc = Some(bc)
-        val mightContain = udf((g: String) => bc.value.mightContainString(g))
-        batchGrams.filter(mightContain(col("gram")))
+      blocking {
+        val nBench = bench.count()
+        val batchGrams = Curation.corpusGrams(batchDocs, DecontamGramN)
+        if (nBench == 0) batchGrams
+        else {
+          val bf = bench.stat.bloomFilter("gram", nBench, 0.01)
+          val bc = spark.sparkContext.broadcast(bf)
+          bloomBc = Some(bc)
+          val mightContain = udf((g: String) => bc.value.mightContainString(g))
+          batchGrams.filter(mightContain(col("gram")))
+        }
       }
     }
     val fCand = Future {
-      Ingest.lshProbe(spark, lshIndexPath, batchDocs,
-        maxBucket = 256, refuseDegenerate = true)
+      blocking {
+        Ingest.lshProbe(spark, lshIndexPath, batchDocs,
+          maxBucket = 256, refuseDegenerate = true)
+      }
     }
     // await BOTH before composing: a failure in either must not leave
     // the other's persisted frames stranded (the outer finally releases
     // whatever was assigned), and failures re-raise in a fixed order
-    val candTry = scala.util.Try(Await.result(fCand, Duration.Inf))
-    val prefilteredTry = scala.util.Try(Await.result(fGate1, Duration.Inf))
+    val candTry = scala.util.Try(Await.result(fCand, gateTimeout))
+    val prefilteredTry = scala.util.Try(Await.result(fGate1, gateTimeout))
+    // assign cand BEFORE either re-raise so the finally can release the
+    // probe's persisted candidates even when gate 1 failed; then
+    // re-raise in fixed order (gate 1 first, then the probe)
     candTry.foreach(c => cand = c)
     val prefiltered = prefilteredTry.get
-    cand = candTry.get
+    candTry.get
     val contaminated = prefiltered.join(bench, "gram")
       .filter(col("bench_id") =!= col("doc_id"))
       .select(col("doc_id")).distinct()
@@ -155,9 +174,8 @@ object CrawlPipeline {
     // width repartition before the per-row shingling (r17, the q201
     // rule): the interpreted shingle HOF over the batch otherwise runs
     // at the one-file scan's parallelism (measured t=1, ~8 CPU-seconds
-    // single-threaded per tick at sf0.1)
-    val newSh = batchDocs
-      .repartition(graft.operators.Par.width(spark))
+    // single-threaded per tick at sf0.1). Gated on scan splits (r18).
+    val newSh = graft.operators.Par.widen(batchDocs)
       .filter(minTokens)
       .select(col("doc_id").as("new_doc"),
         array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh_new"))
@@ -172,13 +190,12 @@ object CrawlPipeline {
         pileFetch = Some(f)
         f.withColumnRenamed("sh", "sh_old")
       case None =>
-        docsForConfirm.filter(minTokens)
-          .join(oldIds, col("doc_id") === col("old_doc"), "left_semi")
+        graft.operators.Par.widen(docsForConfirm.filter(minTokens)
+          .join(oldIds, col("doc_id") === col("old_doc"), "left_semi"))
           // repartition AFTER the pruning semi-join, BEFORE the per-row
           // shingling (r17): the broadcast semi keeps the corpus scan
           // unshuffled, so the shingle HOF otherwise runs at the scan's
-          // one-file parallelism
-          .repartition(graft.operators.Par.width(spark))
+          // one-file parallelism. Gated on scan splits (r18).
           .select(col("doc_id").as("old_doc"),
             array_distinct(TextPipeline.shingles(TextPipeline.tokens, 3)).as("sh_old"))
     }

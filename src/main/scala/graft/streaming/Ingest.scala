@@ -1373,14 +1373,34 @@ object Ingest {
     val raw = spark.read.parquet(statePath)
       .select(col("hk"), col("o_doc"), col("o_i"), col("c"))
     val st = if (folded) raw.filter(col("c") >= 2) else raw
-    val w = graft.operators.TextPipeline.charWindowHashes(batchDocs, hashOf)
+    // Batch windows as KEYS only (r18, r17 VERDICT ask #4; guide §2.3
+    // "shuffle keys and metadata instead of payloads"): the r17 shape
+    // carried each batch window's 50-char text `g` through the hk
+    // exchange AND the o_doc exchange — ~50 bytes per batch CHARACTER
+    // on the wire, twice. The key stream is (doc_id, i, hk) = 24 B/char
+    // and both window texts are re-derived for the CANDIDATE subset
+    // only, each from one documents-table join.
+    val w = graft.operators.TextPipeline.charWindowKeys(batchDocs, hashOf)
     // corpus-derived sides: never broadcast (q215 rule) — candidates
-    // meet on the hash, then the corpus pass fetches candidate texts
+    // meet on the hash, then the text fetches below confirm
     val cand = w.join(st.hint(if (folded) "shuffle_hash" else "merge"), "hk")
-    val confirmed = cand
+    // ONE corpus-text exchange: each candidate fetches its
+    // representative's window at the stored pointer; o_text is
+    // projected away in the same stage so only the 50-char window
+    // survives the join
+    val withOld = cand
       .join(corpusDocs.select(col("doc_id").as("o_doc"),
           col("text").as("o_text")).hint("shuffle_hash"), "o_doc")
-      .filter(expr("substring(o_text, o_i, 50)") === col("g"))
+      .select(col("doc_id"), col("i"), col("c"),
+        expr("substring(o_text, o_i, 50)").as("o_win"))
+    // one BATCH-text exchange (batch ⊆ corpus — the strictly smaller
+    // side) re-derives the candidate's own window; keyed on doc_id, the
+    // SAME clustering the confirm groupBy needs, so the aggregation
+    // below reuses this exchange instead of adding its own
+    val confirmed = withOld
+      .join(batchDocs.select(col("doc_id"), col("text")).hint("shuffle_hash"),
+        "doc_id")
+      .filter(expr("substring(text, i, 50)") === col("o_win"))
     val hits = confirmed.groupBy(col("doc_id"), col("i"))
       .agg(sum(col("c")).cast("long").as("tot"))
       .filter(col("tot") >= 2)
