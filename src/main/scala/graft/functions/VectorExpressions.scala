@@ -303,7 +303,9 @@ case class VecDotLong(left: Expression, right: Expression)
   * (double(x)-double(y))^2), 0.0, +)`). */
 case class VecL2SqDistanceF(left: Expression, right: Expression)
     extends VectorFoldExpression {
-  override def prettyName: String = "vec_l2sq_distance"
+  // matches the Column facade's vec_l2sq_distance_f (ADVICE r17 #4):
+  // the bare name substring-matched the _d kernel in plan assertions
+  override def prettyName: String = "vec_l2sq_distance_f"
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   protected def elemJava = "double"

@@ -57,9 +57,15 @@ object Clustering {
       .limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
-  /** Collected (cid, cv) centroid rows — bounded by construction
-    * (k ≤ ~10⁶), the same justified-collect discipline the previous
-    * `materialized` LocalRelation used. */
+  /** Collected (cid, cv) centroid rows — the same justified-collect
+    * discipline the previous `materialized` LocalRelation used. NOTE
+    * the practical k bound (ADVICE r17 #1): [[assignLocal]] inlines one
+    * array literal + fold kernel per centroid into a single projection
+    * with a k-ary `least`, so beyond k of a few THOUSAND the generated
+    * code would blow janino/constant-pool limits and driver planning —
+    * well before the collect itself hurts. Every caller here uses
+    * k ≤ 32; a larger-k caller must chunk the least() fold or fall back
+    * to the broadcast-join assignment shape this replaced. */
   private def centsOf(df: DataFrame): Array[(Long, Seq[Double])] =
     df.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
 
